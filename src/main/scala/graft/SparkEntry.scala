@@ -8,11 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** Every declared query, oracle-SQL kept in lockstep per module. */
   def declared: Seq[DeclaredQuery] =
-    graft.queries.TimeSeries.all
+    graft.queries.TimeSeries.all ++ graft.queries.Relational.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_events_hourly")(spark, "/root/testdata/sf0.001")
+    queries("q_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

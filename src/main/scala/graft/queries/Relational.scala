@@ -1,0 +1,345 @@
+package graft.queries
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY.md §2 B/C/D/F/G): projection, filters,
+  * every join shape, aggregation, windows, sort/limit, set ops — all
+  * pure DataFrame DSL so Catalyst gets full pushdown/pruning/reorder
+  * freedom.
+  *
+  * Scale notes (100 TB): tiny dims (region 5, nation 25) are
+  * explicitly `broadcast()`; customer/part/supplier are left to the
+  * auto-broadcast threshold + AQE (they stop being broadcastable at
+  * real scale and must degrade to shuffle joins); orders⋈lineitem is a
+  * sort-merge equi join on the natural key. No collect-driven logic
+  * anywhere.
+  *
+  * Float discipline: money sums go through DECIMAL casts (exact,
+  * order-independent) and back to double; averages divide a decimal
+  * sum by a count in double space — both engines then produce
+  * bit-identical doubles.
+  */
+object Relational {
+
+  /** TPC-H Q1-ish pricing summary (D1/D6, B2). Per-row double products
+    * are IEEE-identical across engines; the decimal cast before sum
+    * makes the aggregation order-independent.
+    */
+  val pricingSummary = DeclaredQuery(
+    "q_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    val decQty   = sum(col("l_quantity").cast("decimal(18,2)"))
+    val decPrice = sum(col("l_extendedprice").cast("decimal(18,2)"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decQty.cast("double").as("sum_qty"),
+        decPrice.cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,4)")).cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .cast("decimal(24,6)")).cast("double").as("sum_charge"),
+        (decQty.cast("double") / count(lit(1))).as("avg_qty"),
+        (decPrice.cast("double") / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** 4-table star join (C1 broadcast, D1): revenue per nation in one
+    * region. nation/region are broadcast — at any scale those dims stay
+    * tiny; customer join degrades gracefully via AQE.
+    */
+  val joinStar = DeclaredQuery(
+    "q_join_star",
+    """SELECT n_name,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Global top-k (F3): groupBy → sum → TakeOrderedAndProject — no full
+    * sort at scale. Tiebreak on custkey keeps it deterministic.
+    */
+  val topkCustomers = DeclaredQuery(
+    "q_topk_customers",
+    """SELECT o_custkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY spend DESC, o_custkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+      .orderBy(col("spend").desc, col("o_custkey"))
+      .limit(10)
+  }
+
+  /** Ranking window (E1/E4): top-3 orders per customer. orderkey
+    * tiebreak → deterministic row_number.
+    */
+  val windowRank = DeclaredQuery(
+    "q_window_rank",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Left semi join (C5): customers with ≥1 urgent open order. */
+  val semiJoin = DeclaredQuery(
+    "q_semi_join",
+    """SELECT count(*) AS n_customers FROM customer
+      |WHERE c_custkey IN (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT')""".stripMargin) { (s, d) =>
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "O" && col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Left anti join (C5): customers with no orders at all. */
+  val antiJoin = DeclaredQuery(
+    "q_anti_join",
+    """SELECT count(*) AS n_customers FROM customer
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Outer join + null handling (C4): order count per market segment
+    * counting order-less customers too.
+    */
+  val leftJoinAgg = DeclaredQuery(
+    "q_left_join_agg",
+    """SELECT c_mktsegment,
+      |  count(*) AS n_rows,
+      |  count(o_orderkey) AS n_orders,
+      |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orderless
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_orders"),
+        sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_orderless"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Sort-merge large-large join (C2): orders⋈lineitem on orderkey,
+    * priority-sliced revenue.
+    */
+  val orderLineitemJoin = DeclaredQuery(
+    "q_order_lineitem",
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_orderkey) AS n_orders,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,4)")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Set ops (G2): customers active in both 'O' and 'F' order status. */
+  val setop = DeclaredQuery(
+    "q_setop",
+    """SELECT count(*) AS n_both FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .agg(count(lit(1)).as("n_both"))
+  }
+
+  /** Union + distinct (G1/G3): nation keys seen from either side. */
+  val unionDistinct = DeclaredQuery(
+    "q_union_distinct",
+    """SELECT count(*) AS n_nations FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  UNION
+      |  SELECT s_nationkey AS nk FROM supplier) t""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+      .distinct()
+      .agg(count(lit(1)).as("n_nations"))
+  }
+
+  /** Theta/cross join (C6): part-pairs in the same size bracket —
+    * broadcast nested loop on a pre-aggregated (tiny) side.
+    */
+  val thetaJoin = DeclaredQuery(
+    "q_theta_join",
+    """SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_pairs
+      |FROM (SELECT p_brand, min(p_size) AS min_size FROM part GROUP BY p_brand) a
+      |JOIN (SELECT p_brand, max(p_size) AS max_size FROM part GROUP BY p_brand) b
+      |  ON a.min_size < b.max_size AND a.p_brand <> b.p_brand
+      |GROUP BY a.p_brand, b.p_brand
+      |ORDER BY brand_a, brand_b""".stripMargin) { (s, d) =>
+    val p = Tables.part(s, d)
+    val a = p.groupBy(col("p_brand").as("brand_a")).agg(min("p_size").as("min_size"))
+    val b = p.groupBy(col("p_brand").as("brand_b")).agg(max("p_size").as("max_size"))
+    a.join(b, col("min_size") < col("max_size") && col("brand_a") =!= col("brand_b"))
+      .groupBy("brand_a", "brand_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("brand_a", "brand_b")
+  }
+
+  /** Scalar string functions (H1) over part names. */
+  val stringFuncs = DeclaredQuery(
+    "q_string_funcs",
+    """SELECT p_brand,
+      |  count(*) AS n,
+      |  min(length(p_name)) AS min_len,
+      |  max(upper(substring(p_type, 1, 5))) AS max_type5,
+      |  count(CASE WHEN p_name LIKE '%steel%' THEN 1 END) AS n_steel
+      |FROM part
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n"),
+        min(length(col("p_name"))).as("min_len"),
+        max(upper(substring(col("p_type"), 1, 5))).as("max_type5"),
+        count(when(col("p_name").like("%steel%"), 1)).as("n_steel"))
+      .orderBy("p_brand")
+  }
+
+  /** Date functions (H2) over orders. */
+  val dateFuncs = DeclaredQuery(
+    "q_date_funcs",
+    """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+      |  CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+      |  count(*) AS n_orders,
+      |  CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_day
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).cast("int").as("order_year"),
+        quarter(col("o_orderdate")).cast("int").as("order_quarter"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_orderdate").cast("date")).cast("string").as("first_day"))
+      .orderBy("order_year", "order_quarter")
+  }
+
+  /** Exact percentiles (D8): spend distribution per segment.
+    * `percentile` (exact, Spark) ≡ `quantile_cont` (DuckDB).
+    */
+  val percentiles = DeclaredQuery(
+    "q_percentiles",
+    """SELECT c_mktsegment,
+      |  round(CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE), 2) AS p50,
+      |  round(CAST(quantile_cont(c_acctbal, 0.9) AS DOUBLE), 2) AS p90
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(
+        round(expr("percentile(c_acctbal, 0.5)").cast("double"), 2).as("p50"),
+        round(expr("percentile(c_acctbal, 0.9)").cast("double"), 2).as("p90"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Analytic window functions (E2/E3): per-customer order time deltas
+    * and running spend.
+    */
+  val windowAnalytic = DeclaredQuery(
+    "q_window_analytic",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(datediff('day', prev_date, o_orderdate) AS BIGINT) AS days_since_prev,
+      |  CAST(running_spend AS DOUBLE) AS running_spend
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    lag(o_orderdate) OVER w AS prev_date,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) t
+      |WHERE o_custkey <= 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("o_custkey") <= 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), col("prev_date")).cast("long").as("days_since_prev"),
+        col("running_spend").cast("double").as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(
+    pricingSummary, joinStar, topkCustomers, windowRank, semiJoin,
+    antiJoin, leftJoinAgg, orderLineitemJoin, setop, unionDistinct,
+    thetaJoin, stringFuncs, dateFuncs, percentiles, windowAnalytic)
+}

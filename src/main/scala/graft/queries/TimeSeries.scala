@@ -1,15 +1,20 @@
 package graft.queries
 
 import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Reference-surface parity (SURVEY.md §2 D2/D3, §0.3): the reference
-  * maintains per-(account, event_type) counters at every calendar
-  * granularity (year/month/day/hour) eagerly in a KV store. Spark-first
-  * re-expression: the same rollups as *declarative* aggregations —
-  * Catalyst plans a partial (map-side) + final hash aggregate, so at
-  * 100 TB each rollup is one shuffle of pre-combined partial counters,
-  * not a per-event KV round-trip.
+/** Reference-surface parity (SURVEY.md §2 D2/D3/D4/D5, E4, A5/H6,
+  * §0.3): the reference maintains per-(account, event_type) counters at
+  * every calendar granularity (year/month/day/hour) eagerly in a KV
+  * store, plus distinct-visitor sets and top-N sorted sets.
+  *
+  * Spark-first re-expression: the same rollups as *declarative*
+  * aggregations — Catalyst plans a partial (map-side) + final hash
+  * aggregate, so at 100 TB each rollup is one shuffle of pre-combined
+  * partial counters, not a per-event KV round-trip. The
+  * "all-granularities-at-once" eager cube becomes a single ROLLUP
+  * (one pass, Expand + partial agg — not four scans).
   */
 object TimeSeries {
 
@@ -17,8 +22,8 @@ object TimeSeries {
     * HINCRBY loop as one groupBy. `ts` is ns in parquet (µs in Spark):
     * date_trunc('hour') in BOTH engines sidesteps the precision gap.
     * Sum of `value` goes through DECIMAL(18,2) — exact and
-    * order-independent (doubles in fixtures carry 2 decimals) — then
-    * back to double so both engines emit the same schema.
+    * order-independent (fixture doubles carry 2 decimals) — then back
+    * to double so both engines emit the same schema.
     */
   val eventsHourly = DeclaredQuery(
     "q_events_hourly",
@@ -38,5 +43,130 @@ object TimeSeries {
       .orderBy("bucket", "event_type")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(eventsHourly)
+  /** D2+D3: the reference's year/month/day/hour counter families as ONE
+    * rollup — every granularity in a single pass. NULLS FIRST pinned in
+    * both engines (their ASC defaults differ).
+    */
+  val eventsRollup = DeclaredQuery(
+    "q_events_rollup",
+    """SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+      |       CAST(day(ts) AS INT) AS dd, CAST(hour(ts) AS INT) AS h,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY ROLLUP (1, 2, 3, 4)
+      |ORDER BY y NULLS FIRST, m NULLS FIRST, dd NULLS FIRST, h NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .rollup(
+        year(col("ts")).cast("int").as("y"),
+        month(col("ts")).cast("int").as("m"),
+        dayofmonth(col("ts")).cast("int").as("dd"),
+        hour(col("ts")).cast("int").as("h"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(
+        col("y").asc_nulls_first, col("m").asc_nulls_first,
+        col("dd").asc_nulls_first, col("h").asc_nulls_first)
+  }
+
+  /** D3: cube over (event_type, day) + grouping() markers. */
+  val eventsCube = DeclaredQuery(
+    "q_events_cube",
+    """SELECT event_type, CAST(day(ts) AS INT) AS dd,
+      |       CAST(grouping(event_type) AS INT) AS g_type,
+      |       CAST(grouping(CAST(day(ts) AS INT)) AS INT) AS g_day,
+      |       count(*) AS n_events
+      |FROM events
+      |GROUP BY CUBE (event_type, 2)
+      |ORDER BY event_type NULLS FIRST, dd NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("dd", dayofmonth(col("ts")).cast("int"))
+      .cube(col("event_type"), col("dd"))
+      .agg(
+        grouping(col("event_type")).cast("int").as("g_type"),
+        grouping(col("dd")).cast("int").as("g_day"),
+        count(lit(1)).as("n_events"))
+      .select("event_type", "dd", "g_type", "g_day", "n_events")
+      .orderBy(col("event_type").asc_nulls_first, col("dd").asc_nulls_first)
+  }
+
+  /** D4: exact distinct visitors per day — the reference's Redis
+    * SADD+SCARD. Two-phase distinct aggregation in Spark (partial
+    * dedup before the shuffle).
+    */
+  val eventsDistinctUsersDaily = DeclaredQuery(
+    "q_events_distinct_users_daily",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+      |       count(DISTINCT user_id) AS n_users,
+      |       count(*) AS n_events
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("bucket")
+  }
+
+  /** D5: approximate distinct visitors (HLL) — the 100 TB path where
+    * exact SADD-style sets stop fitting. Sketches differ across
+    * engines, so no SQL oracle (driver does a rows-only check); the
+    * ScalaTest suite asserts rsd-bounded agreement with the exact
+    * count instead.
+    */
+  val eventsApproxUsers = DeclaredQuery.noOracle("q_events_approx_users") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("bucket")
+  }
+
+  /** A5/H6: JSON event payload decode — get_json_object on the props
+    * column, bucketed counts.
+    */
+  val jsonExtract = DeclaredQuery(
+    "q_json_extract",
+    """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy((get_json_object(col("props"), "$.k").cast("int") % 10).as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("k_bucket")
+  }
+
+  /** E4 + B3: per-user top-3 event types — the reference's ZINCRBY
+    * sorted-set leaderboards, as groupBy + ranking window.
+    */
+  val topEventTypesPerUser = DeclaredQuery(
+    "q_top_types_per_user",
+    """SELECT user_id, event_type, n, rn FROM (
+      |  SELECT user_id, event_type, n,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY n DESC, event_type) AS rn
+      |  FROM (SELECT user_id, event_type, count(*) AS n
+      |        FROM events GROUP BY 1, 2) c) r
+      |WHERE rn <= 3
+      |ORDER BY user_id, rn""".stripMargin) { (s, d) =>
+    val counts = Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("user_id", "rn")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(
+    eventsHourly, eventsRollup, eventsCube, eventsDistinctUsersDaily,
+    eventsApproxUsers, jsonExtract, topEventTypesPerUser)
 }
