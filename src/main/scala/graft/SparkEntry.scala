@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** Every declared query, oracle-SQL kept in lockstep per module. */
   def declared: Seq[DeclaredQuery] =
-    graft.queries.TimeSeries.all ++ graft.queries.Relational.all
+    graft.queries.TimeSeries.all ++ graft.queries.Relational.all ++
+      graft.queries.LlmOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

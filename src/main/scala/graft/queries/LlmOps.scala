@@ -1,0 +1,296 @@
+package graft.queries
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators, oracle-able subset (SURVEY.md §2 K):
+  * exact dedup, text stats, token DF/IDF, exact near-dup Jaccard on
+  * blocked candidates, brute-force cosine top-k, embedding near-dup,
+  * centroid stats, binary-column plumbing.
+  *
+  * Scale notes (100 TB):
+  *   - near-dup candidates come from *blocking* (equality join on a
+  *     text prefix key) — never an unblocked O(n²) cross join; the
+  *     randomized MinHash-LSH path lives in [[Dedup]] (not
+  *     oracle-able).
+  *   - cosine top-k broadcasts the (small) query-vector side and
+  *     computes the dot product with a codegen'd higher-order function
+  *     fold — identical IEEE double sequence to the DuckDB twin, so
+  *     results hash-match exactly with no rounding fudge.
+  *   - per-dim centroid sums cast float→DECIMAL(18,8) first: binary
+  *     fractions can never tie at the 9th decimal, so the cast is
+  *     deterministic and the decimal sum order-independent.
+  */
+object LlmOps {
+
+  /** Exact IEEE-identical dot product of two float-array columns:
+    * cast each element to double, multiply, left-fold — matches
+    * DuckDB's list_reduce(list_transform(list_zip(...))) bit-for-bit.
+    * Backed by the codegen'd [[graft.functions.DotProductF]] (the HOF
+    * `aggregate(zip_with(...))` form computes the identical double
+    * sequence but runs interpreted — ~20× slower on the join hot path).
+    */
+  def dotProduct(a: String, b: String) =
+    graft.functions.VectorFunctions.vec_dot(col(a), col(b))
+
+  private val duckDot =
+    "list_reduce(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
+
+  /** K1: exact dedup sentinel — fixtures plant zero byte-identical
+    * texts, so n_distinct == n_docs; the md5 column is the
+    * content-hash dedup key a 100 TB pipeline would group on.
+    */
+  val exactDedup = DeclaredQuery(
+    "q_exact_dedup",
+    """SELECT count(*) AS n_docs,
+      |       count(DISTINCT text) AS n_distinct_text,
+      |       count(DISTINCT md5(text)) AS n_distinct_md5
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_text"),
+        countDistinct(md5(col("text"))).as("n_distinct_md5"))
+  }
+
+  /** K5/K7: per-language doc stats — counts, chars, whitespace tokens,
+    * regex (BPE-ish alnum-run) tokens.
+    */
+  val docsByLang = DeclaredQuery(
+    "q_docs_by_lang",
+    """SELECT lang,
+      |  count(*) AS n_docs,
+      |  sum(n_chars) AS sum_chars,
+      |  sum(len(string_split(text, ' '))) AS sum_tokens,
+      |  sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS sum_alnum_tokens,
+      |  CAST(sum(n_chars) AS DOUBLE) / sum(len(string_split(text, ' '))) AS chars_per_token
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(size(split(col("text"), " "))).as("sum_tokens"),
+        sum(size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))).as("sum_alnum_tokens"),
+        (sum(col("n_chars")).cast("double") /
+          sum(size(split(col("text"), " ")))).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  /** K6: token document-frequency + IDF, top 20. Exploded distinct
+    * per-doc tokens → one shuffle; idf from exact integer df.
+    */
+  val tokenDf = DeclaredQuery(
+    "q_token_df",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT token, count(*) AS df,
+      |       round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / count(*)), 6) AS idf
+      |FROM tok
+      |GROUP BY token
+      |ORDER BY df DESC, token
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("token"), col("df"),
+        round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(20)
+  }
+
+  /** Text quality scoring per source (prompt: length / token stats as
+    * training-data quality gates).
+    */
+  val docQuality = DeclaredQuery(
+    "q_doc_quality",
+    """SELECT source,
+      |  count(*) AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+      |  sum(CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END) AS n_long
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(when(size(split(col("text"), " ")) >= 50, 1).otherwise(0)).as("n_long"))
+      .orderBy("source")
+  }
+
+  /** K2 companion (exact, oracle-able): token-set Jaccard over
+    * prefix-blocked candidate pairs. Blocking key = first 40 chars
+    * (the planted family structure); at scale this is an equi-join
+    * shuffle on the block key, never a cross join.
+    */
+  val nearDupPairs = DeclaredQuery(
+    "q_near_dup_pairs",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM documents a JOIN documents b
+      |    ON substring(a.text, 1, 40) = substring(b.text, 1, 40)
+      |   AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+      |  FROM cand c
+      |  JOIN tok t1 ON t1.doc_id = c.id_a
+      |  JOIN tok t2 ON t2.doc_id = c.id_b AND t2.token = t1.token
+      |  GROUP BY c.id_a, c.id_b)
+      |SELECT i.id_a, i.id_b, i.n_inter,
+      |       ca.n + cb.n - i.n_inter AS n_union,
+      |       round(CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter), 6) AS jaccard
+      |FROM inter i
+      |JOIN cnt ca ON ca.doc_id = i.id_a
+      |JOIN cnt cb ON cb.doc_id = i.id_b
+      |WHERE CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = docs.select(col("doc_id").as("id_a"), substring(col("text"), 1, 40).as("blk"))
+    val b = docs.select(col("doc_id").as("id_b"), substring(col("text"), 1, 40).as("blk"))
+    val cand = a.join(b, Seq("blk")).filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+    val t1 = tok.select(col("doc_id").as("id_a"), col("token"))
+    val t2 = tok.select(col("doc_id").as("id_b"), col("token"))
+    val interDf = cand.join(t1, Seq("id_a")).join(t2, Seq("id_b", "token"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    val ca = cnt.select(col("doc_id").as("id_a"), col("n").as("n_a"))
+    val cb = cnt.select(col("doc_id").as("id_b"), col("n").as("n_b"))
+    interDf.join(ca, Seq("id_a")).join(cb, Seq("id_b"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jaccard_raw", col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard_raw") >= 0.3)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+        round(col("jaccard_raw"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** K3: brute-force cosine top-k — query vectors (vec_id < 5)
+    * broadcast against all candidates; dot ≡ cosine (unit vectors).
+    * Raw double ranking is IEEE-identical across engines (see
+    * [[dotProduct]]), so top-k membership matches exactly.
+    */
+  val cosineTopk = DeclaredQuery(
+    "q_cosine_topk",
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+       |sims AS (
+       |  SELECT q.q_id, e.vec_id,
+       |         ${duckDot.format("q.q_emb", "e.embedding")} AS dot
+       |  FROM q, embeddings e
+       |  WHERE e.vec_id <> q.q_id)
+       |SELECT q_id, vec_id, round(dot, 6) AS cos_sim, rn FROM (
+       |  SELECT q_id, vec_id, dot,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rn
+       |  FROM sims) t
+       |WHERE rn <= 3
+       |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val sims = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), dotProduct("q_emb", "embedding").as("dot"))
+    val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id"), round(col("dot"), 6).as("cos_sim"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Embedding-cosine near-dup pairs (prompt's dedup list): all pairs
+    * with cosine ≥ 0.9. Quadratic candidate generation is acceptable
+    * at fixture scale; the LSH-bucketed scale path is in [[Dedup]].
+    */
+  val embedNearDup = DeclaredQuery(
+    "q_embed_near_dup",
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       round(${duckDot.format("a.embedding", "b.embedding")}, 6) AS cos_sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ${duckDot.format("a.embedding", "b.embedding")} >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dot", dotProduct("emb_a", "emb_b"))
+      .filter(col("dot") >= 0.9)
+      .select(col("id_a"), col("id_b"), round(col("dot"), 6).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** K3-adjacent cluster stats: per-label centroid L2 norm via per-dim
+    * decimal sums (order-independent). High norm ⇒ tight cluster.
+    */
+  val labelStats = DeclaredQuery(
+    "q_label_stats",
+    """WITH dims AS (
+      |  SELECT label, i.range AS dim, CAST(embedding[i.range] AS DECIMAL(18,8)) AS v
+      |  FROM embeddings, range(1, 65) i),
+      |sums AS (
+      |  SELECT label, dim, CAST(sum(v) AS DOUBLE) AS dim_sum, count(*) AS n
+      |  FROM dims GROUP BY label, dim)
+      |SELECT label, max(n) AS n_vecs,
+      |       round(sqrt(sum((dim_sum / n) * (dim_sum / n))), 6) AS centroid_norm
+      |FROM sums
+      |GROUP BY label
+      |ORDER BY label""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), (col("pos") + 1).as("dim"), col("v").cast("decimal(18,8)").as("v"))
+      .groupBy("label", "dim")
+      .agg(sum("v").cast("double").as("dim_sum"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(
+        max("n").as("n_vecs"),
+        round(sqrt(sum((col("dim_sum") / col("n")) * (col("dim_sum") / col("n")))), 6)
+          .as("centroid_norm"))
+      .orderBy("label")
+  }
+
+  /** K4 multimodal: docs ⋈ embeddings by id + a binary column flowing
+    * through the plan (text bytes as a stand-in payload; real
+    * image/audio decode is stubbed in [[graft.operators.Multimodal]]).
+    */
+  val multimodalJoin = DeclaredQuery(
+    "q_multimodal_join",
+    s"""SELECT d.lang, count(*) AS n,
+       |  sum(octet_length(encode(d.text))) AS sum_bytes,
+       |  round(CAST(sum(CAST(${duckDot.format("e.embedding", "e.embedding")} AS DECIMAL(18,8))) AS DOUBLE), 6) AS sum_self_dot
+       |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).withColumn("payload", col("text").cast("binary"))
+    docs.join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("sum_bytes"),
+        round(sum(dotProduct("embedding", "embedding").cast("decimal(18,8)")).cast("double"), 6)
+          .as("sum_self_dot"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(
+    exactDedup, docsByLang, tokenDf, docQuality, nearDupPairs,
+    cosineTopk, embedNearDup, labelStats, multimodalJoin)
+}
