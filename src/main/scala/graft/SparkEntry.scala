@@ -9,7 +9,9 @@ object SparkEntry {
   /** Every declared query, oracle-SQL kept in lockstep per module. */
   def declared: Seq[DeclaredQuery] =
     graft.queries.TimeSeries.all ++ graft.queries.Relational.all ++
-      graft.queries.LlmOps.all
+      graft.queries.LlmOps.all ++ graft.operators.Dedup.all ++
+      graft.operators.Similarity.all ++ graft.operators.TextAnalysis.all ++
+      graft.operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at scale (SURVEY.md §2 K2; prompt's
+  * training-data dedup list): MinHash + banded LSH and SimHash.
+  *
+  * Both are randomized-sketch algorithms, so they carry no SQL oracle
+  * (the driver does a rows-only check); their correctness story is the
+  * ScalaTest suite, which checks the candidate pairs they emit against
+  * the exact prefix-blocked Jaccard pairs (LlmOps.nearDupPairs — the
+  * planted ~5 % dup families in the fixtures).
+  *
+  * Scale design: everything is explode → hash → groupBy — linear scans
+  * plus equi-shuffles on (band, signature) bucket keys. No cross join
+  * ever materializes; candidate pairs come from within-bucket
+  * self-joins whose buckets are tiny by construction. At 100 TB the
+  * only tuning knobs are shuffle partitions and band count.
+  */
+object Dedup {
+
+  /** Per-doc k-shingle set (token n-grams as strings). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(
+      col("doc_id"),
+      explode(expr(
+        s"array_distinct(transform(sequence(0, greatest(size(split(text, ' ')) - $n, 0)), " +
+          s"i -> array_join(slice(split(text, ' '), i + 1, $n), ' ')))")).as("shingle"))
+  }
+
+  /** MinHash signatures: k independent hash functions via seeded
+    * xxhash64(seed, shingle); one explode ×k then min per (doc, seed) —
+    * one shuffle, linear in corpus size.
+    */
+  def minhashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
+    val seeds = (0 until k).map(i => lit(i))
+    sh.select(col("doc_id"), explode(array(seeds: _*)).as("seed"), col("shingle"))
+      .select(col("doc_id"), col("seed"), xxhash64(col("seed"), col("shingle")).as("h"))
+      .groupBy("doc_id", "seed")
+      .agg(min("h").as("minhash"))
+  }
+
+  /** Banded LSH candidates: k minhashes → b bands of r rows; docs
+    * sharing any (band, band-signature) bucket become candidates.
+    * P(candidate) ≈ 1-(1-J^r)^b — with k=32, b=8, r=4 the planted
+    * J≥0.8 families are caught with probability ≈ 1-3e-4.
+    */
+  def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+    val r = k / bands
+    val sigs = minhashSignatures(shingles(docs), k)
+      .withColumn("band", (col("seed") / r).cast("int"))
+      .groupBy("doc_id", "band")
+      // sort_array makes the band signature independent of row order
+      .agg(xxhash64(to_json(sort_array(collect_list(struct("seed", "minhash"))))).as("band_sig"))
+    val l = sigs.select(col("doc_id").as("id_a"), col("band"), col("band_sig"))
+    val rr = sigs.select(col("doc_id").as("id_b"), col("band"), col("band_sig"))
+    l.join(rr, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact set-Jaccard for a candidate pair set over any (doc_id, elem)
+    * element relation — only candidates pay the set-intersection cost.
+    */
+  def setJaccard(elems: DataFrame, pairs: DataFrame): DataFrame = {
+    val cnt = elems.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val t1 = elems.select(col("doc_id").as("id_a"), col("elem"))
+    val t2 = elems.select(col("doc_id").as("id_b"), col("elem"))
+    pairs.join(t1, Seq("id_a")).join(t2, Seq("id_b", "elem"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      .join(cnt.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(cnt.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+  }
+
+  /** Exact token-set Jaccard. NOTE (measured on fixtures): the ~30-word
+    * vocabulary makes token-SET Jaccard of *unrelated* docs ≈ 0.6-0.9 —
+    * it only discriminates within a blocked candidate set. Shingle
+    * Jaccard is the discriminative measure (random ≤ 0.03, planted
+    * dups ≥ 0.89); use [[shingleJaccard]] for open-ended detection.
+    */
+  def exactJaccard(docs: DataFrame, pairs: DataFrame): DataFrame =
+    setJaccard(
+      docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("elem")),
+      pairs)
+
+  /** Exact 3-token-shingle Jaccard — order-sensitive, discriminative. */
+  def shingleJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame =
+    setJaccard(shingles(docs, n).withColumnRenamed("shingle", "elem"), pairs)
+
+  /** Full MinHash-LSH near-dup pipeline: banded candidates → exact
+    * shingle-Jaccard verify (the same measure the signatures estimate).
+    */
+  def minhashNearDups(docs: DataFrame, tau: Double = 0.5): DataFrame =
+    shingleJaccard(docs, minhashCandidates(docs))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+
+  /** 64-bit SimHash per doc over 3-token shingles: sign of per-bit
+    * sums of shingle hashes. Shingles, not raw tokens: the fixture
+    * vocabulary is ~30 words, so token-bag simhash collides unrelated
+    * docs (measured); shingles are order-sensitive and discriminative.
+    * Implemented relationally (explode shingle × bit) so it scales the
+    * same way as minhash; the bit loop is a 64-element array expr.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = shingles(docs)
+      .withColumn("h", xxhash64(col("shingle")))
+    tok
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 63), b -> struct(b AS bit, " +
+          "CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END AS w))")).as("bw"))
+      .groupBy(col("doc_id"), col("bw.bit").as("bit"))
+      .agg(sum("bw.w").as("s"))
+      .groupBy("doc_id")
+      .agg(expr(
+        "aggregate(collect_list(struct(bit, s)), CAST(0 AS BIGINT), " +
+          "(acc, x) -> CASE WHEN x.s > 0 THEN acc | shiftleft(CAST(1 AS BIGINT), x.bit) ELSE acc END)")
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using
+    * 16-bit block bucketing (pigeonhole: dist ≤ 3 ⇒ ≥1 of 4 blocks
+    * equal) — candidates from equi-joins, verified with bit_count.
+    */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS blk, " +
+          "CAST(shiftright(simhash, b * 16) & 65535 AS INT) AS blk_val))")).as("bv"))
+      .select(col("doc_id"), col("simhash"), col("bv.blk"), col("bv.blk_val"))
+    val l = blocks.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"), col("blk"), col("blk_val"))
+    val r = blocks.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"), col("blk"), col("blk_val"))
+    l.join(r, Seq("blk", "blk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Winnowing document fingerprints (rolling-hash family): shingle
+    * hashes → min per sliding window of w — the classic MOSS scheme.
+    * Deterministic, but emitted as rows-only (set semantics are awkward
+    * to pin in portable SQL); ScalaTest asserts dup families share
+    * fingerprints.
+    */
+  def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    val sh = docs.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, greatest(size(split(text, ' ')) - $n, 0)), " +
+          s"i -> array_join(slice(split(text, ' '), i + 1, $n), ' '))")).as(Seq("pos", "shingle")))
+      .withColumn("h", xxhash64(col("shingle")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    sh.withColumn("fp", min("h").over(win))
+      .select("doc_id", "fp").distinct()
+  }
+
+  // ---- declared queries (rows-only checks; ScalaTest is the gate) ----
+
+  val qMinhash = DeclaredQuery.noOracle("q_minhash_near_dups") { (s, d) =>
+    minhashNearDups(Tables.documents(s, d))
+      .orderBy("id_a", "id_b")
+  }
+
+  val qSimhash = DeclaredQuery.noOracle("q_simhash_near_dups") { (s, d) =>
+    simhashNearDups(Tables.documents(s, d))
+      .orderBy("id_a", "id_b")
+  }
+
+  val qWinnow = DeclaredQuery.noOracle("q_winnow_fingerprints") { (s, d) =>
+    winnowFingerprints(Tables.documents(s, d))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qMinhash, qSimhash, qWinnow)
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{DeclaredQuery, Tables}
+import graft.functions.VectorFunctions.vec_dot
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over embedding columns
+  * (SURVEY.md §2 K3, prompt's similarity-search requirement).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: broadcast the (small) query set, codegen'd
+  *     dot product against every candidate, per-query top-k window.
+  *     Exact; the oracle-checked q_cosine_topk uses this shape. Scales
+  *     to any candidate count (linear scan, no shuffle on the fact
+  *     side) but pays full corpus cost per query batch.
+  *   - [[lshTopK]]: random-hyperplane LSH — 16 seeded hyperplanes →
+  *     sign bits → bucket id; only same-bucket (and optionally
+  *     neighboring-probe) candidates are scored. At 100 TB this turns
+  *     a full scan into an equi-join on bucket id. Randomized →
+  *     rows-only check + ScalaTest recall assertion vs brute force.
+  *
+  * Hyperplanes are generated from a fixed seed on the driver (tiny,
+  * broadcast as literals) — deterministic across runs.
+  */
+object Similarity {
+
+  val Dim = 64
+
+  /** Deterministic pseudo-random unit hyperplanes (Gaussian via
+    * Box-Muller from a seeded PRNG).
+    */
+  def hyperplanes(nPlanes: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes) {
+      val v = Array.fill(Dim)(rnd.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / norm)
+    }
+  }
+
+  private def planeCol(p: Array[Double]) =
+    array(p.map(x => lit(x.toFloat)): _*)
+
+  /** LSH bucket id: one sign bit per hyperplane. */
+  def bucketCol(embCol: String, planes: Seq[Array[Double]]) =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(vec_dot(col(embCol), planeCol(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact brute-force cosine top-k: queries × candidates via
+    * broadcast, ranked per query.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val sims = candidates.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), vec_dot(col("q_emb"), col("embedding")).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** LSH-bucketed approximate top-k: score only same-bucket pairs.
+    * nPlanes controls recall/cost: fewer planes → bigger buckets →
+    * higher recall, more work.
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(nPlanes)
+    val qb = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", bucketCol("q_emb", planes))
+    val cb = candidates
+      .withColumn("bucket", bucketCol("embedding", planes))
+    val sims = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), vec_dot(col("q_emb"), col("embedding")).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  // ---- declared queries ----
+
+  /** Approximate ANN (randomized bucketing → rows-only check;
+    * ScalaTest asserts recall ≥ 0.6 vs brute force on the fixture).
+    */
+  val qAnnLsh = DeclaredQuery.noOracle("q_ann_lsh") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    // 4 planes = 16 buckets: fixture vectors are near-uniform on the
+    // sphere (measured), so coarse buckets keep candidate sets non-empty
+    lshTopK(emb.filter(col("vec_id") < 5), emb, k = 3, nPlanes = 4)
+      .select("q_id", "vec_id", "cos_sim", "rn")
+      .orderBy("q_id", "rn")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qAnnLsh)
+}

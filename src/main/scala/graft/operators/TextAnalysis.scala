@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (prompt requirement;
+  * SURVEY.md §2 K5-K7): language-ID, quality scoring, token counting,
+  * all as declarative aggregations that scale linearly.
+  */
+object TextAnalysis {
+
+  /** Char-trigram profiles per language, learned from a labeled
+    * corpus: top `profileSize` trigrams per lang by frequency
+    * (deterministic tiebreak).
+    */
+  def langProfiles(docs: DataFrame, profileSize: Int = 30): DataFrame = {
+    val tri = docs.select(col("lang"), explode(expr(
+      "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+      .as("trigram"))
+      .groupBy("lang", "trigram").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("trigram"))
+    tri.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= profileSize)
+      .select("lang", "trigram", "n")
+  }
+
+  /** N-gram-heuristic language ID: score each doc against each lang
+    * profile by distinct-trigram overlap, predict the argmax
+    * (deterministic tiebreak on lang). The fixture langs share one
+    * vocabulary, so accuracy is near chance there — the ScalaTest
+    * asserts mechanics (coverage, determinism, argmax), not accuracy.
+    */
+  def languageId(docs: DataFrame, profiles: DataFrame): DataFrame = {
+    val docTri = docs.select(col("doc_id"), explode(array_distinct(expr(
+      "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")))
+      .as("trigram"))
+    val scored = docTri
+      .join(profiles.select(col("lang").as("cand_lang"), col("trigram")), Seq("trigram"))
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("overlap"))
+    val w = Window.partitionBy("doc_id").orderBy(col("overlap").desc, col("cand_lang"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("predicted_lang"), col("overlap"))
+  }
+
+  /** Per-doc quality signals: token count (whitespace + BPE-ish
+    * alnum-run), mean token length, type-token ratio, uppercase &
+    * punctuation ratios (fixture text is lowercase alnum — the
+    * operators still compute the general form).
+    */
+  def qualityScores(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      size(split(col("text"), " ")).as("n_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_alnum_tokens"),
+      size(array_distinct(split(col("text"), " "))).as("n_types"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).as("n_punct"))
+      .withColumn("type_token_ratio", col("n_types").cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+
+  // ---- declared queries ----
+
+  /** Language-ID predictions vs labels (mechanics demo — rows-only;
+    * confusion counts are asserted in ScalaTest).
+    */
+  val qLangId = DeclaredQuery.noOracle("q_language_id") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    languageId(docs, langProfiles(docs))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted_lang")
+  }
+
+  /** Quality-score distribution per source — SQL-expressible, so it
+    * carries a full oracle.
+    */
+  val qQuality = DeclaredQuery(
+    "q_quality_scores",
+    """SELECT source,
+      |  count(*) AS n_docs,
+      |  sum(len(string_split(text, ' '))) AS sum_tokens,
+      |  sum(len(list_distinct(string_split(text, ' ')))) AS sum_types,
+      |  round(CAST(sum(len(list_distinct(string_split(text, ' ')))) AS DOUBLE)
+      |        / sum(len(string_split(text, ' '))), 6) AS type_token_ratio
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("sum_tokens"),
+        sum(size(array_distinct(split(col("text"), " ")))).as("sum_types"),
+        round(sum(size(array_distinct(split(col("text"), " ")))).cast("double") /
+          sum(size(split(col("text"), " "))), 6).as("type_token_ratio"))
+      .orderBy("source")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qLangId, qQuality)
+}
