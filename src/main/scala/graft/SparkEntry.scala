@@ -11,7 +11,8 @@ object SparkEntry {
     graft.queries.TimeSeries.all ++ graft.queries.Relational.all ++
       graft.queries.LlmOps.all ++ graft.operators.Dedup.all ++
       graft.operators.Similarity.all ++ graft.operators.TextAnalysis.all ++
-      graft.operators.Multimodal.all
+      graft.operators.Multimodal.all ++ graft.queries.Temporal.all ++
+      graft.queries.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming ingest (SURVEY.md §2 A2-A5, §3.1): the reference's
+  * ZMQ-SUB JSON loop re-expressed as Structured Streaming sources +
+  * from_json decode. No ZMQ/Kafka exists in this environment
+  * (BASELINE.md) — the file source is the production-shaped stand-in
+  * (same micro-batch machinery, offsets, and recovery semantics as a
+  * Kafka source; swapping `format`/`option` is the only change).
+  */
+object Ingest {
+
+  /** Typed event (the reference's JSON tracking event). */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Raw-wire schema: what a ZMQ/Kafka payload would decode to. */
+  val eventJsonSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts_us", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Parquet-side schema (ts as raw ns int64 — see Tables.events). */
+  val eventFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source event stream over a fixture dir — the streaming twin
+    * of Tables.events: same columns, same µs timestamp normalization.
+    */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(eventFileSchema)
+      // file source needs a directory; glob-filter to the events table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Decode a stream of JSON strings (the ZMQ datagram shape) into
+    * typed event columns — A5. `payload` column in, event columns out.
+    */
+  def decodeJson(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("payload"), eventJsonSchema).as("e"))
+      .select(
+        col("e.event_id").as("event_id"),
+        timestamp_micros(col("e.ts_us")).as("ts"),
+        col("e.user_id").as("user_id"),
+        col("e.event_type").as("event_type"),
+        col("e.value").as("value"),
+        col("e.props").as("props"))
+
+  /** Encode events back to wire JSON (round-trip / A4 load-gen). */
+  def encodeJson(events: DataFrame): DataFrame =
+    events.select(to_json(struct(
+      col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+      col("event_type"), col("value"), col("props"))).as("payload"))
+}

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+/** KV serving sink (SURVEY.md §2 A7, I10): the reference's Redis
+  * HINCRBY store as a pluggable `ServingStore`, fed by foreachBatch
+  * with *idempotent* merges keyed on batchId — an exactly-once upgrade
+  * over the reference's at-least-once increments (a replayed batch
+  * overwrites rather than double-counts).
+  *
+  * Keys follow the reference's account:metric:calendar-bucket scheme:
+  * `event_type / granularity / bucket`. No Redis exists in this
+  * environment (BASELINE.md); `InMemoryServingStore` backs tests and
+  * `ParquetServingStore` is the durable, partitioned analog (bucket
+  * columns = partition keys → the read path is partition pruning, the
+  * same O(1)-per-key property the reference gets from Redis key
+  * lookup). A real Redis adapter would implement the same trait with
+  * pipelined HSET — deliberately left unwired (no external services in
+  * declared queries).
+  */
+trait ServingStore {
+  /** Merge one micro-batch of (key, n_events, sum_value) deltas.
+    * MUST be idempotent per batchId (replays happen on recovery).
+    */
+  def merge(batchId: Long, rows: Seq[ServingStore.CounterRow]): Unit
+  def snapshot(): Seq[ServingStore.CounterRow]
+}
+
+object ServingStore {
+  case class CounterRow(key: String, nEvents: Long, sumValue: Double)
+
+  /** Streaming aggregate → upsert semantics: the latest value per key
+    * wins (aggregation state already holds the running total, so the
+    * sink REPLACES — HSET, not HINCRBY; that is what makes replays
+    * idempotent).
+    */
+}
+
+/** Test/serving stub: last-write-wins per key, replay-safe. */
+final class InMemoryServingStore extends ServingStore {
+  private val data = new ConcurrentHashMap[String, ServingStore.CounterRow]()
+  private val seenBatches = ConcurrentHashMap.newKeySet[Long]()
+
+  override def merge(batchId: Long, rows: Seq[ServingStore.CounterRow]): Unit = {
+    // replays of an already-applied batch are harmless (HSET semantics)
+    seenBatches.add(batchId)
+    rows.foreach(r => data.put(r.key, r))
+  }
+  override def snapshot(): Seq[ServingStore.CounterRow] = data.values.asScala.toSeq
+  def batchesSeen: Set[Long] = seenBatches.asScala.toSet
+}
+
+/** Durable analog: partitioned parquet, overwrite-by-partition keyed
+  * on the calendar bucket — idempotent under replay.
+  */
+final class ParquetServingStore(spark: SparkSession, path: String) extends ServingStore {
+  override def merge(batchId: Long, rows: Seq[ServingStore.CounterRow]): Unit = {
+    import spark.implicits._
+    if (rows.nonEmpty)
+      rows.toDF().withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+  }
+  override def snapshot(): Seq[ServingStore.CounterRow] = {
+    import spark.implicits._
+    val files = new java.io.File(path).listFiles()
+    if (files == null || files.isEmpty) Seq.empty
+    else spark.read.parquet(path).select("key", "nEvents", "sumValue")
+      .as[ServingStore.CounterRow].collect().toSeq
+  }
+}
+
+object Serving {
+  /** The reference's ingest loop end-to-end: aggregate a (streaming)
+    * event frame into hourly per-type counters and upsert each
+    * micro-batch into the store. Works identically on a batch frame
+    * (stream-batch unification).
+    */
+  def hourlyCounters(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  def toCounterRows(batch: DataFrame): Seq[ServingStore.CounterRow] =
+    batch.select(
+      concat_ws("/", col("event_type"), lit("hour"),
+        date_format(col("bucket"), "yyyy-MM-dd-HH")).as("key"),
+      col("n_events"), col("sum_value"))
+      .collect().toSeq
+      .map(r => ServingStore.CounterRow(r.getString(0), r.getLong(1), r.getDouble(2)))
+
+  /** Run the full streaming pipeline to completion (AvailableNow) and
+    * return the store contents. `collect` here is sink-side only — the
+    * aggregate state is tiny by construction (keys × buckets), exactly
+    * like the reference's Redis working set.
+    */
+  def runPipeline(spark: SparkSession, sfDir: String, store: ServingStore,
+      checkpoint: String): ServingStore = {
+    val agg = hourlyCounters(Ingest.eventStream(spark, sfDir))
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.merge(batchId, toCounterRows(batch))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import graft.streaming.{Ingest, InMemoryServingStore, Serving, Windows}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** Structured Streaming surface: stream-batch unification (the
+  * streaming result over the complete input equals the batch query),
+  * watermark late-data semantics, streaming dedup, stateful funnel,
+  * idempotent serving sink.
+  */
+class StreamingSpec extends SparkSpec {
+  import Windows.FunnelEvent
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming pipeline result equals batch twin (file source, AvailableNow)") {
+    val checkpoint = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val store = Serving.runPipeline(spark, sf, new InMemoryServingStore, checkpoint)
+    val streamed = store.snapshot().map(r => (r.key, r.nEvents, r.sumValue)).toSet
+    val batch = Serving.toCounterRows(
+      Serving.hourlyCounters(Tables.events(spark, sf)))
+      .map(r => (r.key, r.nEvents, r.sumValue)).toSet
+    assert(streamed == batch)
+  }
+
+  test("MemoryStream windowed agg equals batch agg on same input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = (0 until 100).map { i =>
+      (i.toLong, ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"),
+        (i % 7).toLong, if (i % 2 == 0) "click" else "view", i * 1.5, "{}")
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    mem.addData(events)
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = Windows.tumblingHourly(df).writeStream
+      .format("memory").queryName("tumbling_t").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("tumbling_t")
+      .select("bucket", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batchDf = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch = Windows.tumblingHourly(batchDf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("watermark drops late rows in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Windows.watermarkedHourly(df).writeStream
+      .format("memory").queryName("late_t").outputMode("append")
+      .start()
+    // batch 1: events at 10:00 and 13:00 -> watermark advances to 12:00
+    mem.addData(Seq((1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (2L, ts("2024-01-01 13:00:00"), "click", 1.0)))
+    q.processAllAvailable()
+    // batch 2: late event at 10:30 (< watermark 12:00) must be dropped
+    mem.addData(Seq((3L, ts("2024-01-01 10:30:00"), "click", 1.0)))
+    q.processAllAvailable()
+    // batch 3: advance watermark far so the 13:00 window finalizes
+    mem.addData(Seq((4L, ts("2024-01-02 00:00:00"), "click", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_t")
+      .select("bucket", "n_events").as[(Timestamp, Long)].collect().toMap
+    // 10:00 window finalized with ONLY the on-time event
+    assert(rows(ts("2024-01-01 10:00:00")) == 1L)
+    assert(rows(ts("2024-01-01 13:00:00")) == 1L)
+  }
+
+  test("dropDuplicatesWithinWatermark collapses retried deliveries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = Windows.dedupedEvents(df).writeStream
+      .format("memory").queryName("dedup_t").outputMode("append")
+      .start()
+    mem.addData(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click"),
+      (1L, ts("2024-01-01 10:00:01"), "click"), // retry, same id
+      (2L, ts("2024-01-01 10:05:00"), "view")))
+    q.processAllAvailable()
+    mem.addData(Seq((1L, ts("2024-01-01 10:10:00"), "click"))) // late retry
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_t").count() == 2)
+  }
+
+  test("stateful funnel emits click->purchase conversions with latency") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val q = Windows.conversions(spark, mem.toDS()).writeStream
+      .format("memory").queryName("funnel_t").outputMode("append")
+      .start()
+    mem.addData(Seq(
+      FunnelEvent(1, "click", 1000), FunnelEvent(1, "view", 1500),
+      FunnelEvent(2, "purchase", 900) /* no prior click */ ))
+    q.processAllAvailable()
+    mem.addData(Seq(FunnelEvent(1, "purchase", 5000),
+      FunnelEvent(2, "click", 2000), FunnelEvent(2, "purchase", 2500)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_t")
+      .select("user_id", "latency_us").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 4000L), (2L, 500L)))
+  }
+
+  test("serving store merge is idempotent under batch replay") {
+    val store = new InMemoryServingStore
+    val rows = Seq(
+      graft.streaming.ServingStore.CounterRow("click/hour/2024-01-01-10", 5, 10.0))
+    store.merge(0L, rows)
+    store.merge(0L, rows) // replay
+    assert(store.snapshot().size == 1)
+    assert(store.snapshot().head.nEvents == 5)
+  }
+
+  test("JSON wire decode/encode round-trips events") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf).limit(50)
+    val wire = Ingest.encodeJson(events)
+    val back = Ingest.decodeJson(wire.withColumnRenamed("payload", "payload"))
+    val a = events.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect().map(_.toSeq).toSet
+    val b = back.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
