@@ -1,0 +1,240 @@
+package graft.queries
+
+import graft.{DeclaredQuery, Tables}
+import graft.functions.TopKAggregator
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar/array/map/variant function breadth + remaining aggregate,
+  * window, set-op, and join-hint surface (SURVEY.md §2 C3, D7/D9, E2,
+  * G2, H3-H6).
+  */
+object Functions {
+
+  /** H4 arrays: higher-order and set functions over token arrays. */
+  val arrayFuncs = DeclaredQuery(
+    "q_array_funcs",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS first3,
+      |  CAST(list_contains(string_split(text, ' '), 'join') AS INT) AS has_join,
+      |  len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long_tokens,
+      |  list_sort(list_transform(list_distinct(string_split(text, ' ')), t -> length(t)))[1] AS min_tok_len
+      |FROM documents
+      |WHERE doc_id < 50
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        array_join(slice(sort_array(array_distinct(toks)), 1, 3), ",").as("first3"),
+        array_contains(toks, "join").cast("int").as("has_join"),
+        size(filter(toks, t => length(t) > 4)).as("n_long_tokens"),
+        element_at(sort_array(transform(array_distinct(toks), t => length(t))), 1)
+          .as("min_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  /** H5 maps: build a map per group, then explode it back — the round
+    * trip proves map construction/access; the oracle recomputes the
+    * flat result directly.
+    */
+  val mapFuncs = DeclaredQuery(
+    "q_map_funcs",
+    """SELECT event_type, CAST(json_extract(props, '$.k') AS INT) % 5 AS k_mod,
+      |       count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val counted = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (get_json_object(col("props"), "$.k").cast("int") % 5).as("k_mod"))
+      .agg(count(lit(1)).as("n"))
+    // map round trip: entries -> map -> explode back to rows
+    counted
+      .groupBy("event_type")
+      .agg(map_from_entries(sort_array(collect_list(struct(col("k_mod"), col("n")))))
+        .as("m"))
+      .select(col("event_type"), explode(col("m")).as(Seq("k_mod", "n")))
+      .orderBy("event_type", "k_mod")
+  }
+
+  /** H6 Variant (Spark 4): parse_json → variant_get, the
+    * semi-structured fast path; oracle via plain json_extract.
+    */
+  val variantFuncs = DeclaredQuery(
+    "q_variant_extract",
+    """SELECT CAST(json_extract(props, '$.k') AS INT) AS k, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE CAST(json_extract(props, '$.k') AS INT) < 10
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+        col("value"))
+      .filter(col("k") < 10)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("k")
+  }
+
+  /** H3 math functions over lineitem. */
+  val mathFuncs = DeclaredQuery(
+    "q_math_funcs",
+    """SELECT CAST(l_quantity AS INT) % 7 AS qmod,
+      |  count(*) AS n,
+      |  round(sum(sqrt(l_quantity)), 6) AS sum_sqrt,
+      |  round(sum(ln(l_extendedprice)), 6) AS sum_ln,
+      |  round(sum(pow(l_discount, 2)), 6) AS sum_disc_sq,
+      |  CAST(min(ceil(l_tax * 100)) AS BIGINT) AS min_ceil_tax,
+      |  CAST(max(floor(l_tax * 100)) AS BIGINT) AS max_floor_tax,
+      |  sum(abs(CAST(l_quantity AS INT) - 25)) AS sum_absdev
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy((col("l_quantity").cast("int") % 7).as("qmod"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(sqrt(col("l_quantity"))), 6).as("sum_sqrt"),
+        round(sum(log(col("l_extendedprice"))), 6).as("sum_ln"),
+        round(sum(pow(col("l_discount"), 2)), 6).as("sum_disc_sq"),
+        min(ceil(col("l_tax") * 100)).as("min_ceil_tax"),
+        max(floor(col("l_tax") * 100)).as("max_floor_tax"),
+        sum(abs(col("l_quantity").cast("int") - 25)).as("sum_absdev"))
+      .orderBy("qmod")
+  }
+
+  /** E2 window analytics breadth: ntile, percent_rank, cume_dist,
+    * nth_value, first/last over deterministic frames.
+    */
+  val windowMisc = DeclaredQuery(
+    "q_window_misc",
+    """SELECT o_orderpriority, o_orderkey, rn, bucket4,
+      |       round(pr, 6) AS pr, round(cd, 6) AS cd,
+      |       second_key, first_price, last_price
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    row_number() OVER w AS rn,
+      |    ntile(4) OVER w AS bucket4,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd,
+      |    nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key,
+      |    first_value(o_totalprice) OVER w AS first_price,
+      |    last_value(o_totalprice) OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)) t
+      |WHERE rn <= 5
+      |ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wCur = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(
+        col("o_orderpriority"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        ntile(4).over(w).as("bucket4"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        nth_value(col("o_orderkey"), 2).over(wCur).as("second_key"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(wAll).as("last_price"))
+      .filter(col("rn") <= 5)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** D7+D9: collect_set round trip and the custom typed top-k
+    * Aggregator vs DuckDB's ordered list aggregate.
+    */
+  val collectTopk = DeclaredQuery(
+    "q_collect_topk",
+    """SELECT o_orderpriority,
+      |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+      |  (list(o_totalprice ORDER BY o_totalprice DESC))[1] AS top1,
+      |  (list(o_totalprice ORDER BY o_totalprice DESC))[2] AS top2,
+      |  (list(o_totalprice ORDER BY o_totalprice DESC))[3] AS top3
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        TopKAggregator.top_k(col("o_totalprice"), 3).as("topk"))
+      .select(
+        col("o_orderpriority"), col("statuses"),
+        element_at(col("topk"), 1).as("top1"),
+        element_at(col("topk"), 2).as("top2"),
+        element_at(col("topk"), 3).as("top3"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** G2: EXCEPT ALL / INTERSECT ALL bag semantics. */
+  val setopAll = DeclaredQuery(
+    "q_setop_all",
+    """SELECT count(*) AS n_rows FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .exceptAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** C3: shuffled-hash join physical path via hint (same semantics as
+    * the sort-merge plan; the hint exercises the planner override).
+    */
+  val shuffleHashJoin = DeclaredQuery(
+    "q_shuffle_hash_join",
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).hint("shuffle_hash")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** H1 string breadth: regexp_replace, levenshtein, translate,
+    * instr/locate, lpad.
+    */
+  val stringFuncs2 = DeclaredQuery(
+    "q_string_funcs2",
+    """SELECT p_brand,
+      |  min(levenshtein(p_brand, 'Brand#00')) AS min_lev,
+      |  count(CASE WHEN instr(p_type, 'brushed') > 0 THEN 1 END) AS n_brushed,
+      |  max(lpad(CAST(p_size AS VARCHAR), 3, '0')) AS max_size_padded,
+      |  min(regexp_replace(p_name, '[aeiou]', '', 'g')) AS min_devoweled
+      |FROM part
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .groupBy("p_brand")
+      .agg(
+        min(levenshtein(col("p_brand"), lit("Brand#00"))).as("min_lev"),
+        count(when(instr(col("p_type"), "brushed") > 0, 1)).as("n_brushed"),
+        max(lpad(col("p_size").cast("string"), 3, "0")).as("max_size_padded"),
+        min(regexp_replace(col("p_name"), "[aeiou]", "")).as("min_devoweled"))
+      .orderBy("p_brand")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(
+    arrayFuncs, mapFuncs, variantFuncs, mathFuncs, windowMisc,
+    collectTopk, setopAll, shuffleHashJoin, stringFuncs2)
+}
