@@ -12,6 +12,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the session before timing: first action pays JVM JIT,
+    // codegen compiler, and parquet-reader class loading (~3-5 s)
+    // that belongs to process startup, not to whichever query happens
+    // to run first.
+    try {
+      spark.range(1000).selectExpr("sum(id)").count()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,64 @@
+package graft
+
+/** Physical-plan shape assertions (SURVEY.md §4.2, prompt: "iterate
+  * until it's the plan you'd want"): filters reach the parquet scan,
+  * projection prunes columns, tiny dims broadcast, non-equi joins
+  * never degenerate to CartesianProduct. These guard the properties
+  * that matter at 100 TB but are invisible in row-level results.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("pricing summary pushes the shipdate filter into the parquet scan") {
+    val p = planOf("q_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("top-k customers scan reads only the two referenced columns") {
+    val p = planOf("q_topk_customers")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_totalprice:double>"), p)
+  }
+
+  test("star join broadcasts the dimension tables") {
+    val p = planOf("q_join_star")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("top-k uses TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q_topk_customers")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("embedding near-dup is a broadcast nested loop, never cartesian") {
+    val p = planOf("q_embed_near_dup")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("semi/anti joins plan as semi/anti, not as aggregates over joins") {
+    assert(planOf("q_semi_join").contains("LeftSemi"), planOf("q_semi_join"))
+    assert(planOf("q_anti_join").contains("LeftAnti"), planOf("q_anti_join"))
+  }
+
+  test("codegen dot product stays inside WholeStageCodegen") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q_cosine_topk")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages exist
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(finalPlan.toString.contains("vec_dot"), finalPlan.toString)
+    val codegenText =
+      org.apache.spark.sql.execution.debug.codegenString(finalPlan)
+    assert(codegenText.contains("getFloat"), "expected generated float loop")
+  }
+
+  test("range join uses the bucket equi-join, not a pure theta join") {
+    val p = planOf("q_range_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+}
