@@ -1,0 +1,29 @@
+package graft
+
+import graft.functions.DotProductF
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point (SURVEY.md §2 J5): installs the
+  * engine's custom functions at session build time —
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * }}}
+  *
+  * or via config (works with spark-submit, no code change):
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * Keeps `injectOptimizerRule`/`injectPlannerStrategy` as the hook
+  * point for future whole-operator plans (none needed so far — every
+  * §2 operator maps to built-ins or expressions; SURVEY.md §4.3).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProductF].getName, "vec_dot"),
+      (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** I7 stream-static join, I8 stream-stream interval join, A4 rate
+  * source, J5 session extensions.
+  */
+class StreamJoinSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("stream-static join enriches events with a dimension table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((0L, "bronze"), (1L, "gold")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Long, Double)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "value")
+    val q = stream.join(dim, Seq("user_id"))
+      .groupBy("tier").agg(sum("value").as("v"))
+      .writeStream.format("memory").queryName("enrich_t")
+      .outputMode("complete").start()
+    mem.addData(Seq((1L, 0L, 1.0), (2L, 1L, 2.0), (3L, 1L, 3.0), (4L, 9L, 9.0)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enrich_t").as[(String, Double)].collect().toMap
+    assert(got == Map("bronze" -> 1.0, "gold" -> 5.0)) // user 9: no dim row
+  }
+
+  test("stream-stream interval join correlates clicks with purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF().toDF("user_id", "click_ts").withWatermark("click_ts", "1 hour")
+    val p = purchases.toDF().toDF("p_user_id", "purchase_ts").withWatermark("purchase_ts", "1 hour")
+    val joined = c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_t")
+      .outputMode("append").start()
+    clicks.addData(Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00"))))
+    purchases.addData(Seq(
+      (1L, ts("2024-01-01 10:10:00")),   // within 30 min -> joins
+      (2L, ts("2024-01-01 11:30:00")))) // too late -> dropped
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssjoin_t").select("user_id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
+  test("rate source produces rows (A4 load-gen stand-in)") {
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+    val q = rate.writeStream.format("memory").queryName("rate_t")
+      .outputMode("append").start()
+    Thread.sleep(2500)
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("rate_t").count() > 0)
+  }
+
+  test("GraftExtensions registers vec_dot on a new session") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force shared session init first
+    // getOrCreate returns the default session (ignoring extensions),
+    // so clear it to get a fresh session on the SAME SparkContext;
+    // restore afterwards. Never stop() — that kills the shared context.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val n = s2.sql(
+        "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+        .collect().head.getDouble(0)
+      assert(n == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
