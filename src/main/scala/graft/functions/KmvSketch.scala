@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.{udaf, xxhash64}
+
+/** K-minimum-values distinct-count sketch (SURVEY.md §2 D5/D9): the
+  * mergeable sketch-state path for COUNT(DISTINCT) at 100 TB, where
+  * exact expansion (and even per-executor exact sets) stop fitting.
+  *
+  * State = the k smallest xxhash64 values seen (treated as uniform on
+  * [0, 2^64)). Estimator: (k-1) · 2^64 / (max of the k minima − MIN).
+  * Relative error ≈ 1/√(k−2); k=1024 → ~3 %. Merging two sketches is
+  * a k-way merge of the minima — associative and commutative, so
+  * Spark's partial/final aggregation is exact over the sketch algebra
+  * (the merge-law test asserts it).
+  *
+  * vs approx_count_distinct (HLL++): same role; this one exists to
+  * exercise the custom-mergeable-state machinery (SURVEY §4.3) with
+  * inspectable state, and because KMV sketches support set operations
+  * (union here; intersection via inclusion-exclusion) that HLL
+  * doesn't expose in Spark.
+  */
+class KmvSketchAggregator(k: Int)
+    extends Aggregator[Long, Array[Long], Long] {
+
+  override def zero: Array[Long] = Array.empty
+
+  /** Input is a pre-hashed value (xxhash64, shifted to unsigned order). */
+  override def reduce(buf: Array[Long], hashed: Long): Array[Long] = {
+    // flip sign bit: treats Long as unsigned for ordering
+    val h = hashed ^ Long.MinValue
+    if (buf.length < k) {
+      if (java.util.Arrays.binarySearch(buf, h) < 0) insertSorted(buf, h) else buf
+    } else if (h < buf.last) {
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos < 0) insertSorted(buf, h).take(k) else buf
+    } else buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    // k-way merge of two sorted distinct arrays, keep k smallest
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var n = 0; var last = 0L; var any = false
+    while (n < out.length && (i < a.length || j < b.length)) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+        else { val x = b(j); j += 1; x }
+      if (!any || v != last) { out(n) = v; n = n + 1; last = v; any = true }
+    }
+    out.take(n)
+  }
+
+  override def finish(buf: Array[Long]): Long = {
+    if (buf.length < k) buf.length.toLong // exact below k
+    else {
+      // minima are uniform on [0, 2^64); kth min at ~ k/(n+1) of the
+      // range. buf holds sign-flipped values: ascending == unsigned
+      // ascending, so the offset from Long.MinValue IS the position.
+      val frac = (buf.last.toDouble - Long.MinValue.toDouble) / math.pow(2, 64)
+      math.round((k - 1) / frac)
+    }
+  }
+
+  private def insertSorted(buf: Array[Long], v: Long): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(buf, v)
+    val ins = -pos - 1
+    val out = new Array[Long](buf.length + 1)
+    System.arraycopy(buf, 0, out, 0, ins)
+    out(ins) = v
+    System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+    out
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+object KmvSketch {
+  /** Approximate COUNT(DISTINCT c) via a k-minimum-values sketch. */
+  def kmv_distinct(c: Column, k: Int = 1024): Column =
+    udaf(new KmvSketchAggregator(k), Encoders.scalaLong)
+      .apply(xxhash64(c))
+}

@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-handling join helper (SURVEY.md §4.2, prompt's "salting for
+  * skew"): when one join key carries a disproportionate share of rows,
+  * a plain shuffle join sends the whole hot key to one task. Salting
+  * splits the hot side's key into `salts` sub-keys and replicates the
+  * build side across all salt values — the classic pre-AQE remedy, and
+  * still the right tool when AQE's skew-join splitting can't apply
+  * (e.g. aggregations after the join, or non-sort-merge plans).
+  */
+object Skew {
+
+  /** Inner equi-join of `fact` (potentially skewed on `key`) with
+    * `dim`, salted `salts` ways. Result is identical to
+    * `fact.join(dim, key)` — only the physical distribution changes:
+    * the hot key's rows spread across `salts` tasks.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int = 8): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}

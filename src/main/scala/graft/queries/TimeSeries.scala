@@ -127,6 +127,17 @@ object TimeSeries {
   /** A5/H6: JSON event payload decode — get_json_object on the props
     * column, bucketed counts.
     */
+  /** D9/D5: custom KMV distinct sketch beside the built-in HLL —
+    * mergeable sketch state with inspectable buffers (rows-only;
+    * ScaleSpec asserts exactness below k and the merge law).
+    */
+  val eventsKmvUsers = DeclaredQuery.noOracle("q_kmv_distinct_users") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .agg(graft.functions.KmvSketch.kmv_distinct(col("user_id")).as("kmv_users"))
+      .orderBy("bucket")
+  }
+
   val jsonExtract = DeclaredQuery(
     "q_json_extract",
     """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
@@ -168,5 +179,5 @@ object TimeSeries {
 
   val all: Seq[DeclaredQuery] = Seq(
     eventsHourly, eventsRollup, eventsCube, eventsDistinctUsersDaily,
-    eventsApproxUsers, jsonExtract, topEventTypesPerUser)
+    eventsApproxUsers, eventsKmvUsers, jsonExtract, topEventTypesPerUser)
 }

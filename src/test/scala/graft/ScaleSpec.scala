@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.KmvSketch
+import graft.functions.KmvSketchAggregator
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+/** Scale-machinery correctness: KMV sketch accuracy + merge law,
+  * salted join equivalence, bucketed-table shuffle elimination,
+  * streaming checkpoint idempotence.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("KMV sketch is exact below k and ~3% accurate above") {
+    import spark.implicits._
+    // exact regime: 1500 distinct users << k
+    val users = Tables.events(spark, sf)
+      .agg(KmvSketch.kmv_distinct(col("user_id"), 1024)).as[Long].collect().head
+    val exact = Tables.events(spark, sf)
+      .agg(countDistinct(col("user_id"))).as[Long].collect().head
+    assert(users == exact, s"below-k must be exact: $users vs $exact")
+    // estimation regime: 6000 distinct lineitem keys vs k=256
+    val approxN = Tables.lineitem(spark, sf)
+      .agg(KmvSketch.kmv_distinct(col("l_orderkey") * 10000 + col("l_linenumber"), 256))
+      .as[Long].collect().head
+    val exactN = Tables.lineitem(spark, sf)
+      .agg(countDistinct(col("l_orderkey") * 10000 + col("l_linenumber")))
+      .as[Long].collect().head
+    val err = math.abs(approxN - exactN).toDouble / exactN
+    assert(err < 0.2, s"kmv=$approxN exact=$exactN err=$err")
+  }
+
+  test("KMV merge law: reduce(a++b) == merge(reduce(a), reduce(b))") {
+    val agg = new KmvSketchAggregator(64)
+    val rnd = new scala.util.Random(11)
+    (1 to 200).foreach { _ =>
+      val a = List.fill(rnd.nextInt(300))(rnd.nextLong())
+      val b = List.fill(rnd.nextInt(300))(rnd.nextLong())
+      val direct = (a ++ b).foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      assert(direct.toSeq == merged.toSeq)
+    }
+  }
+
+  test("salted join equals plain join (synthetic hot key)") {
+    import spark.implicits._
+    // 90% of fact rows hit key 1 — the skew shape salting exists for
+    val fact = (1 to 10000).map(i => (if (i % 10 == 0) i % 5 else 1, i.toDouble))
+      .toDF("k", "v")
+    val dim = (0 to 9).map(i => (i, s"name$i")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).groupBy("name")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(fact, dim, "k", salts = 8).groupBy("name")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import java.nio.file.Files
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val o = Tables.orders(s2, sf)
+    val li = Tables.lineitem(s2, sf)
+    o.write.mode("overwrite").option("path", s"$wh/orders_b")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    li.write.mode("overwrite").option("path", s"$wh/lineitem_b")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+    try {
+      val joined = s2.table("orders_b")
+        .join(s2.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() == li.count())
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS orders_b")
+      s2.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("streaming restart from checkpoint does not double-count") {
+    val checkpoint = java.nio.file.Files.createTempDirectory("ckpt-replay").toString
+    val store = new graft.streaming.InMemoryServingStore
+    graft.streaming.Serving.runPipeline(spark, sf, store, checkpoint)
+    val snap1 = store.snapshot().map(r => (r.key, r.nEvents)).toSet
+    // restart over the SAME checkpoint: no new data -> no new batches,
+    // store must be unchanged (exactly-once under replay)
+    graft.streaming.Serving.runPipeline(spark, sf, store, checkpoint)
+    val snap2 = store.snapshot().map(r => (r.key, r.nEvents)).toSet
+    assert(snap1 == snap2)
+  }
+}
