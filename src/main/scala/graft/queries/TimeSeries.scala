@@ -124,6 +124,44 @@ object TimeSeries {
       .orderBy("bucket")
   }
 
+  /** I2 batch twin: sliding 24h/1h windows. Spark's window() emits the
+    * 24 covering windows per event; the oracle reconstructs them via a
+    * 24-row range cross join — same epoch-aligned starts.
+    */
+  val slidingWindows = DeclaredQuery(
+    "q_sliding_windows",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) - k.range * (INTERVAL 1 HOUR) AS win_start,
+      |       event_type, count(*) AS n_events
+      |FROM events, range(24) k
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    graft.streaming.Windows.sliding24h(Tables.events(s, d))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** D6 completion: stddev/variance/corr/covar — cross-engine float
+    * formulas agree to ≥10 significant digits; round(6) pins it.
+    */
+  val statsFuncs = DeclaredQuery(
+    "q_stats_funcs",
+    """SELECT c_mktsegment,
+      |  round(stddev_samp(c_acctbal), 6) AS sd,
+      |  round(var_samp(c_acctbal), 6) AS var,
+      |  round(covar_samp(c_acctbal, CAST(c_nationkey AS DOUBLE)), 6) AS cv,
+      |  round(corr(c_acctbal, CAST(c_nationkey AS DOUBLE)), 6) AS cr
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(
+        round(stddev_samp(col("c_acctbal")), 6).as("sd"),
+        round(var_samp(col("c_acctbal")), 6).as("var"),
+        round(covar_samp(col("c_acctbal"), col("c_nationkey").cast("double")), 6).as("cv"),
+        round(corr(col("c_acctbal"), col("c_nationkey").cast("double")), 6).as("cr"))
+      .orderBy("c_mktsegment")
+  }
+
   /** A5/H6: JSON event payload decode — get_json_object on the props
     * column, bucketed counts.
     */
@@ -179,5 +217,6 @@ object TimeSeries {
 
   val all: Seq[DeclaredQuery] = Seq(
     eventsHourly, eventsRollup, eventsCube, eventsDistinctUsersDaily,
-    eventsApproxUsers, eventsKmvUsers, jsonExtract, topEventTypesPerUser)
+    eventsApproxUsers, eventsKmvUsers, slidingWindows, statsFuncs,
+    jsonExtract, topEventTypesPerUser)
 }

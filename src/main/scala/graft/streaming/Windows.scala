@@ -54,6 +54,26 @@ object Windows {
     * (click → purchase conversion): emits one row per completed
     * conversion with the click→purchase latency.
     */
+  /** I6 via the Spark 4 transformWithState API: per-key running count
+    * with typed ValueState (requires the RocksDB state store
+    * provider). The modern successor to flatMapGroupsWithState —
+    * state survives across micro-batches and restarts.
+    */
+  class RunningCountProcessor[K]
+      extends org.apache.spark.sql.streaming.StatefulProcessor[K, (K, Long), (K, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: K, rows: Iterator[(K, Long)],
+        timerValues: TimerValues): Iterator[(K, Long)] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single((key, n))
+    }
+  }
+
   case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
   case class Conversion(user_id: Long, click_ts_us: Long, purchase_ts_us: Long,
       latency_us: Long)
