@@ -234,7 +234,55 @@ object Functions {
       .orderBy("p_brand")
   }
 
+  /** Pivot: daily event counts, one column per event type. Spark's
+    * pivot leaves NULL in empty cells where conditional counts give 0
+    * — coalesce on the Spark side pins the parity.
+    */
+  val pivot = DeclaredQuery(
+    "q_pivot",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("bucket") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("bucket")
+  }
+
+  /** Unpivot (Spark melt) the pivoted matrix back to long form —
+    * round trip yields the zero-filled day×type grid; the oracle
+    * builds the same grid with a dimension cross join.
+    */
+  val unpivot = DeclaredQuery(
+    "q_unpivot",
+    """WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket FROM events),
+      |types AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+      |counts AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
+      |                  count(*) AS n FROM events GROUP BY 1, 2)
+      |SELECT d.bucket, t.event_type, coalesce(c.n, 0) AS n
+      |FROM days d CROSS JOIN types t
+      |LEFT JOIN counts c ON c.bucket = d.bucket AND c.event_type = t.event_type
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("bucket") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    p.unpivot(Array(col("bucket")), types.map(col).toArray, "event_type", "n")
+      .orderBy("bucket", "event_type")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     arrayFuncs, mapFuncs, variantFuncs, mathFuncs, windowMisc,
-    collectTopk, setopAll, shuffleHashJoin, stringFuncs2)
+    collectTopk, setopAll, shuffleHashJoin, stringFuncs2, pivot, unpivot)
 }

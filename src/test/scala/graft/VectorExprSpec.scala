@@ -37,6 +37,23 @@ class VectorExprSpec extends SparkSpec {
     assert(r.head.isNullAt(0))
   }
 
+  test("scala UDF (J1 surface) agrees with the codegen expression") {
+    import org.apache.spark.sql.functions.udf
+    val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val pairs = emb.select(col("vec_id").as("id_a"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("id_b"), col("embedding").as("b")))
+      .filter(col("id_a") < col("id_b")).limit(200)
+    val diff = pairs.select(
+      VectorFunctions.vec_dot(col("a"), col("b")).as("fast"),
+      dotUdf(col("a"), col("b")).as("viaUdf"))
+      .filter(col("fast") =!= col("viaUdf"))
+    assert(diff.count() == 0)
+  }
+
   test("SQL registration works") {
     VectorFunctions.register(spark)
     emb.limit(5).createOrReplaceTempView("emb_t")
