@@ -102,11 +102,19 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: banded candidates → exact
     * shingle-Jaccard verify (the same measure the signatures estimate).
+    * The candidate set is persisted (it is tiny — pairs that share an
+    * LSH bucket) and the verify stage re-shingles only candidate docs
+    * via a semi-join, not the whole corpus.
     */
-  def minhashNearDups(docs: DataFrame, tau: Double = 0.5): DataFrame =
-    shingleJaccard(docs, minhashCandidates(docs))
+  def minhashNearDups(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val cand = minhashCandidates(docs).persist()
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
+    shingleJaccard(candDocs, cand)
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
+  }
 
   /** 64-bit SimHash per doc over 3-token shingles: sign of per-bit
     * sums of shingle hashes. Shingles, not raw tokens: the fixture
