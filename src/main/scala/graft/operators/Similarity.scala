@@ -79,6 +79,47 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * candidate to a centroid cell; queries probe only the `nProbe`
+    * nearest cells. The index build is one MLlib KMeans fit (linear
+    * scans, seeded → deterministic); the query path is an equi-join on
+    * cell id — the classic IVF trade of recall for a corpus-fraction
+    * scan. Centroids live on the driver (they are model parameters,
+    * ~nCells×64 floats — tiny at any corpus size).
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    import org.apache.spark.sql.Encoders
+
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val withFeatures = candidates.withColumn("features", toVec(col("embedding")))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(withFeatures)
+    val indexed = model.transform(withFeatures)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
+    val centroids = model.clusterCenters.zipWithIndex
+    val probeCells = udf { (q: Seq[Float]) =>
+      centroids.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < q.length) { val t = q(j) - c(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+    }
+    val q = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("cell", explode(probeCells(col("q_emb"))))
+    val sims = indexed.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), vec_dot(col("q_emb"), col("embedding")).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   // ---- declared queries ----
 
   /** Approximate ANN (randomized bucketing → rows-only check;
@@ -93,5 +134,15 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qAnnLsh)
+  /** IVF ANN (KMeans is seeded but iterative float — rows-only;
+    * ScalaTest asserts twin recall vs brute force).
+    */
+  val qAnnIvf = DeclaredQuery.noOracle("q_ann_ivf") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+      .select("q_id", "vec_id", "cos_sim", "rn")
+      .orderBy("q_id", "rn")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qAnnLsh, qAnnIvf)
 }

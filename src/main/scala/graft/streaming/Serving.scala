@@ -112,4 +112,42 @@ object Serving {
     q.awaitTermination()
     store
   }
+
+  /** The reference's signature behavior: EVERY calendar granularity
+    * (hour/day/month/year) maintained simultaneously from one event
+    * stream — four concurrent streaming aggregations (one per
+    * granularity, each with its own state and checkpoint) upserting
+    * into one store under granularity-prefixed keys. On a cluster the
+    * four queries share the source scan via the file-source cache and
+    * scale independently; watermark bounds each one's state.
+    */
+  def runMultiGranularityPipeline(spark: SparkSession, sfDir: String,
+      store: ServingStore, checkpointRoot: String): ServingStore = {
+    val formats = Seq(
+      "hour" -> "yyyy-MM-dd-HH", "day" -> "yyyy-MM-dd",
+      "month" -> "yyyy-MM", "year" -> "yyyy")
+    val queries = formats.map { case (gran, fmt) =>
+      val agg = Ingest.eventStream(spark, sfDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(date_trunc(gran, col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$checkpointRoot/$gran")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val rows = batch.select(
+            concat_ws("/", col("event_type"), lit(gran),
+              date_format(col("bucket"), fmt)).as("key"),
+            col("n_events"), col("sum_value"))
+            .collect().toSeq
+            .map(r => ServingStore.CounterRow(r.getString(0), r.getLong(1), r.getDouble(2)))
+          store.merge(batchId, rows)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    queries.foreach(_.awaitTermination())
+    store
+  }
 }

@@ -62,6 +62,31 @@ class DedupSpec extends SparkSpec {
       s"simhash found only ${sim.size} of ${exactPairs.size}")
   }
 
+  test("hand-rolled minhash agrees with MLlib MinHashLSH on the planted pairs") {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val shingled = Dedup.shingles(docs)
+      .groupBy("doc_id").agg(collect_list("shingle").as("sh"))
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val vecs = tf.transform(shingled)
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42).fit(vecs)
+    val mlPairs = mh.approxSimilarityJoin(vecs, vecs, 0.5, "dist")
+      .select(col("datasetA.doc_id").as("id_a"), col("datasetB.doc_id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both detectors must find (at least) the exact high-Jaccard truth
+    val missedByMl = exactPairs.diff(mlPairs)
+    assert(missedByMl.size <= exactPairs.size / 10, s"MLlib missed $missedByMl")
+    // and our verified pipeline stays a subset of ground truth, so the
+    // two approaches agree on every pair we emit
+    val ours = Dedup.minhashNearDups(docs, tau = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ours.diff(mlPairs).size <= ours.size / 10,
+      s"hand-rolled pairs unknown to MLlib: ${ours.diff(mlPairs)}")
+  }
+
   test("winnowing: every planted pair shares fingerprints") {
     val fp = Dedup.winnowFingerprints(docs)
     val byDoc = fp.collect().groupBy(_.getLong(0))

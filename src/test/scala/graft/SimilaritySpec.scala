@@ -67,6 +67,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("IVF recovers nearly all planted twins (recall >= 0.9, 2-probe)") {
+    val corpus = emb.select("vec_id", "embedding").union(planted)
+    val queries = emb.filter(col("vec_id") < 20)
+    val found = topkSet(Similarity.ivfTopK(queries, corpus, k = 3))
+    val recall = (0L until 20L).count(id => found.contains((id, id + 10000L))) / 20.0
+    // cos 0.997 twins land in the query's own cell almost surely;
+    // 2-probe covers boundary cases
+    assert(recall >= 0.9, s"twin recall $recall")
+  }
+
   test("LSH recovers most planted twins (recall >= 0.6 at 8 planes)") {
     val corpus = emb.select("vec_id", "embedding").union(planted)
     val queries = emb.filter(col("vec_id") < 20)

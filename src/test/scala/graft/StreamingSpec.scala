@@ -26,6 +26,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("multi-granularity pipeline maintains all four calendar rollups at once") {
+    import org.apache.spark.sql.functions._
+    val checkpoint = java.nio.file.Files.createTempDirectory("ckpt-multi").toString
+    val store = new InMemoryServingStore
+    Serving.runMultiGranularityPipeline(spark, sf, store, checkpoint)
+    val streamed = store.snapshot().map(r => (r.key, r.nEvents, r.sumValue)).toSet
+    // batch twin: the same four rollups computed directly
+    val ev = Tables.events(spark, sf)
+    val batch = Seq(
+      "hour" -> "yyyy-MM-dd-HH", "day" -> "yyyy-MM-dd",
+      "month" -> "yyyy-MM", "year" -> "yyyy").flatMap { case (gran, fmt) =>
+      ev.groupBy(date_trunc(gran, col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)"))
+          .cast("double").as("s"))
+        .select(concat_ws("/", col("event_type"), lit(gran),
+          date_format(col("bucket"), fmt)).as("key"), col("n"), col("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(streamed == batch)
+    // all four granularities present
+    Seq("hour", "day", "month", "year").foreach { g =>
+      assert(store.snapshot().exists(_.key.contains(s"/$g/")), s"missing $g keys")
+    }
+  }
+
   test("MemoryStream windowed agg equals batch agg on same input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
