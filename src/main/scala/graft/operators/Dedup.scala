@@ -22,15 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Per-doc k-shingle set (token n-grams as strings). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toks = split(col("text"), " ")
-    docs.select(
-      col("doc_id"),
-      explode(expr(
-        s"array_distinct(transform(sequence(0, greatest(size(split(text, ' ')) - $n, 0)), " +
-          s"i -> array_join(slice(split(text, ' '), i + 1, $n), ' ')))")).as("shingle"))
-  }
+  /** Per-doc k-shingle set (token n-grams as strings). The token
+    * array is materialized in its own projection first: expressions
+    * inside higher-order-function lambdas get no common-subexpression
+    * elimination, so `slice(split(text), …)` per lambda element would
+    * re-split the text O(tokens) times (measured ~2× on the sketch
+    * pipelines).
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"array_distinct(transform(sequence(0, greatest(size(toks) - $n, 0)), " +
+            s"i -> array_join(slice(toks, i + 1, $n), ' ')))")).as("shingle"))
 
   /** MinHash signatures as k parallel codegen'd min-aggregates: one
     * wide groupBy over the shingle relation — a single shuffle of
@@ -38,9 +43,13 @@ object Dedup {
     * shingle) gives k independent hash families.
     */
   def minhashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
+    // hash the shingle STRING once; the k families then mix the 64-bit
+    // fingerprint with the seed (integer hashing ≫ cheaper than k
+    // string hashes — standard universal-hashing minhash construction)
     val aggs = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
+    sh.withColumn("h", xxhash64(col("shingle")))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Banded LSH candidates: k minhashes → b bands of r rows; docs
@@ -164,11 +173,12 @@ object Dedup {
     * fingerprints.
     */
   def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
-    val sh = docs.select(
-      col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, greatest(size(split(text, ' ')) - $n, 0)), " +
-          s"i -> array_join(slice(split(text, ' '), i + 1, $n), ' '))")).as(Seq("pos", "shingle")))
+    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(size(toks) - $n, 0)), " +
+            s"i -> array_join(slice(toks, i + 1, $n), ' '))")).as(Seq("pos", "shingle")))
       .withColumn("h", xxhash64(col("shingle")))
     val win = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(w - 1), Window.currentRow)

@@ -233,10 +233,12 @@ object LlmOps {
     val emb = Tables.embeddings(s, d)
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dot", dotProduct("emb_a", "emb_b"))
-      .filter(col("dot") >= 0.4)
-      .select(col("id_a"), col("id_b"), round(col("dot"), 6).as("cos_sim"))
+    // cheap id predicate FIRST in the conjunction: And short-circuits
+    // left-to-right in the generated code, so the upper-triangle half
+    // of the nested loop never pays the 64-wide dot product
+    a.join(b, col("id_a") < col("id_b") && dotProduct("emb_a", "emb_b") >= 0.4)
+      .select(col("id_a"), col("id_b"),
+        round(dotProduct("emb_a", "emb_b"), 6).as("cos_sim"))
       .orderBy("id_a", "id_b")
   }
 
