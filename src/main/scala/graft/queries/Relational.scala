@@ -338,8 +338,30 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Skew-salted join behind the hash gate: same result as the plain
+    * join (the oracle IS the plain join), different physical
+    * distribution — the hot-key remedy proven result-equivalent.
+    */
+  val saltedJoin = DeclaredQuery(
+    "q_salted_join",
+    """SELECT n_name, count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, d) =>
+    graft.operators.Skew.saltedJoin(
+      Tables.customer(s, d),
+      Tables.nation(s, d).withColumnRenamed("n_nationkey", "c_nationkey"),
+      "c_nationkey")
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+      .orderBy("n_name")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     pricingSummary, joinStar, topkCustomers, windowRank, semiJoin,
     antiJoin, leftJoinAgg, orderLineitemJoin, setop, unionDistinct,
-    thetaJoin, stringFuncs, dateFuncs, percentiles, windowAnalytic)
+    thetaJoin, stringFuncs, dateFuncs, percentiles, windowAnalytic,
+    saltedJoin)
 }

@@ -74,6 +74,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("session windows work in streaming mode with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value").withWatermark("ts", "1 hour")
+    val q = Windows.sessions(df).writeStream
+      .format("memory").queryName("sess_t").outputMode("append").start()
+    mem.addData(Seq(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, 2.0),  // same session (gap 10m)
+      (ts("2024-01-01 11:00:00"), 1L, 4.0))) // new session (gap 50m)
+    q.processAllAvailable()
+    mem.addData(Seq((ts("2024-01-02 00:00:00"), 2L, 0.0))) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_t")
+      .select("user_id", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(rows.contains(Seq(1L, 2L, 3.0)), rows) // merged 2-event session
+    assert(rows.contains(Seq(1L, 1L, 4.0)), rows) // separate later session
+  }
+
   test("watermark drops late rows in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
