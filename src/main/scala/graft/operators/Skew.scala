@@ -20,8 +20,13 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int = 8): DataFrame = {
+    // salt MUST be deterministic per row content: a salt derived from
+    // monotonically_increasing_id/rand changes when a map stage is
+    // recomputed after a fetch failure, double-counting or dropping
+    // rows whose reducers already committed. Hashing the row's own
+    // columns is stable under any retry/speculation.
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")

@@ -339,8 +339,10 @@ object Relational {
   }
 
   /** Skew-salted join behind the hash gate: same result as the plain
-    * join (the oracle IS the plain join), different physical
-    * distribution — the hot-key remedy proven result-equivalent.
+    * join (the oracle IS the plain join). The shuffle_hash hint forbids
+    * the auto-broadcast of the tiny dim so the gate actually exercises
+    * the salted SHUFFLE path the helper exists for (with a broadcast,
+    * salting is a no-op).
     */
   val saltedJoin = DeclaredQuery(
     "q_salted_join",
@@ -351,7 +353,8 @@ object Relational {
       |ORDER BY n_name""".stripMargin) { (s, d) =>
     graft.operators.Skew.saltedJoin(
       Tables.customer(s, d),
-      Tables.nation(s, d).withColumnRenamed("n_nationkey", "c_nationkey"),
+      Tables.nation(s, d).withColumnRenamed("n_nationkey", "c_nationkey")
+        .hint("shuffle_hash"),
       "c_nationkey")
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_customers"),

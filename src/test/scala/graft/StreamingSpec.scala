@@ -92,8 +92,10 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("sess_t")
       .select("user_id", "n_events", "sum_value")
       .collect().map(_.toSeq).toSet
-    assert(rows.contains(Seq(1L, 2L, 3.0)), rows) // merged 2-event session
-    assert(rows.contains(Seq(1L, 1L, 4.0)), rows) // separate later session
+    // exact emitted set: user 1's two finalized sessions and NOTHING
+    // else — user 2's session is still open (watermark not past it),
+    // so any extra row is a premature/spurious append-mode emission
+    assert(rows == Set(Seq(1L, 2L, 3.0), Seq(1L, 1L, 4.0)), rows)
   }
 
   test("watermark drops late rows in append mode") {
