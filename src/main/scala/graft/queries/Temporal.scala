@@ -107,8 +107,10 @@ object Temporal {
 
   /** I3 session windows in batch: Spark's native session_window vs a
     * gaps-and-islands oracle (lag + running flag sum). New session
-    * when the gap is ≥ 30 min (session windows are half-open
-    * [start, last+gap)); session_end = last event + gap.
+    * only when the gap STRICTLY exceeds 30 min: Spark merges touching
+    * windows (an event exactly at prev+gap joins the session —
+    * verified against a real 30:00 gap at sf0.1); session_end = last
+    * event + gap.
     */
   val sessionWindows = DeclaredQuery(
     "q_session_windows",
@@ -117,7 +119,7 @@ object Temporal {
       |m AS (SELECT user_id, sec, value,
       |        CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
       |               OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
-      |                  >= INTERVAL 30 MINUTE
+      |                  > INTERVAL 30 MINUTE
       |             THEN 1 ELSE 0 END AS new_s
       |      FROM e),
       |s AS (SELECT user_id, sec, value,
