@@ -97,6 +97,7 @@ object Similarity {
       Vectors.dense(a.map(_.toDouble).toArray))
     val withFeatures = candidates.withColumn("features", toVec(col("embedding")))
     val model = new KMeans().setK(nCells).setSeed(seed)
+      .setMaxIter(5) // coarse quantizer: cell boundaries, not convergence
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(withFeatures)
     val indexed = model.transform(withFeatures)

@@ -11,15 +11,22 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Char-trigram profiles per language, learned from a labeled
-    * corpus: top `profileSize` trigrams per lang by frequency
-    * (deterministic tiebreak).
+  /** Per-doc distinct char trigrams with the doc's label — the shared
+    * relation both the profile learner and the classifier consume.
+    * Deliberately NOT persisted: measured at sf0.1, caching the 1.5M-
+    * row explode costs more than letting both consumers recompute the
+    * codegen'd explode (3.6 s vs 2.9 s).
     */
-  def langProfiles(docs: DataFrame, profileSize: Int = 30): DataFrame = {
-    val tri = docs.select(col("lang"), explode(expr(
-      "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+  def docTrigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), explode(array_distinct(expr(
+      "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")))
       .as("trigram"))
-      .groupBy("lang", "trigram").agg(count(lit(1)).as("n"))
+
+  /** Char-trigram profiles per language: top `profileSize` trigrams by
+    * document frequency (deterministic tiebreak).
+    */
+  def langProfiles(docTri: DataFrame, profileSize: Int = 30): DataFrame = {
+    val tri = docTri.groupBy("lang", "trigram").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("lang").orderBy(col("n").desc, col("trigram"))
     tri.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= profileSize)
@@ -32,10 +39,7 @@ object TextAnalysis {
     * vocabulary, so accuracy is near chance there — the ScalaTest
     * asserts mechanics (coverage, determinism, argmax), not accuracy.
     */
-  def languageId(docs: DataFrame, profiles: DataFrame): DataFrame = {
-    val docTri = docs.select(col("doc_id"), explode(array_distinct(expr(
-      "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")))
-      .as("trigram"))
+  def languageId(docTri: DataFrame, profiles: DataFrame): DataFrame = {
     val scored = docTri
       .join(profiles.select(col("lang").as("cand_lang"), col("trigram")), Seq("trigram"))
       .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("overlap"))
@@ -68,7 +72,8 @@ object TextAnalysis {
     */
   val qLangId = DeclaredQuery.noOracle("q_language_id") { (s, d) =>
     val docs = Tables.documents(s, d)
-    languageId(docs, langProfiles(docs))
+    val tri = docTrigrams(docs)
+    languageId(tri, langProfiles(tri))
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .groupBy(col("lang"), col("predicted_lang"))
       .agg(count(lit(1)).as("n"))
