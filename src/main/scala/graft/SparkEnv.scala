@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session plumbing shared by the driver-facing mains and tests.
+  *
+  * Two environment facts (measured, 2026-08-12) make this worth
+  * centralizing:
+  *
+  *  1. The rootfs is ext4 mounted with `discard` inside a Firecracker
+  *     VM — shuffle/spill/checkpoint file churn triggers TRIM storms
+  *     that show up as multi-second all-core *system*-time stalls.
+  *     Putting `spark.local.dir` (shuffle, broadcast, spill) and
+  *     streaming checkpoints on tmpfs (`/dev/shm`) removes the stall:
+  *     the minhash pipeline went 19-28 s → ~2 s at sf0.1.
+  *     (At cluster scale the analog is: local dirs on instance NVMe,
+  *     never on a thin-provisioned network volume.)
+  *
+  *  2. The host ramps vCPU speed under sustained load (~10× slower
+  *     cold: a fixed spin loop measured 1.9k → 19k iterations/0.5 s
+  *     over ~20 s). Benchmarks must warm the CPU, not just the JIT —
+  *     see Bench.warmCpu.
+  */
+object SparkEnv {
+
+  /** Scratch root for Spark local dirs + streaming checkpoints:
+    * tmpfs when available (always, in this environment), else the
+    * default java tmpdir.
+    */
+  lazy val scratchRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    val root = if (shm.isDirectory && shm.canWrite)
+      new java.io.File(shm, "graft-spark")
+    else new java.io.File(sys.props("java.io.tmpdir"), "graft-spark")
+    root.mkdirs()
+    root.getAbsolutePath
+  }
+
+  /** Fresh scratch dir (checkpoints etc.) under the tmpfs root. */
+  def scratchDir(prefix: String): String =
+    java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(scratchRoot), prefix)
+      .toString
+
+  /** Common config for every session this library creates: local-mode
+    * parallelism from SPARK_GRAFT_CPUS (default = all cores), shuffle
+    * partitions matched to cores (not 200 — right-sized for the data
+    * scale; at 100 TB this knob is AQE + initialPartitionNum instead),
+    * UTC, tmpfs local dir, and the ns-parquet read mode that
+    * Tables.events relies on.
+    */
+  def builder(): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", scratchRoot)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+}

@@ -22,8 +22,7 @@ object StreamingQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>
     import s.implicits._
-    val checkpoint = java.nio.file.Files
-      .createTempDirectory("graft-stream-ckpt").toString
+    val checkpoint = graft.SparkEnv.scratchDir("graft-stream-ckpt")
     val store = Serving.runPipeline(s, d, new InMemoryServingStore, checkpoint)
     store.snapshot().toDF()
       .select(col("key"), col("nEvents").as("n_events"),

@@ -83,7 +83,7 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("streaming restart from checkpoint does not double-count") {
-    val checkpoint = java.nio.file.Files.createTempDirectory("ckpt-replay").toString
+    val checkpoint = graft.SparkEnv.scratchDir("ckpt-replay")
     val store = new graft.streaming.InMemoryServingStore
     graft.streaming.Serving.runPipeline(spark, sf, store, checkpoint)
     val snap1 = store.snapshot().map(r => (r.key, r.nEvents)).toSet

@@ -14,6 +14,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // tmpfs shuffle/spill dir — rootfs discard-mount stalls, see SparkEnv
+      .config("spark.local.dir", SparkEnv.scratchRoot)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -17,7 +17,7 @@ class StreamingSpec extends SparkSpec {
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
   test("streaming pipeline result equals batch twin (file source, AvailableNow)") {
-    val checkpoint = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val checkpoint = graft.SparkEnv.scratchDir("ckpt")
     val store = Serving.runPipeline(spark, sf, new InMemoryServingStore, checkpoint)
     val streamed = store.snapshot().map(r => (r.key, r.nEvents, r.sumValue)).toSet
     val batch = Serving.toCounterRows(
@@ -28,7 +28,7 @@ class StreamingSpec extends SparkSpec {
 
   test("multi-granularity pipeline maintains all four calendar rollups at once") {
     import org.apache.spark.sql.functions._
-    val checkpoint = java.nio.file.Files.createTempDirectory("ckpt-multi").toString
+    val checkpoint = graft.SparkEnv.scratchDir("ckpt-multi")
     val store = new InMemoryServingStore
     Serving.runMultiGranularityPipeline(spark, sf, store, checkpoint)
     val streamed = store.snapshot().map(r => (r.key, r.nEvents, r.sumValue)).toSet
