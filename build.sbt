@@ -29,7 +29,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Fixed, pre-touched heap: on this Firecracker host, incremental
   // heap commit/uncommit shows up as multi-second all-core sys-time
   // stalls mid-query (measured; see graft.SparkEnv scaladoc).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+AlwaysPreTouch",
 )

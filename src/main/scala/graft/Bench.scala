@@ -7,9 +7,11 @@ object Bench {
     * before any query is timed.
     */
   def warmCpu(spark: SparkSession): Unit = {
+    // NB: ANSI mode is on by default in Spark 4 — sum(id * id) over
+    // this range overflows Long and throws; id % 97 keeps the sum small.
     spark.range(0, 4L * 1000 * 1000 * 1000, 1,
       Runtime.getRuntime.availableProcessors())
-      .selectExpr("sum(id * id)").collect()
+      .selectExpr("sum(id % 97)").collect()
   }
 
   def main(args: Array[String]): Unit = {

@@ -60,6 +60,55 @@ object Multimodal {
         s"transform(sequence(0, CAST((octet_length(payload) - $frameSize) / ($frameSize * $stride) AS INT)), " +
           s"i -> substring(payload, i * $frameSize * $stride + 1, $frameSize))")).as(Seq("frame_no", "frame")))
 
+  /** Resize for the fake format: keep the header, rewrite the dims to
+    * (w/k, h/k), and downsample the body by taking every k-th byte —
+    * the same payload-in/payload-out shape a real thumbnailer has
+    * (swap the byte-skip for an interpolating codec and nothing else
+    * changes). Stays a DataFrame→DataFrame op so resized payloads flow
+    * into the same decode/frame-sample plumbing.
+    */
+  def resizeStub(spark: SparkSession, withPayload: DataFrame, k: Int = 2): DataFrame = {
+    import spark.implicits._
+    withPayload.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          if (bytes.length < 8) (id, bytes)
+          else {
+            val w = (((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)) / k
+            val h = (((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)) / k
+            val body = bytes.drop(8).grouped(k).map(_.head).toArray
+            val out = new Array[Byte](8 + body.length)
+            System.arraycopy(bytes, 0, out, 0, 4)
+            out(4) = ((w >> 8) & 0xff).toByte; out(5) = (w & 0xff).toByte
+            out(6) = ((h >> 8) & 0xff).toByte; out(7) = (h & 0xff).toByte
+            System.arraycopy(body, 0, out, 8, body.length)
+            (id, out)
+          }
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Feature extraction over the binary payload: a 16-bin byte
+    * histogram, L1-normalized — a deterministic stand-in for an image
+    * embedding model, with the exact batch shape a real extractor
+    * needs (bytes in → Array[Float] out, per partition). The output
+    * column is the same ArrayType(FloatType) as `embeddings.embedding`,
+    * so extracted features compose with the Similarity operators.
+    */
+  def extractFeaturesStub(spark: SparkSession, withPayload: DataFrame): DataFrame = {
+    import spark.implicits._
+    withPayload.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = new Array[Float](16)
+          var i = 0
+          while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+          val n = math.max(1, bytes.length).toFloat
+          (id, hist.map(_ / n))
+        }
+      }.toDF("doc_id", "feature")
+  }
+
   // ---- declared queries ----
 
   /** Decoded metadata aggregate. The decode itself is the stub above;
@@ -98,5 +147,43 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qImageMeta, qFrames)
+  /** Resize → decode: header dims are integer-halved by the resize,
+    * which the oracle recomputes in SQL — the full binary round trip
+    * (encode → resize → decode) is hash-gated.
+    */
+  val qResize = DeclaredQuery(
+    "q_multimodal_resize",
+    """SELECT format, count(*) AS n,
+      |  sum(width) AS sum_w, sum(height) AS sum_h,
+      |  sum(n_bytes) AS sum_bytes
+      |FROM (
+      |  SELECT 'img0' AS format,
+      |         ((n_chars % 1024) + 16) // 2 AS width,
+      |         ((doc_id % 1024) + 16) // 2 AS height,
+      |         8 + (octet_length(encode(text)) + 1) // 2 AS n_bytes
+      |  FROM documents) t
+      |GROUP BY format
+      |ORDER BY format""".stripMargin) { (s, d) =>
+    decodeImageStub(s, resizeStub(s, asFakeImage(Tables.documents(s, d))))
+      .groupBy("format")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("width").as("sum_w"), sum("height").as("sum_h"),
+        sum("n_bytes").as("sum_bytes"))
+      .orderBy("format")
+  }
+
+  /** Extracted features joined back to the embeddings table — the
+    * multimodal columns composing with similarity machinery (rows-only;
+    * ScalaTest pins histogram values and norms).
+    */
+  val qFeatures = DeclaredQuery.noOracle("q_multimodal_features") { (s, d) =>
+    val feats = extractFeaturesStub(s, asFakeImage(Tables.documents(s, d)))
+    feats.select(col("doc_id"),
+      round(expr("aggregate(feature, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"), 3).as("l1"),
+      expr("array_position(feature, array_max(feature))").as("argmax_bin"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qImageMeta, qFrames, qResize, qFeatures)
 }
