@@ -113,13 +113,62 @@ object Serving {
     store
   }
 
-  /** The reference's signature behavior: EVERY calendar granularity
-    * (hour/day/month/year) maintained simultaneously from one event
-    * stream — four concurrent streaming aggregations (one per
-    * granularity, each with its own state and checkpoint) upserting
-    * into one store under granularity-prefixed keys. On a cluster the
-    * four queries share the source scan via the file-source cache and
-    * scale independently; watermark bounds each one's state.
+  /** The reference's eager time-cube as ONE streaming aggregation:
+    * each event explodes into its four (granularity, bucket) pairs
+    * *before* the groupBy, so all four calendar rollups share a single
+    * shuffle and a single state store keyed (granularity, bucket,
+    * event_type). At scale this beats four independent queries: one
+    * source scan, one watermark, state size = sum of the four rollup
+    * cardinalities (tiny), and the sink sees one consistent batch per
+    * trigger. The `ts` column survives the explode, so the watermark
+    * still bounds state.
+    */
+  def multiGranularityCounters(events: DataFrame): DataFrame = {
+    val buckets = explode(array(Seq("hour", "day", "month", "year").map(g =>
+      struct(lit(g).as("gran"), date_trunc(g, col("ts")).as("bucket"))): _*))
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("event_type"), col("value"), buckets.as("gb"))
+      .groupBy(col("gb.gran").as("gran"), col("gb.bucket").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
+  /** Run the single-state multi-granularity pipeline to completion and
+    * return the store (same foreachBatch upsert contract as
+    * runPipeline; keys are granularity-prefixed like the reference's).
+    */
+  def runMultiGranularityCube(spark: SparkSession, sfDir: String,
+      store: ServingStore, checkpoint: String): ServingStore = {
+    val fmts = Map("hour" -> "yyyy-MM-dd-HH", "day" -> "yyyy-MM-dd",
+      "month" -> "yyyy-MM", "year" -> "yyyy")
+    val fmtCol = coalesce(fmts.toSeq.map { case (g, f) =>
+      when(col("gran") === g, date_format(col("bucket"), f))
+    }: _*)
+    val agg = multiGranularityCounters(Ingest.eventStream(spark, sfDir))
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rows = batch.select(
+          concat_ws("/", col("event_type"), col("gran"), fmtCol).as("key"),
+          col("n_events"), col("sum_value"))
+          .collect().toSeq
+          .map(r => ServingStore.CounterRow(r.getString(0), r.getLong(1), r.getDouble(2)))
+        store.merge(batchId, rows)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store
+  }
+
+  /** Alternative shape kept for the concurrent-queries surface (tested
+    * in ScalaTest): four independent streaming aggregations, one per
+    * granularity, each with its own state and checkpoint, upserting
+    * into one store. Scales each granularity independently but scans
+    * the source four times.
     */
   def runMultiGranularityPipeline(spark: SparkSession, sfDir: String,
       store: ServingStore, checkpointRoot: String): ServingStore = {

@@ -51,6 +51,18 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("single-state multi-granularity cube equals the four-query pipeline") {
+    val store4 = new InMemoryServingStore
+    Serving.runMultiGranularityPipeline(
+      spark, sf, store4, graft.SparkEnv.scratchDir("ckpt-multi4"))
+    val store1 = new InMemoryServingStore
+    Serving.runMultiGranularityCube(
+      spark, sf, store1, graft.SparkEnv.scratchDir("ckpt-cube"))
+    val a = store4.snapshot().map(r => (r.key, r.nEvents, r.sumValue)).toSet
+    val b = store1.snapshot().map(r => (r.key, r.nEvents, r.sumValue)).toSet
+    assert(a == b)
+  }
+
   test("MemoryStream windowed agg equals batch agg on same input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
