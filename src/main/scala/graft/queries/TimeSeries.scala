@@ -91,6 +91,29 @@ object TimeSeries {
       .orderBy(col("event_type").asc_nulls_first, col("dd").asc_nulls_first)
   }
 
+  /** D3: explicit GROUPING SETS — an asymmetric set list a rollup or
+    * cube can't express ((type, day) detail + per-type totals + grand
+    * total, but NO per-day slice). One pass, one Expand, one shuffle.
+    */
+  val eventsGroupingSets = DeclaredQuery(
+    "q_grouping_sets",
+    """SELECT event_type, CAST(day(ts) AS INT) AS dd,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type, 2), (event_type), ())
+      |ORDER BY event_type NULLS FIRST, dd NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("dd", dayofmonth(col("ts")).cast("int"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("dd")), Seq(col("event_type")), Seq()),
+        col("event_type"), col("dd"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("dd").asc_nulls_first)
+  }
+
   /** D4: exact distinct visitors per day — the reference's Redis
     * SADD+SCARD. Two-phase distinct aggregation in Spark (partial
     * dedup before the shuffle).
@@ -216,7 +239,8 @@ object TimeSeries {
   }
 
   val all: Seq[DeclaredQuery] = Seq(
-    eventsHourly, eventsRollup, eventsCube, eventsDistinctUsersDaily,
+    eventsHourly, eventsRollup, eventsCube, eventsGroupingSets,
+    eventsDistinctUsersDaily,
     eventsApproxUsers, eventsKmvUsers, slidingWindows, statsFuncs,
     jsonExtract, topEventTypesPerUser)
 }
