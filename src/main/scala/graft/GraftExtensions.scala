@@ -15,9 +15,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or via config (works with spark-submit, no code change):
   * `spark.sql.extensions=graft.GraftExtensions`.
   *
-  * Keeps `injectOptimizerRule`/`injectPlannerStrategy` as the hook
-  * point for future whole-operator plans (none needed so far — every
-  * §2 operator maps to built-ins or expressions; SURVEY.md §4.3).
+  * Also injects [[graft.plans.RewriteDotProduct]], the optimizer rule
+  * that turns the interpreted higher-order-function dot-product fold
+  * into the codegen'd expression automatically.
+  * `injectPlannerStrategy` stays the hook point for whole-operator
+  * physical plans (none needed — every §2 operator maps to built-ins
+  * or expressions; SURVEY.md §4.3).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -25,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "vec_dot"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+    e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
   }
 }

@@ -59,5 +59,6 @@ object SparkEnv {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", scratchRoot)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new GraftExtensions)
   }
 }

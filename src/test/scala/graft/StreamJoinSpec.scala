@@ -78,6 +78,29 @@ class StreamJoinSpec extends SparkSpec {
           "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
         .collect().head.getDouble(0)
       assert(n == 11.0)
+
+      // injected optimizer rule: the double-cast HOF fold becomes the
+      // codegen'd DotProductF ... (base relation is range(), not a
+      // LocalRelation — ConvertToLocalRelation would fold the whole
+      // projection to a literal before the plan could be inspected)
+      val df = s2.range(1, 2).selectExpr(
+        "array(CAST(id AS FLOAT), CAST(2.0 AS FLOAT)) AS a",
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)) AS b")
+      val hof = df.selectExpr(
+        "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "0D, (acc, v) -> acc + v) AS d")
+      assert(hof.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.functions.DotProductF])),
+        "expected RewriteDotProduct to fire on the double-cast fold")
+      assert(hof.collect().head.getDouble(0) == 11.0)
+
+      // ... but the float-multiply form (different rounding) is left alone
+      val floatForm = df.selectExpr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), " +
+          "CAST(0 AS FLOAT), (acc, v) -> acc + v) AS d")
+      assert(!floatForm.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.functions.DotProductF])),
+        "RewriteDotProduct must not fire on the float-multiply fold")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
