@@ -93,6 +93,21 @@ object Serving {
       .collect().toSeq
       .map(r => ServingStore.CounterRow(r.getString(0), r.getLong(1), r.getDouble(2)))
 
+  /** Streaming state-partition sizing: a stateful aggregation's state
+    * store count is fixed by `spark.sql.shuffle.partitions` at first
+    * checkpoint, and each partition pays store open/commit per
+    * micro-batch. The rollup state here is tiny (≤ a few thousand
+    * keys), so default-core-count partitions are pure overhead — run
+    * the stream on a cloned session with a right-sized setting. On a
+    * real cluster this is the same knob, sized to state volume instead.
+    */
+  private def stateSession(spark: SparkSession): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+    s2
+  }
+
   /** Run the full streaming pipeline to completion (AvailableNow) and
     * return the store contents. `collect` here is sink-side only — the
     * aggregate state is tiny by construction (keys × buckets), exactly
@@ -100,7 +115,7 @@ object Serving {
     */
   def runPipeline(spark: SparkSession, sfDir: String, store: ServingStore,
       checkpoint: String): ServingStore = {
-    val agg = hourlyCounters(Ingest.eventStream(spark, sfDir))
+    val agg = hourlyCounters(Ingest.eventStream(stateSession(spark), sfDir))
     val q = agg.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -146,7 +161,8 @@ object Serving {
     val fmtCol = coalesce(fmts.toSeq.map { case (g, f) =>
       when(col("gran") === g, date_format(col("bucket"), f))
     }: _*)
-    val agg = multiGranularityCounters(Ingest.eventStream(spark, sfDir))
+    val agg = multiGranularityCounters(
+      Ingest.eventStream(stateSession(spark), sfDir))
     val q = agg.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
