@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY.md §5.2 property laws, checked over seeded random
+  * samples batched into single Spark jobs (one job per law, all
+  * samples as rows — not one job per sample).
+  */
+class PropertySpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(42)
+
+  test("vec_dot: symmetry, Cauchy-Schwarz bound, self-dot = squared norm") {
+    import spark.implicits._
+    val pairs = Seq.fill(200)((
+      Array.fill(16)(rnd.nextFloat() * 2 - 1),
+      Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = pairs.toDF("a", "b").select(
+      graft.functions.VectorFunctions.vec_dot(col("a"), col("b")).as("ab"),
+      graft.functions.VectorFunctions.vec_dot(col("b"), col("a")).as("ba"),
+      graft.functions.VectorFunctions.vec_dot(col("a"), col("a")).as("aa"),
+      graft.functions.VectorFunctions.vec_dot(col("b"), col("b")).as("bb"))
+    val bad = df.filter(
+      col("ab") =!= col("ba") ||                       // exact: same IEEE fold
+        col("aa") < 0 || col("bb") < 0 ||              // self-dot non-negative
+        col("ab") * col("ab") > col("aa") * col("bb") * 1.0000001) // C-S
+    assert(bad.count() == 0)
+  }
+
+  test("shingle Jaccard: J(x,x) = 1, J in [0,1], symmetric pairs") {
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0L until 30L).map(i =>
+      (i, Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val ids = (0L until 30L)
+    val pairs =
+      (ids.map(i => (i, i)) ++ Seq.fill(40)((ids(rnd.nextInt(30)), ids(rnd.nextInt(30)))))
+        .distinct.toDF("id_a", "id_b")
+    val j = Dedup.shingleJaccard(docs, pairs)
+    // every (i,i) present with jaccard exactly 1; all values within [0,1]
+    assert(j.filter(col("id_a") === col("id_b") && col("jaccard") =!= 1.0).count() == 0)
+    assert(j.filter(col("id_a") === col("id_b")).count() == 30)
+    assert(j.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    // symmetry: J(a,b) == J(b,a) (swap the pair columns and re-verify)
+    val swapped = Dedup.shingleJaccard(docs,
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val cmp = j.select(col("id_a"), col("id_b"), col("jaccard"))
+      .join(swapped.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+        col("jaccard").as("j2")), Seq("id_a", "id_b"))
+    assert(cmp.filter(col("jaccard") =!= col("j2")).count() == 0)
+  }
+
+  test("tumbling windows partition the input: counts sum to total, no overlap") {
+    import spark.implicits._
+    // random timestamps INCLUDING exact hour boundaries (the edge that
+    // would double-count if windows were closed on both ends)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val tss = Seq.fill(500)(base + rnd.nextInt(72 * 3600) * 1000L) ++
+      (0 until 24).map(h => base + h * 3600 * 1000L)
+    val df = tss.map(t => Tuple1(new java.sql.Timestamp(t))).toDF("ts")
+    val windowed = df.groupBy(window(col("ts"), "1 hour")).count()
+    assert(windowed.agg(sum("count")).head.getLong(0) == tss.size)
+    // windows are half-open, aligned, hour-long, and pairwise disjoint
+    val w = windowed.select(col("window.start").as("s"), col("window.end").as("e"))
+    assert(w.filter(unix_timestamp(col("e")) - unix_timestamp(col("s")) =!= 3600).count() == 0)
+    assert(w.filter(unix_timestamp(col("s")) % 3600 =!= 0).count() == 0)
+    assert(w.select("s").distinct().count() == w.count())
+  }
+}
