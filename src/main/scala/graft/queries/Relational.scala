@@ -362,9 +362,63 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Correlated scalar subqueries through the SQL-string entry point
+    * (§3.3's ANTLR path): parts above their brand's average price.
+    * Catalyst decorrelates both subqueries into aggregate+join
+    * (RewriteCorrelatedScalarSubquery) — nothing is hand-lowered.
+    * The avg comparison is expressed as price×count > sum so both
+    * engines compare exact decimals (a double avg would be
+    * partition-order-dependent at the boundary).
+    */
+  val scalarSubquery = {
+    val sql =
+      """SELECT p_brand, count(*) AS n_above
+        |FROM %s p
+        |WHERE CAST(p.p_retailprice AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM %s p2 WHERE p2.p_brand = p.p_brand)
+        |      > (SELECT sum(CAST(p3.p_retailprice AS DECIMAL(18,2)))
+        |         FROM %s p3 WHERE p3.p_brand = p.p_brand)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin
+    DeclaredQuery("q_scalar_subquery",
+      sql.replace("%s", "part")) { (s, d) =>
+      Tables.part(s, d).createOrReplaceTempView("part_ssq")
+      s.sql(sql.replace("%s", "part_ssq"))
+    }
+  }
+
+  /** CTE (WITH clause) through the SQL parser: per-nation counts of
+    * customers whose order spend clears a threshold.
+    */
+  val cteQuery = {
+    val sql =
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+        |  FROM %ORDERS% GROUP BY o_custkey)
+        |SELECT n_name, count(*) AS n_customers,
+        |       CAST(sum(total_spend) AS DOUBLE) AS nation_spend
+        |FROM spend
+        |JOIN %CUSTOMER% ON c_custkey = o_custkey
+        |JOIN %NATION% ON n_nationkey = c_nationkey
+        |WHERE total_spend > 100000
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin
+    DeclaredQuery("q_cte_query",
+      sql.replace("%ORDERS%", "orders").replace("%CUSTOMER%", "customer")
+        .replace("%NATION%", "nation")) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_cte")
+      Tables.customer(s, d).createOrReplaceTempView("customer_cte")
+      Tables.nation(s, d).createOrReplaceTempView("nation_cte")
+      s.sql(sql.replace("%ORDERS%", "orders_cte")
+        .replace("%CUSTOMER%", "customer_cte")
+        .replace("%NATION%", "nation_cte"))
+    }
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     pricingSummary, joinStar, topkCustomers, windowRank, semiJoin,
     antiJoin, leftJoinAgg, orderLineitemJoin, setop, unionDistinct,
     thetaJoin, stringFuncs, dateFuncs, percentiles, windowAnalytic,
-    saltedJoin)
+    saltedJoin, scalarSubquery, cteQuery)
 }
