@@ -53,8 +53,12 @@ final class InMemoryServingStore extends ServingStore {
   def batchesSeen: Set[Long] = seenBatches.asScala.toSet
 }
 
-/** Durable analog: partitioned parquet, overwrite-by-partition keyed
-  * on the calendar bucket — idempotent under replay.
+/** Durable analog: parquet partitioned by batch_id. Replay-idempotent
+  * because a replayed batch overwrites exactly its own partition; a
+  * key whose running total was re-emitted by a later micro-batch
+  * (update mode re-emits on every change) exists in several
+  * partitions, so reads resolve each key to its LATEST batch
+  * (max_by(batch_id) — one hash aggregate, no window sort).
   */
 final class ParquetServingStore(spark: SparkSession, path: String) extends ServingStore {
   override def merge(batchId: Long, rows: Seq[ServingStore.CounterRow]): Unit = {
@@ -63,12 +67,29 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
       rows.toDF().withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
   }
+
+  /** Latest-batch-wins view of the store. */
+  def latest(): DataFrame = {
+    spark.read.parquet(path)
+      .groupBy("key")
+      .agg(max_by(struct(col("nEvents"), col("sumValue")), col("batch_id")).as("v"))
+      .select(col("key"), col("v.nEvents").as("nEvents"), col("v.sumValue").as("sumValue"))
+  }
+
+  /** The reference's HTTP read path (`GET /:account/:type/:year...`)
+    * is a key-prefix lookup; here that is a pushed-down string-prefix
+    * filter over the latest view (parquet row-group stats skip
+    * non-matching files; partitioning by key components would make it
+    * partition pruning at scale).
+    */
+  def lookup(keyPrefix: String): DataFrame =
+    latest().filter(col("key").startsWith(keyPrefix))
+
   override def snapshot(): Seq[ServingStore.CounterRow] = {
     import spark.implicits._
     val files = new java.io.File(path).listFiles()
     if (files == null || files.isEmpty) Seq.empty
-    else spark.read.parquet(path).select("key", "nEvents", "sumValue")
-      .as[ServingStore.CounterRow].collect().toSeq
+    else latest().as[ServingStore.CounterRow].collect().toSeq
   }
 }
 

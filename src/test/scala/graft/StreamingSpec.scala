@@ -175,6 +175,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 4000L), (2L, 500L)))
   }
 
+  test("parquet serving store: latest batch wins per key, replay overwrites, prefix lookup") {
+    import graft.streaming.{ParquetServingStore, ServingStore}
+    val dir = graft.SparkEnv.scratchDir("pq-store")
+    val store = new ParquetServingStore(spark, dir)
+    store.merge(0, Seq(
+      ServingStore.CounterRow("click/hour/2024-01-01-00", 5, 1.0),
+      ServingStore.CounterRow("view/hour/2024-01-01-00", 2, 2.0)))
+    // batch 1 re-emits the first key with an updated running total
+    store.merge(1, Seq(
+      ServingStore.CounterRow("click/hour/2024-01-01-00", 9, 3.0)))
+    // a replay of batch 1 overwrites its own partition (no duplication)
+    store.merge(1, Seq(
+      ServingStore.CounterRow("click/hour/2024-01-01-00", 9, 3.0)))
+    val snap = store.snapshot().map(r => r.key -> ((r.nEvents, r.sumValue))).toMap
+    assert(snap.size == 2)
+    assert(snap("click/hour/2024-01-01-00") == ((9L, 3.0)))
+    assert(snap("view/hour/2024-01-01-00") == ((2L, 2.0)))
+    val hits = store.lookup("click/").collect()
+    assert(hits.length == 1 && hits.head.getString(0).startsWith("click/"))
+  }
+
   test("serving store merge is idempotent under batch replay") {
     val store = new InMemoryServingStore
     val rows = Seq(
