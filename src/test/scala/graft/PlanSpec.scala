@@ -61,4 +61,21 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q_range_join")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("correlated scalar subqueries decorrelate into joins") {
+    val df = SparkEntry.queries("q_scalar_subquery")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    // after RewriteCorrelatedScalarSubquery no subquery expression
+    // survives — the plan is aggregates + joins
+    assert(!optimized.toString.contains("scalar-subquery"), optimized.toString)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("grouping sets plan through a single Expand, one aggregate pass") {
+    val p = planOf("q_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert("Expand".r.findAllIn(p).size == 1, p)
+  }
 }
