@@ -49,6 +49,48 @@ class StreamJoinSpec extends SparkSpec {
     assert(got == Set(1L))
   }
 
+  test("socket source ingests wire JSON events (A4: the ZMQ-SUB stand-in)") {
+    import graft.streaming.Ingest
+    // a minimal TCP publisher: accepts one connection, writes JSON
+    // lines (the datagram shape decodeJson expects), keeps the socket
+    // open so the source doesn't see EOF before processing
+    val server = new java.net.ServerSocket(0)
+    val payloads = (1 to 5).map(i =>
+      s"""{"event_id":$i,"ts_us":${1704100000000000L + i * 1000000L},""" +
+        s""""user_id":${i % 2},"event_type":"click","value":$i.5,"props":"{}"}""")
+    @volatile var client: java.net.Socket = null
+    val t = new Thread(() => {
+      client = server.accept()
+      val out = new java.io.PrintWriter(client.getOutputStream, true)
+      payloads.foreach(out.println)
+      out.flush()
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val raw = spark.readStream.format("socket")
+        .option("host", "localhost").option("port", server.getLocalPort)
+        .load().toDF("payload")
+      val events = Ingest.decodeJson(raw)
+      val q = events.writeStream.format("memory").queryName("socket_t")
+        .outputMode("append").start()
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("socket_t").count() < 5 &&
+          System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      q.stop()
+      val got = spark.table("socket_t")
+      assert(got.count() == 5)
+      assert(got.filter(col("event_type") =!= "click").count() == 0)
+      assert(got.agg(sum("user_id")).head.getLong(0) == 3) // ids 1..5 % 2 -> 1,0,1,0,1
+      assert(got.filter(col("ts").isNull).count() == 0)
+    } finally {
+      if (client != null) client.close()
+      server.close()
+    }
+  }
+
   test("rate source produces rows (A4 load-gen stand-in)") {
     val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", "500").load()
