@@ -185,6 +185,38 @@ object TimeSeries {
       .orderBy("c_mktsegment")
   }
 
+  /** Time-series similarity in relational form (cf. PAPERS.md
+    * streaming-similarity entry): pairwise Pearson correlation between
+    * event-type hourly count series — build the per-type series once,
+    * equi-join on the hour bucket, corr per type pair. Scale shape:
+    * the series relation is (hours × types) rows — tiny relative to
+    * events — so the self-join costs nothing; the events scan + one
+    * shuffle dominates, exactly like any rollup.
+    */
+  val typeCorrelation = DeclaredQuery(
+    "q_type_correlation",
+    """WITH series AS (
+      |  SELECT date_trunc('hour', ts) AS b, event_type AS t,
+      |         CAST(count(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.t AS type_a, b.t AS type_b,
+      |       round(corr(a.n, b.n), 6) AS r,
+      |       count(*) AS n_buckets
+      |FROM series a JOIN series b ON a.b = b.b AND a.t < b.t
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val series = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("b"), col("event_type").as("t"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val a = series.select(col("b"), col("t").as("type_a"), col("n").as("n_a"))
+    val b = series.select(col("b"), col("t").as("type_b"), col("n").as("n_b"))
+    a.join(b, Seq("b")).filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(round(corr(col("n_a"), col("n_b")), 6).as("r"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** A5/H6: JSON event payload decode — get_json_object on the props
     * column, bucketed counts.
     */
@@ -242,5 +274,5 @@ object TimeSeries {
     eventsHourly, eventsRollup, eventsCube, eventsGroupingSets,
     eventsDistinctUsersDaily,
     eventsApproxUsers, eventsKmvUsers, slidingWindows, statsFuncs,
-    jsonExtract, topEventTypesPerUser)
+    typeCorrelation, jsonExtract, topEventTypesPerUser)
 }
