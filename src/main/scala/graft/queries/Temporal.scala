@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Temporal operators beyond plain buckets (SURVEY.md §2 C7/C8, I3):
   * as-of join, range/interval join, session windows. All timestamps
-  * are second-truncated in BOTH engines before any gap/инequality
+  * are second-truncated in BOTH engines before any gap/inequality
   * logic — the events table is ns-precision parquet and Spark sees µs
   * (FIXTURES.md trap 1), so sub-second comparisons can never be made
-  * portable.
+  * portable. (Exception: q_funnel_conversions compares raw epoch
+  * MICROseconds — measured safe because every fixture ns value is
+  * µs-aligned, so ns/1000 is exact in both engines.)
   */
 object Temporal {
 
@@ -137,5 +139,49 @@ object Temporal {
       .orderBy("user_id", "session_start")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(asofJoin, rangeJoin, sessionWindows)
+  /** I6 in the judged registry: the per-user click→purchase funnel
+    * runs through the REAL arbitrary-stateful operator
+    * (flatMapGroupsWithState, batch execution — identical semantics to
+    * the streaming run, which StreamingSpec exercises). A purchase
+    * converts the latest unconsumed click; the oracle derives the same
+    * pairs with windowed SQL: last click at-or-before each purchase,
+    * converting iff the previous purchase predates that click.
+    * Tie-safety: fixtures have no (user, ts) duplicates among
+    * click/purchase rows (verified at sf0.01 and sf0.1), so the
+    * state machine's intra-timestamp ordering never engages.
+    */
+  val funnelConversions = DeclaredQuery(
+    "q_funnel_conversions",
+    """WITH cp AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |w AS (
+      |  SELECT user_id, event_type, ts_us,
+      |         max(CASE WHEN event_type = 'click' THEN ts_us END)
+      |           OVER (PARTITION BY user_id ORDER BY ts_us, event_type
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts_us,
+      |         max(CASE WHEN event_type = 'purchase' THEN ts_us END)
+      |           OVER (PARTITION BY user_id ORDER BY ts_us, event_type
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase
+      |  FROM cp)
+      |SELECT user_id, click_ts_us, ts_us AS purchase_ts_us,
+      |       ts_us - click_ts_us AS latency_us
+      |FROM w
+      |WHERE event_type = 'purchase' AND click_ts_us IS NOT NULL
+      |  AND (prev_purchase IS NULL OR prev_purchase < click_ts_us)
+      |ORDER BY user_id, purchase_ts_us""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.Windows.FunnelEvent
+    val funnelEvents = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[FunnelEvent]
+    graft.streaming.Windows.conversions(s, funnelEvents).toDF()
+      .select("user_id", "click_ts_us", "purchase_ts_us", "latency_us")
+      .orderBy("user_id", "purchase_ts_us")
+  }
+
+  val all: Seq[DeclaredQuery] =
+    Seq(asofJoin, rangeJoin, sessionWindows, funnelConversions)
 }
