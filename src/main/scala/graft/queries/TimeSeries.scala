@@ -224,6 +224,27 @@ object TimeSeries {
     * mergeable sketch state with inspectable buffers (rows-only;
     * ScaleSpec asserts exactness below k and the merge law).
     */
+  /** The KMV sketch hash-gated in its provably-exact regime: below
+    * capacity the sketch holds every distinct hash, so the estimate
+    * IS the exact count. k=2048 > the 1500-user fixture universe at
+    * every sf, so the oracle is plain COUNT(DISTINCT) — this proves
+    * the custom Aggregator's partial/final merge path bit-exactly
+    * through the judged gate (the k=1024 query below stays rows-only
+    * to exercise the estimating regime).
+    */
+  val eventsKmvExact = DeclaredQuery(
+    "q_kmv_exact_distinct",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+      |       count(DISTINCT user_id) AS kmv_users
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .agg(graft.functions.KmvSketch.kmv_distinct(col("user_id"), 2048).as("kmv_users"))
+      .orderBy("bucket")
+  }
+
   val eventsKmvUsers = DeclaredQuery.noOracle("q_kmv_distinct_users") { (s, d) =>
     Tables.events(s, d)
       .groupBy(date_trunc("day", col("ts")).as("bucket"))
@@ -273,6 +294,6 @@ object TimeSeries {
   val all: Seq[DeclaredQuery] = Seq(
     eventsHourly, eventsRollup, eventsCube, eventsGroupingSets,
     eventsDistinctUsersDaily,
-    eventsApproxUsers, eventsKmvUsers, slidingWindows, statsFuncs,
+    eventsApproxUsers, eventsKmvUsers, eventsKmvExact, slidingWindows, statsFuncs,
     typeCorrelation, jsonExtract, topEventTypesPerUser)
 }
