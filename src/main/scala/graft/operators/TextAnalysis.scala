@@ -12,10 +12,8 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Per-doc distinct char trigrams with the doc's label — the shared
-    * relation both the profile learner and the classifier consume.
-    * Deliberately NOT persisted: measured at sf0.1, caching the 1.5M-
-    * row explode costs more than letting both consumers recompute the
-    * codegen'd explode (3.6 s vs 2.9 s).
+    * relation both the profile learner and the classifier consume
+    * (callers persist it when fanning out to both).
     */
   def docTrigrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), explode(array_distinct(expr(
@@ -72,7 +70,11 @@ object TextAnalysis {
     */
   val qLangId = DeclaredQuery.noOracle("q_language_id") { (s, d) =>
     val docs = Tables.documents(s, d)
-    val tri = docTrigrams(docs)
+    // both the profile learner and the classifier scan the trigram
+    // relation — persist it once (re-measured after the round-1 host
+    // fixes: persist wins ~40 %; the earlier "recompute is cheaper"
+    // measurement was poisoned by the discard-mount stalls)
+    val tri = docTrigrams(docs).persist()
     languageId(tri, langProfiles(tri))
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .groupBy(col("lang"), col("predicted_lang"))
