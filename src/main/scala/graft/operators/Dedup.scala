@@ -62,7 +62,11 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
     val r = k / bands
-    val sigs = minhashSignatures(shingles(docs), k)
+    // both sides of the bucket self-join consume the signatures; the
+    // differing projections above the join keep ReuseExchange from
+    // deduplicating the subtree, so persist the 5k-row relation
+    // (min-of-runs: ~35 % off the pipeline at sf0.1)
+    val sigs = minhashSignatures(shingles(docs), k).persist()
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("band_sig"))
