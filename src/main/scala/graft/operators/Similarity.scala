@@ -96,6 +96,19 @@ object Similarity {
     val toVec = udf((a: Seq[Float]) =>
       Vectors.dense(a.map(_.toDouble).toArray))
     val withFeatures = candidates.withColumn("features", toVec(col("embedding")))
+    // KMeans cannot train on an empty corpus; an empty index means an
+    // empty result (schema preserved), not a crash — empty partitions
+    // and fresh tables are routine at scale. isEmpty is one cheap
+    // take(1) job against the (pruned) scan.
+    if (withFeatures.isEmpty) {
+      return queries
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .crossJoin(candidates.select(col("vec_id"), col("embedding")))
+        .select(col("q_id"), col("vec_id"),
+          vec_dot(col("q_emb"), col("embedding")).as("cos_sim"),
+          lit(1).as("rn"))
+        .limit(0)
+    }
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setMaxIter(5) // coarse quantizer: cell boundaries, not convergence
       .setFeaturesCol("features").setPredictionCol("cell")
