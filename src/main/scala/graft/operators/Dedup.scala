@@ -170,6 +170,41 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over a near-dup pair set — the dedup
+    * endgame: docs linked by any chain of near-dup pairs form one
+    * family; the canonical survivor is the minimum doc_id. Implemented
+    * as min-label propagation: every node starts labeled with itself;
+    * each round takes the min of its own and its neighbors' labels;
+    * converges in graph-diameter rounds (dup families are tiny, so
+    * 2-4 rounds here). Each round is one equi-join + one aggregate —
+    * at 100 TB this is the standard iterative-join pattern
+    * (large-star/small-star halves the round count; labels would be
+    * checkpointed to reliable storage instead of localCheckpoint).
+    */
+  def components(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbr = sym
+        .join(labels.select(col("node").as("dst"), col("label").as("dst_label")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min("dst_label").as("nbr_label"))
+      val next = labels.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true) // cut lineage each round
+      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Winnowing document fingerprints (rolling-hash family): shingle
     * hashes → min per sliding window of w — the classic MOSS scheme.
     * Deterministic, but emitted as rows-only (set semantics are awkward

@@ -163,7 +163,15 @@ object LlmOps {
       |JOIN cnt cb ON cb.doc_id = i.id_b
       |WHERE CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter) >= 0.3
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
+    exactNearDupStats(Tables.documents(s, d))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+        round(col("jaccard_raw"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The exact prefix-blocked token-Jaccard pair relation (τ = 0.3)
+    * shared by q_near_dup_pairs and the clustering query. */
+  def exactNearDupStats(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("token"))
     val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -180,9 +188,6 @@ object LlmOps {
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .withColumn("jaccard_raw", col("n_inter").cast("double") / col("n_union"))
       .filter(col("jaccard_raw") >= 0.3)
-      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
-        round(col("jaccard_raw"), 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
   }
 
   /** K3: brute-force cosine top-k — query vectors (vec_id < 5)
@@ -294,7 +299,60 @@ object LlmOps {
       .orderBy("lang")
   }
 
+  /** The dedup endgame: near-dup pairs → connected components →
+    * canonical doc per family (minimum doc_id survives). Spark runs
+    * iterative min-label propagation (Dedup.components); the oracle
+    * computes the same transitive closure with a recursive CTE. Every
+    * document appears: isolated docs are their own cluster.
+    */
+  val dedupClusters = DeclaredQuery(
+    "q_dedup_clusters",
+    """WITH RECURSIVE tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM documents a JOIN documents b
+      |    ON substring(a.text, 1, 40) = substring(b.text, 1, 40)
+      |   AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+      |  FROM cand c
+      |  JOIN tok t1 ON t1.doc_id = c.id_a
+      |  JOIN tok t2 ON t2.doc_id = c.id_b AND t2.token = t1.token
+      |  GROUP BY c.id_a, c.id_b),
+      |edges AS (
+      |  SELECT i.id_a, i.id_b
+      |  FROM inter i
+      |  JOIN cnt ca ON ca.doc_id = i.id_a
+      |  JOIN cnt cb ON cb.doc_id = i.id_b
+      |  WHERE CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter) >= 0.3),
+      |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+      |        UNION ALL SELECT id_b, id_a FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM sym
+      |  UNION
+      |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      |labels AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |  FROM reach GROUP BY src)
+      |SELECT d.doc_id AS doc_id,
+      |       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+      |       CAST(d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS INT) AS is_canonical
+      |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val edges = exactNearDupStats(docs).select("id_a", "id_b")
+    val labels = graft.operators.Dedup.components(edges)
+    docs.select("doc_id")
+      .join(labels.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     exactDedup, docsByLang, tokenDf, docQuality, nearDupPairs,
-    cosineTopk, embedNearDup, labelStats, multimodalJoin)
+    dedupClusters, cosineTopk, embedNearDup, labelStats, multimodalJoin)
 }

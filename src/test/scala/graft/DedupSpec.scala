@@ -87,6 +87,15 @@ class DedupSpec extends SparkSpec {
       s"hand-rolled pairs unknown to MLlib: ${ours.diff(mlPairs)}")
   }
 
+  test("components: chains merge, families stay apart, isolated nodes absent") {
+    import spark.implicits._
+    // two families: {1,2,3} via a chain (1-2, 2-3), {10,11}; no node 7
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.components(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("winnowing: every planted pair shares fingerprints") {
     val fp = Dedup.winnowFingerprints(docs)
     val byDoc = fp.collect().groupBy(_.getLong(0))
