@@ -282,7 +282,38 @@ object Functions {
       .orderBy("bucket", "event_type")
   }
 
+  /** D8 approx half: percentile_approx (Greenwald-Khanna — exact-
+    * deterministic given the data, but sketch boundaries are
+    * engine-specific, so rows-only; the exact q_percentiles twin is
+    * the hash-gated one). At 100 TB the approx form is the only
+    * single-pass option — mergeable partial sketches, no sort.
+    */
+  val approxPercentiles = DeclaredQuery.noOracle("q_approx_percentiles") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(1000)).as("price_pcts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Training-pipeline stratified sampling: per-stratum fractions via
+    * sampleBy (seeded Bernoulli per row — engine-specific RNG, so
+    * rows-only; the ScalaTest asserts per-stratum proportions and
+    * determinism under the fixed seed).
+    */
+  val stratifiedSample = DeclaredQuery.noOracle("q_stratified_sample") { (s, d) =>
+    val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25,
+      "es" -> 1.0, "zh" -> 0.1)
+    Tables.documents(s, d)
+      .stat.sampleBy("lang", fractions, 42L)
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     arrayFuncs, mapFuncs, variantFuncs, mathFuncs, windowMisc,
-    collectTopk, setopAll, shuffleHashJoin, stringFuncs2, pivot, unpivot)
+    collectTopk, setopAll, shuffleHashJoin, stringFuncs2, pivot, unpivot,
+    approxPercentiles, stratifiedSample)
 }

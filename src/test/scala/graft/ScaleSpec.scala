@@ -93,4 +93,30 @@ class ScaleSpec extends SparkSpec {
     val snap2 = store.snapshot().map(r => (r.key, r.nEvents)).toSet
     assert(snap1 == snap2)
   }
+
+  test("stratified sampling: per-stratum proportions hold, seed is deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25,
+      "es" -> 1.0, "zh" -> 0.1)
+    val sampled = docs.stat.sampleBy("lang", fractions, 42L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fractions.foreach { case (lang, f) =>
+      val n = totals(lang); val got = sampled.getOrElse(lang, 0L)
+      // Bernoulli per row: allow generous tolerance at ~100 rows/stratum,
+      // except f=1.0 which must be exact
+      if (f == 1.0) assert(got == n, s"$lang: exact stratum truncated")
+      else {
+        val sd = math.sqrt(n * f * (1 - f))
+        assert(math.abs(got - n * f) <= 4 * sd + 1, s"$lang: $got vs ${n * f}")
+      }
+    }
+    val again = docs.stat.sampleBy("lang", fractions, 42L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == sampled, "same seed must reproduce the same sample")
+  }
 }
