@@ -94,6 +94,22 @@ class ScaleSpec extends SparkSpec {
     assert(snap1 == snap2)
   }
 
+  test("partitioned serving table: reads prune to the matching partition") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.SparkEnv.scratchDir("pruned-serving")
+    // the serving-table layout: calendar bucket as the partition key
+    Tables.events(spark, sf)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("day") === "2024-01-05")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-05"), plan)
+    // pruning is real: only one partition directory's rows come back
+    assert(read.select("day").distinct().count() == 1)
+  }
+
   test("stratified sampling: per-stratum proportions hold, seed is deterministic") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
