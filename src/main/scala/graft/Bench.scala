@@ -30,20 +30,26 @@ object Bench {
     // across runs — measured; see SparkEnv scaladoc). Two passes over
     // the suite, per-query minimum: the standard estimator of true
     // cost on a noisy machine.
+    // (time, succeeded) per pass: a fast crash must not win the min —
+    // only successful passes count; a query with zero successes is
+    // reported as -1 and listed under "failed".
     val passes = (1 to 2).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
     }
     val results = SparkEntry.queries.keys.map { name =>
-      name -> passes.map(_(name)).min
+      val good = passes.map(_(name)).collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }.toMap
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"per-query min"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"per-query min","failed":${failed.mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }

@@ -65,7 +65,9 @@ object Dedup {
     // both sides of the bucket self-join consume the signatures; the
     // differing projections above the join keep ReuseExchange from
     // deduplicating the subtree, so persist the 5k-row relation
-    // (min-of-runs: ~35 % off the pipeline at sf0.1)
+    // (min-of-runs: ~35 % off the pipeline at sf0.1). No explicit
+    // unpersist: the returned plan still references the cache, and
+    // once callers drop it the ContextCleaner reclaims the blocks.
     val sigs = minhashSignatures(shingles(docs), k).persist()
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))

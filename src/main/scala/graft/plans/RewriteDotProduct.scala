@@ -47,8 +47,14 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Null-element safety: the HOF fold yields NULL when any element is
+    * NULL (null product poisons the sum), but ArrayData.getFloat reads
+    * a null slot as 0.0 — rewriting a containsNull array would turn
+    * NULL into a finite wrong number. Only provably null-free arrays
+    * (containsNull=false) are eligible.
+    */
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
+    case ArrayType(FloatType, containsNull) => !containsNull
     case _ => false
   }
 

@@ -99,12 +99,20 @@ object Serving {
     * micro-batch into the store. Works identically on a batch frame
     * (stream-batch unification).
     */
+  /** Grouping on window(ts) rather than date_trunc(ts) matters in
+    * continuous operation: watermark-driven state eviction requires a
+    * grouping expression that carries event-time metadata, which
+    * window() preserves and a derived date_trunc column does not.
+    * window.start is value-identical to date_trunc('hour', ts).
+    */
   def hourlyCounters(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"),
+        col("n_events"), col("sum_value"))
 
   def toCounterRows(batch: DataFrame): Seq[ServingStore.CounterRow] =
     batch.select(
@@ -154,10 +162,17 @@ object Serving {
     * *before* the groupBy, so all four calendar rollups share a single
     * shuffle and a single state store keyed (granularity, bucket,
     * event_type). At scale this beats four independent queries: one
-    * source scan, one watermark, state size = sum of the four rollup
-    * cardinalities (tiny), and the sink sees one consistent batch per
-    * trigger. The `ts` column survives the explode, so the watermark
-    * still bounds state.
+    * source scan, one consistent batch per trigger.
+    *
+    * State-retention caveat (deliberate): calendar buckets are derived
+    * columns, so watermark-driven eviction does not apply — and cannot
+    * in principle for month/year keys (calendar months are not
+    * fixed-duration windows). State is bounded by the key space
+    * instead: granularities × event types × buckets-in-data-range,
+    * i.e. thousands of rows, the same working set the reference keeps
+    * in Redis forever. For hour-only continuous pipelines with true
+    * eviction use hourlyCounters (window()-keyed); for TTL'd custom
+    * state see RunningCountProcessor (transformWithState).
     */
   def multiGranularityCounters(events: DataFrame): DataFrame = {
     val buckets = explode(array(Seq("hour", "day", "month", "year").map(g =>
