@@ -143,6 +143,20 @@ class StreamJoinSpec extends SparkSpec {
       assert(!floatForm.queryExecution.optimizedPlan.expressions
         .exists(_.exists(_.isInstanceOf[graft.functions.DotProductF])),
         "RewriteDotProduct must not fire on the float-multiply fold")
+
+      // ... and nullable arrays stay un-rewritten (the fold yields NULL
+      // for a NULL element; DotProductF would read the slot as 0.0)
+      val nullable = s2.range(1, 2).selectExpr(
+        "array(CAST(id AS FLOAT), CAST(NULL AS FLOAT)) AS a",
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)) AS b")
+      val nullableFold = nullable.selectExpr(
+        "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "0D, (acc, v) -> acc + v) AS d")
+      assert(!nullableFold.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.functions.DotProductF])),
+        "RewriteDotProduct must not fire on containsNull arrays")
+      assert(nullableFold.collect().head.isNullAt(0),
+        "NULL element must poison the fold")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
