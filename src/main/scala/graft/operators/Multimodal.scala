@@ -119,8 +119,8 @@ object Multimodal {
   val qImageMeta = DeclaredQuery(
     "q_multimodal_decode",
     """SELECT format, count(*) AS n,
-      |  sum(width) AS sum_w, sum(height) AS sum_h,
-      |  sum(n_bytes) AS sum_bytes
+      |  CAST(sum(width) AS BIGINT) AS sum_w, CAST(sum(height) AS BIGINT) AS sum_h,
+      |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes
       |FROM (
       |  SELECT 'img0' AS format,
       |         (n_chars % 1024) + 16 AS width,
@@ -154,8 +154,8 @@ object Multimodal {
   val qResize = DeclaredQuery(
     "q_multimodal_resize",
     """SELECT format, count(*) AS n,
-      |  sum(width) AS sum_w, sum(height) AS sum_h,
-      |  sum(n_bytes) AS sum_bytes
+      |  CAST(sum(width) AS BIGINT) AS sum_w, CAST(sum(height) AS BIGINT) AS sum_h,
+      |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes
       |FROM (
       |  SELECT 'img0' AS format,
       |         ((n_chars % 1024) + 16) // 2 AS width,

@@ -89,8 +89,8 @@ object TextAnalysis {
     "q_quality_scores",
     """SELECT source,
       |  count(*) AS n_docs,
-      |  sum(len(string_split(text, ' '))) AS sum_tokens,
-      |  sum(len(list_distinct(string_split(text, ' ')))) AS sum_types,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS sum_types,
       |  round(CAST(sum(len(list_distinct(string_split(text, ' ')))) AS DOUBLE)
       |        / sum(len(string_split(text, ' '))), 6) AS type_token_ratio
       |FROM documents

@@ -94,7 +94,7 @@ object Functions {
       |  round(sum(pow(l_discount, 2)), 6) AS sum_disc_sq,
       |  CAST(min(ceil(l_tax * 100)) AS BIGINT) AS min_ceil_tax,
       |  CAST(max(floor(l_tax * 100)) AS BIGINT) AS max_floor_tax,
-      |  sum(abs(CAST(l_quantity AS INT) - 25)) AS sum_absdev
+      |  CAST(sum(abs(CAST(l_quantity AS INT) - 25)) AS BIGINT) AS sum_absdev
       |FROM lineitem
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>
@@ -289,12 +289,20 @@ object Functions {
     * single-pass option — mergeable partial sketches, no sort.
     */
   val approxPercentiles = DeclaredQuery.noOracle("q_approx_percentiles") { (s, d) =>
+    // Scalar p50/p90/p99 columns, not one array<double> column: the
+    // driver-side rows-check sorts/hashes cell values and an array
+    // cell is unhashable there (round-1 CORRECTNESS error).
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
         percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(1000)).as("price_pcts"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(1000)).as("pcts"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("pcts"), 1).as("p50"),
+        element_at(col("pcts"), 2).as("p90"),
+        element_at(col("pcts"), 3).as("p99"),
+        col("n"))
       .orderBy("l_returnflag")
   }
 

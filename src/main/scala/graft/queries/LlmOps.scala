@@ -62,9 +62,9 @@ object LlmOps {
     "q_docs_by_lang",
     """SELECT lang,
       |  count(*) AS n_docs,
-      |  sum(n_chars) AS sum_chars,
-      |  sum(len(string_split(text, ' '))) AS sum_tokens,
-      |  sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS sum_alnum_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS sum_alnum_tokens,
       |  CAST(sum(n_chars) AS DOUBLE) / sum(len(string_split(text, ' '))) AS chars_per_token
       |FROM documents
       |GROUP BY lang
@@ -119,7 +119,7 @@ object LlmOps {
       |  count(*) AS n_docs,
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
       |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
-      |  sum(CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END) AS n_long
+      |  CAST(sum(CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin) { (s, d) =>
@@ -283,7 +283,7 @@ object LlmOps {
   val multimodalJoin = DeclaredQuery(
     "q_multimodal_join",
     s"""SELECT d.lang, count(*) AS n,
-       |  sum(octet_length(encode(d.text))) AS sum_bytes,
+       |  CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS sum_bytes,
        |  round(CAST(sum(CAST(${duckDot.format("e.embedding", "e.embedding")} AS DECIMAL(18,8))) AS DOUBLE), 6) AS sum_self_dot
        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
        |GROUP BY d.lang

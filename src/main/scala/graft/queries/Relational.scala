@@ -161,7 +161,7 @@ object Relational {
     """SELECT c_mktsegment,
       |  count(*) AS n_rows,
       |  count(o_orderkey) AS n_orders,
-      |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orderless
+      |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
