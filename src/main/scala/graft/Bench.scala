@@ -35,6 +35,12 @@ object Bench {
     // reported as -1 and listed under "failed".
     val passes = (1 to 2).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
+        // Some query paths persist() intermediates; CacheManager keeps
+        // those blocks until unpersist/clearCache and matches them by
+        // sameResult, so without this a later query — and the whole
+        // second pass — would silently read pass-1 caches and the
+        // reported min would time cached data, not query cost.
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }

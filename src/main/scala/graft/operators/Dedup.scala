@@ -65,9 +65,12 @@ object Dedup {
     // both sides of the bucket self-join consume the signatures; the
     // differing projections above the join keep ReuseExchange from
     // deduplicating the subtree, so persist the 5k-row relation
-    // (min-of-runs: ~35 % off the pipeline at sf0.1). No explicit
-    // unpersist: the returned plan still references the cache, and
-    // once callers drop it the ContextCleaner reclaims the blocks.
+    // (min-of-runs: ~35 % off the pipeline at sf0.1). No unpersist
+    // here — the returned plan is lazy and still references the
+    // cache. NB CacheManager holds these blocks until an explicit
+    // unpersist/clearCache (ContextCleaner does NOT reclaim Dataset
+    // caches); long-lived sessions running many queries should call
+    // spark.catalog.clearCache() between them, as Bench does.
     val sigs = minhashSignatures(shingles(docs), k).persist()
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))

@@ -24,11 +24,16 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * add are commutative per element, so operand order inside the
   * lambdas is irrelevant). It fires ONLY on the double-cast shape —
   * the plain-float-multiply form `(x, y) -> x * y` rounds each
-  * product to float and is deliberately left alone. One divergence,
-  * documented as the engine's fixed-dimension vector contract:
-  * mismatched array lengths yield NULL through zip_with padding but
-  * throw in DotProductF (fail-fast beats silent nulls for malformed
-  * embeddings).
+  * product to float and is deliberately left alone.
+  *
+  * The rewrite is semantics-preserving on malformed input too:
+  * mismatched array lengths yield NULL through zip_with's null
+  * padding (null element poisons the fold), so the rewritten form is
+  * `If(size(l) = size(r), DotProductF(l, r), NULL)` — bare
+  * DotProductF would throw where the original query returned NULL,
+  * and an optimizer rule injected for every session must never turn
+  * a NULL-producing query into a failed job. The guard is two
+  * codegen'd length reads, branch-predicted away on well-formed data.
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 
@@ -72,6 +77,12 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
             ((sameVar(accRef, acc) && sameVar(vRef, v)) ||
               (sameVar(accRef, v) && sameVar(vRef, acc))) &&
             sameVar(finBody, fin) =>
-        DotProductF(l, r)
+        // Size(legacySizeOfNull = false) is NULL on a NULL array, so a
+        // NULL input short-circuits the If predicate to the NULL branch
+        // — same result as the fold it replaces.
+        If(EqualTo(Size(l, legacySizeOfNull = false),
+            Size(r, legacySizeOfNull = false)),
+          DotProductF(l, r),
+          Literal(null, DoubleType))
     }
 }

@@ -167,10 +167,13 @@ object Serving {
     * State-retention caveat (deliberate): calendar buckets are derived
     * columns, so watermark-driven eviction does not apply — and cannot
     * in principle for month/year keys (calendar months are not
-    * fixed-duration windows). State is bounded by the key space
-    * instead: granularities × event types × buckets-in-data-range,
-    * i.e. thousands of rows, the same working set the reference keeps
-    * in Redis forever. For hour-only continuous pipelines with true
+    * fixed-duration windows). No withWatermark here: grouping on
+    * derived columns strips event-time metadata, so a watermark would
+    * neither evict state nor drop late rows — an inert call that only
+    * misleads. State is bounded by the key space instead:
+    * granularities × event types × buckets-in-data-range, i.e.
+    * thousands of rows, the same working set the reference keeps in
+    * Redis forever. For hour-only continuous pipelines with true
     * eviction use hourlyCounters (window()-keyed); for TTL'd custom
     * state see RunningCountProcessor (transformWithState).
     */
@@ -178,7 +181,6 @@ object Serving {
     val buckets = explode(array(Seq("hour", "day", "month", "year").map(g =>
       struct(lit(g).as("gran"), date_trunc(g, col("ts")).as("bucket"))): _*))
     events
-      .withWatermark("ts", "1 hour")
       .select(col("ts"), col("event_type"), col("value"), buckets.as("gb"))
       .groupBy(col("gb.gran").as("gran"), col("gb.bucket").as("bucket"),
         col("event_type"))

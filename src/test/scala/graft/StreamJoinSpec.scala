@@ -157,6 +157,22 @@ class StreamJoinSpec extends SparkSpec {
         "RewriteDotProduct must not fire on containsNull arrays")
       assert(nullableFold.collect().head.isNullAt(0),
         "NULL element must poison the fold")
+
+      // ... and mismatched lengths return NULL through the rewrite,
+      // exactly like zip_with's null padding in the original fold —
+      // the rule emits If(size(l)=size(r), DotProductF, NULL), so a
+      // NULL-producing user query must not become a failed job
+      val ragged = s2.range(1, 2).selectExpr(
+        "array(CAST(id AS FLOAT), CAST(2.0 AS FLOAT), CAST(5.0 AS FLOAT)) AS a",
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)) AS b")
+      val raggedFold = ragged.selectExpr(
+        "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "0D, (acc, v) -> acc + v) AS d")
+      assert(raggedFold.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.functions.DotProductF])),
+        "rewrite should still fire on mismatched lengths (guarded)")
+      assert(raggedFold.collect().head.isNullAt(0),
+        "mismatched lengths must yield NULL, not throw")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
