@@ -170,8 +170,8 @@ object TimeSeries {
     """SELECT c_mktsegment,
       |  round(stddev_samp(c_acctbal), 6) AS sd,
       |  round(var_samp(c_acctbal), 6) AS var,
-      |  round(covar_samp(c_acctbal, CAST(c_nationkey AS DOUBLE)), 6) AS cv,
-      |  round(corr(c_acctbal, CAST(c_nationkey AS DOUBLE)), 6) AS cr
+      |  round(covar_samp(c_acctbal, CAST(c_nationkey AS DOUBLE)), 6) + 0.0 AS cv,
+      |  round(corr(c_acctbal, CAST(c_nationkey AS DOUBLE)), 6) + 0.0 AS cr
       |FROM customer
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
@@ -180,8 +180,8 @@ object TimeSeries {
       .agg(
         round(stddev_samp(col("c_acctbal")), 6).as("sd"),
         round(var_samp(col("c_acctbal")), 6).as("var"),
-        round(covar_samp(col("c_acctbal"), col("c_nationkey").cast("double")), 6).as("cv"),
-        round(corr(col("c_acctbal"), col("c_nationkey").cast("double")), 6).as("cr"))
+        (round(covar_samp(col("c_acctbal"), col("c_nationkey").cast("double")), 6) + 0.0).as("cv"),
+        (round(corr(col("c_acctbal"), col("c_nationkey").cast("double")), 6) + 0.0).as("cr"))
       .orderBy("c_mktsegment")
   }
 
@@ -200,7 +200,7 @@ object TimeSeries {
       |         CAST(count(*) AS DOUBLE) AS n
       |  FROM events GROUP BY 1, 2)
       |SELECT a.t AS type_a, b.t AS type_b,
-      |       round(corr(a.n, b.n), 6) AS r,
+      |       round(corr(a.n, b.n), 6) + 0.0 AS r,
       |       count(*) AS n_buckets
       |FROM series a JOIN series b ON a.b = b.b AND a.t < b.t
       |GROUP BY 1, 2
@@ -212,7 +212,7 @@ object TimeSeries {
     val b = series.select(col("b"), col("t").as("type_b"), col("n").as("n_b"))
     a.join(b, Seq("b")).filter(col("type_a") < col("type_b"))
       .groupBy("type_a", "type_b")
-      .agg(round(corr(col("n_a"), col("n_b")), 6).as("r"),
+      .agg((round(corr(col("n_a"), col("n_b")), 6) + 0.0).as("r"),
         count(lit(1)).as("n_buckets"))
       .orderBy("type_a", "type_b")
   }

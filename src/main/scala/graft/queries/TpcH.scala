@@ -1,0 +1,269 @@
+package graft.queries
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Classic TPC-H query shapes adapted to the fixture schema (SURVEY.md
+  * §2 C/D/F; the fixtures lack partsupp/l_shipmode/l_commitdate, so
+  * Q2/Q8/Q9/Q11/Q12/Q16/Q21 have no faithful adaptation — the shapes
+  * below cover the remaining access patterns: selective fact filters,
+  * multi-way star joins with a cross-dimension equality (Q5's
+  * c_nationkey = s_nationkey), semi-join EXISTS rewrites, group-HAVING
+  * re-joins, conditional-aggregate ratios, and OR-of-AND predicate
+  * pushdown).
+  *
+  * Scale notes (100 TB): every query here is a declarative plan —
+  * filters sit directly on the scans (PushedFilters), dims are
+  * broadcast, fact-fact joins are sort-merge on their natural keys,
+  * and the top-k finals are TakeOrderedAndProject (no global sort).
+  * Money sums follow the decimal-cast discipline (exact,
+  * order-independent) so results are reproducible under any partition
+  * count or merge order.
+  */
+object TpcH {
+
+  private val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+    .cast("decimal(22,4)")
+  private val revSql =
+    "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)"
+
+  /** Q3 shipping priority: unshipped high-value orders for one market
+    * segment. Two fact scans with pushed date filters; the customer
+    * dim joins broadcast-or-AQE; final is top-10 by revenue.
+    */
+  val q3 = DeclaredQuery(
+    "q_tpch_q3",
+    s"""SELECT l_orderkey, $revSql AS revenue, o_orderdate
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-03-15'
+       |  AND l_shipdate > TIMESTAMP '1998-03-15'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d).filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(rev).cast("double").as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q4 order-priority checking: EXISTS rewritten as a left-semi join
+    * (the same decorrelation Catalyst performs on the subquery form),
+    * then a small groupBy over the 5 priorities.
+    */
+  val q4 = DeclaredQuery(
+    "q_tpch_q4",
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q5 local-supplier volume: the 6-way star with the cross-dimension
+    * constraint c_nationkey = s_nationkey (customer and supplier in
+    * the same nation). nation/region broadcast; the supplier match is
+    * an equi-join on (l_suppkey, c_nationkey) so no theta join
+    * appears anywhere in the plan.
+    */
+  val q5 = DeclaredQuery(
+    "q_tpch_q5",
+    s"""SELECT n_name, $revSql AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'EUROPE'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .groupBy("n_name")
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q6 forecasting revenue: pure scan-filter-aggregate — every
+    * predicate pushes to the parquet scan, the agg is a single
+    * partial+final over zero shuffled rows. The canonical "is the
+    * storage layer doing the work" probe.
+    */
+  val q6 = DeclaredQuery(
+    "q_tpch_q6",
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(22,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Q10 returned-item reporting: customers who returned goods, by lost
+    * revenue. Fact-fact sort-merge join; customer/nation broadcast;
+    * top-20 final.
+    */
+  val q10 = DeclaredQuery(
+    "q_tpch_q10",
+    s"""SELECT c_custkey, c_name, $revSql AS revenue, n_name
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-07-01'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-07-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(rev).cast("double").as("revenue"))
+      .select("c_custkey", "c_name", "revenue", "n_name")
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q14 promotion effect: conditional-aggregate ratio (promo revenue /
+    * total revenue). Both sums share one scan+agg; the ratio divides
+    * the exact decimals in double space identically in both engines.
+    */
+  val q14 = DeclaredQuery(
+    "q_tpch_q14",
+    """SELECT
+      |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))
+      |      ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
+      |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)
+      |    AS promo_revenue_pct
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(22,4)"))).cast("double") /
+        sum(rev).cast("double")).as("promo_revenue_pct"))
+  }
+
+  /** Q18 large-volume customers: group-HAVING on the fact, then
+    * re-join the qualifying keys back to orders/customer. The HAVING
+    * set is small, so Spark's AQE turns the re-join into a broadcast.
+    */
+  val q18 = DeclaredQuery(
+    "q_tpch_q18",
+    """SELECT c_custkey, o_orderkey, o_orderdate,
+      |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d)
+    val big = l.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      .filter(col("q") > 250)
+      .select(col("l_orderkey").as("big_orderkey"))
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast("double").as("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** Q19-ish disjunctive predicate: OR of (brand, size-range,
+    * quantity-range) conjunctions across the join. Catalyst extracts
+    * the common l_partkey = p_partkey equi-condition and pushes the
+    * per-side residuals into the scans.
+    */
+  val q19 = DeclaredQuery(
+    "q_tpch_q19",
+    """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 21)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+      |       AND l_quantity >= 10 AND l_quantity <= 40)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+      |       AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin) { (s, d) =>
+    val c1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+      col("l_quantity") >= 1 && col("l_quantity") <= 21
+    val c2 = col("p_brand") === "Brand#13" && col("p_size").between(10, 30) &&
+      col("l_quantity") >= 10 && col("l_quantity") <= 40
+    val c3 = col("p_brand") === "Brand#23" && col("p_size").between(20, 50) &&
+      col("l_quantity") >= 20 && col("l_quantity") <= 50
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+      .filter(c1 || c2 || c3)
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n"))
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q3, q4, q5, q6, q10, q14, q18, q19)
+}
