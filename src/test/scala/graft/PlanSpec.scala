@@ -78,4 +78,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand"), p)
     assert("Expand".r.findAllIn(p).size == 1, p)
   }
+
+  test("tpch q3 pushes both date filters into the fact scans") {
+    val p = planOf("q_tpch_q3")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("o_orderdate"), p)
+    assert(p.contains("l_shipdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch q5 six-way join stays all-equi: no cartesian, no nested loop") {
+    val p = planOf("q_tpch_q5")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tpch q18 plans the HAVING re-join as a semi join") {
+    val p = planOf("q_tpch_q18")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch q19 OR-of-AND predicate keeps the equi join, no cartesian") {
+    val p = planOf("q_tpch_q19")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("no declared query plans a CartesianProduct") {
+    // BroadcastNestedLoopJoin is allowed (bounded theta joins against
+    // a broadcast side); an unbounded CartesianProduct never is.
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+    }
+  }
 }
