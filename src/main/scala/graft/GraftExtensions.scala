@@ -17,10 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * Also injects [[graft.plans.RewriteDotProduct]], the optimizer rule
   * that turns the interpreted higher-order-function dot-product fold
-  * into the codegen'd expression automatically.
-  * `injectPlannerStrategy` stays the hook point for whole-operator
-  * physical plans (none needed — every §2 operator maps to built-ins
-  * or expressions; SURVEY.md §4.3).
+  * into the codegen'd expression automatically, and
+  * [[graft.plans.AsOfJoinStrategy]], the planner strategy for the
+  * whole-operator native as-of join ([[graft.plans.AsOfJoinPlan]] →
+  * [[graft.plans.AsOfJoinExec]]; SURVEY.md §4.3 ladder (c)).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -29,5 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductF].getName, "vec_dot"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1))))
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

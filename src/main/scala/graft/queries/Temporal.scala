@@ -66,6 +66,48 @@ object Temporal {
       .orderBy("purchase_id")
   }
 
+  /** C8 as-of join, native-operator form: the SAME query as
+    * q_asof_join, executed by the custom whole-operator plan
+    * ([[graft.plans.AsOfJoinPlan]] → AsOfJoinExec via the injected
+    * planner strategy): shuffle each side once on user_id, sort by
+    * (user_id, sec), forward-only merge per co-partition — O(L+R)
+    * after sort, no pair materialization (Spark's own RewriteAsOfJoin
+    * would expand every candidate pair then min_by them away). Same
+    * DuckDB ASOF JOIN oracle → the custom exec is hash-gated.
+    */
+  val asofNative = DeclaredQuery(
+    "q_asof_native",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |            CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec FROM events),
+      |clicks AS (SELECT user_id, sec, max(event_id) AS click_id
+      |           FROM e WHERE event_type = 'click' GROUP BY user_id, sec),
+      |purchases AS (SELECT event_id AS purchase_id, user_id, sec
+      |              FROM e WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, c.click_id,
+      |       CAST(epoch(p.sec) - epoch(c.sec) AS BIGINT) AS lag_seconds
+      |FROM purchases p
+      |ASOF JOIN clicks c ON p.user_id = c.user_id AND c.sec <= p.sec
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("sec"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id", "sec").agg(max("event_id").as("click_id"))
+      // fresh attribute ids for the right side (AsOf.join contract)
+      .select(col("user_id").as("c_user_id"), col("sec").as("c_sec"),
+        col("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("sec"))
+    graft.operators.AsOf.join(purchases, clicks,
+        leftKeys = Seq(purchases("user_id")),
+        rightKeys = Seq(clicks("c_user_id")),
+        leftTime = purchases("sec"), rightTime = clicks("c_sec"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_timestamp(col("sec")) - unix_timestamp(col("c_sec")))
+          .as("lag_seconds"))
+      .orderBy("purchase_id")
+  }
+
   /** C7 range/interval join, scalable bucket form: intervals (per
     * event_type: [first event, +3 days)) are exploded into day
     * buckets; events equi-join on their day bucket, then the precise
@@ -183,5 +225,5 @@ object Temporal {
   }
 
   val all: Seq[DeclaredQuery] =
-    Seq(asofJoin, rangeJoin, sessionWindows, funnelConversions)
+    Seq(asofJoin, asofNative, rangeJoin, sessionWindows, funnelConversions)
 }

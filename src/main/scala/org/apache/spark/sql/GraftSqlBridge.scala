@@ -1,0 +1,19 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge to the `private[sql]` Dataset constructor — the standard
+  * technique a third-party Spark extension uses to materialize a
+  * custom [[LogicalPlan]] node (here: [[graft.plans.AsOfJoinPlan]])
+  * as a DataFrame. Everything else about the custom operator goes
+  * through public extension points (`injectPlannerStrategy`); this is
+  * the one hop Spark does not yet expose publicly.
+  */
+object GraftSqlBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Spark 4 moved `Column.expr` behind the classic converter. */
+  def expr(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+}

@@ -16,6 +16,10 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       // tmpfs shuffle/spill dir — rootfs discard-mount stalls, see SparkEnv
       .config("spark.local.dir", SparkEnv.scratchRoot)
+      // same extensions as every production session (vec_dot,
+      // RewriteDotProduct, AsOfJoinStrategy) — q_asof_native needs the
+      // planner strategy to be present
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
