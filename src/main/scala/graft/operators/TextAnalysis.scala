@@ -107,5 +107,31 @@ object TextAnalysis {
       .orderBy("source")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qLangId, qQuality)
+  /** BPE-style pre-tokenization counts (the GPT-2 pretokenizer shape:
+    * letter runs | digit runs | punctuation, before any merges) — the
+    * token-budget accounting a training pipeline runs corpus-wide.
+    * Pure regexp aggregation: one scan, partial+final agg, no explode.
+    */
+  val qBpeTokens = DeclaredQuery(
+    "q_bpe_tokens",
+    """SELECT lang,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_bpe_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS sum_num_tokens,
+      |  CAST(max(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS max_word_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        sum(size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+          .cast("long").as("sum_bpe_tokens"),
+        sum(size(expr("regexp_extract_all(text, '[0-9]+', 0)")))
+          .cast("long").as("sum_num_tokens"),
+        max(size(expr("regexp_extract_all(text, '[a-z]+', 0)")))
+          .cast("long").as("max_word_tokens"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qLangId, qQuality, qBpeTokens)
 }
