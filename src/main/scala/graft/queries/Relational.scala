@@ -416,9 +416,28 @@ object Relational {
     }
   }
 
+  /** SQL FILTER-clause conditional aggregates, through the ANTLR
+    * parser (the DSL twin is when/otherwise — q_tpch_q14): one scan,
+    * one agg pass, each aggregate sees its own predicate.
+    */
+  val filterClause: DeclaredQuery = {
+    val sql =
+      """SELECT o_orderpriority,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_value
+        |FROM %ORDERS%
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    DeclaredQuery("q_filter_clause", sql.replace("%ORDERS%", "orders")) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_fc")
+      s.sql(sql.replace("%ORDERS%", "orders_fc"))
+    }
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     pricingSummary, joinStar, topkCustomers, windowRank, semiJoin,
     antiJoin, leftJoinAgg, orderLineitemJoin, setop, unionDistinct,
     thetaJoin, stringFuncs, dateFuncs, percentiles, windowAnalytic,
-    saltedJoin, scalarSubquery, cteQuery)
+    saltedJoin, scalarSubquery, cteQuery, filterClause)
 }

@@ -31,6 +31,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 4, p)
   }
 
+  test("randomized: native exec equals the window-form reference on 2k rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // Dense keys + coarse times force heavy per-key duplication, time
+    // ties, keys missing on either side, and multi-partition merges.
+    val left = Seq.fill(2000)((rnd.nextInt(40).toLong, rnd.nextInt(50).toLong,
+      rnd.nextLong())).toDF("lk", "lt", "lpayload")
+    val right = Seq.fill(1500)((rnd.nextInt(40).toLong, rnd.nextInt(50).toLong,
+      rnd.nextLong())).toDF("k", "t", "rpayload")
+      // unique (key, time) on the right: as-of picks the row with max
+      // time <= lt; at equal times the match must be deterministic
+      .groupBy("k", "t").agg(max("rpayload").as("rpayload"))
+      .select(col("k").as("rk"), col("t").as("rt"), col("rpayload"))
+    val native = AsOf.join(left, right,
+        leftKeys = Seq(left("lk")), rightKeys = Seq(right("rk")),
+        leftTime = left("lt"), rightTime = right("rt"))
+      .select("lk", "lt", "lpayload", "rt", "rpayload")
+    // reference: window form — per left row, latest right at-or-before
+    val ref = left.join(right, left("lk") === right("rk") &&
+        right("rt") <= left("lt"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lk", "lt", "lpayload").orderBy(col("rt").desc)))
+      .filter(col("rn") === 1)
+      .select("lk", "lt", "lpayload", "rt", "rpayload")
+    assert(native.count() == ref.count())
+    assert(native.exceptAll(ref).count() == 0 && ref.exceptAll(native).count() == 0)
+  }
+
   test("null keys and null times never match; ties resolve to latest row") {
     val schema = StructType(Seq(
       StructField("k", LongType, nullable = true),

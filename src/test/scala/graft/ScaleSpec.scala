@@ -58,6 +58,28 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE demotes a planned sort-merge join to broadcast at runtime") {
+    // The 100 TB posture: leave mid-size dims to the static estimate,
+    // and let AQE re-plan from true runtime sizes. A selective filter
+    // makes the static estimate conservative (SMJ) while the actual
+    // build side is tiny — the final adaptive plan must have converted
+    // the join to broadcast.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    // static estimate sees the full table (over threshold); runtime
+    // sees the filtered few rows (under it)
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
+    val cust = Tables.customer(s2, sf)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") < 20)
+    val joined = Tables.orders(s2, sf)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("n"))
+    joined.collect()
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import java.nio.file.Files
     val wh = Files.createTempDirectory("graft-wh").toString
