@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import graft.streaming.ServingStore
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 read path for the KV serving store (SURVEY.md §2 A7
+  * — the reference's "HTTP GET over Redis counters" re-expressed as a
+  * first-class Spark source):
+  *
+  * {{{
+  * KvSourceProvider.register("counters", store.snapshot())
+  * spark.read.format("graft.sources.KvSourceProvider")
+  *   .option("store", "counters").load()
+  *   .filter($"key".startsWith("click/hour/"))   // pushed to the source
+  * }}}
+  *
+  * Pushdown is the point: `StringStartsWith`/`EqualTo` on `key` are
+  * consumed by the ScanBuilder (the same contract a Redis SCAN-by-
+  * prefix or range-partitioned KV store honors server-side), and
+  * column pruning drops unreferenced counter columns before a row is
+  * ever materialized.
+  *
+  * Scale note (100 TB): this in-memory table backs the unit tests; a
+  * production deployment implements the identical four classes over a
+  * remote KV (one InputPartition per key range / Redis hash slot so
+  * every executor scans only its slice, with the same filter
+  * pushdown). The planner-facing surface — schema, capabilities,
+  * pushdown, partitioning — is what this module proves out.
+  */
+class KvSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KvSourceProvider.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KvTable(properties.get("store"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object KvSourceProvider {
+  val schema: StructType = new StructType()
+    .add("key", StringType, nullable = false)
+    .add("n_events", LongType, nullable = false)
+    .add("sum_value", DoubleType, nullable = false)
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[ServingStore.CounterRow]]()
+
+  /** Publish an immutable snapshot under a name readable via
+    * `.option("store", name)`.
+    */
+  def register(name: String, rows: Seq[ServingStore.CounterRow]): Unit =
+    registry.put(name, rows)
+
+  private[sources] def lookup(name: String): Seq[ServingStore.CounterRow] =
+    Option(registry.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"no registered kv store '$name'"))
+}
+
+final class KvTable(storeName: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_kv($storeName)"
+  override def schema(): StructType = KvSourceProvider.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KvScanBuilder(storeName)
+}
+
+final class KvScanBuilder(storeName: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = KvSourceProvider.schema
+
+  /** Accept key-prefix and key-equality predicates; everything else
+    * stays with Spark as a post-scan filter.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case StringStartsWith("key", _) => true
+      case EqualTo("key", _: String) => true
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new KvScan(storeName, pushed, required)
+}
+
+final class KvScan(storeName: String, filters: Array[Filter],
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_kv store=$storeName PushedFilters=${filters.mkString("[", ", ", "]")}"
+
+  /** The snapshot is filtered at planning time (the "server side" of
+    * this source) and split into key-ordered slices — one per
+    * partition, as a range-partitioned KV store would serve them.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rows = KvSourceProvider.lookup(storeName).filter { r =>
+      filters.forall {
+        case StringStartsWith("key", p) => r.key.startsWith(p)
+        case EqualTo("key", v: String) => r.key == v
+        case _ => true
+      }
+    }.sortBy(_.key)
+    val slices = if (rows.isEmpty) 1 else math.min(4, rows.size)
+    (0 until slices).map { i =>
+      KvInputPartition(rows.zipWithIndex.collect {
+        case (r, j) if j % slices == i => r
+      })
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory(required)
+}
+
+final case class KvInputPartition(rows: Seq[ServingStore.CounterRow])
+    extends InputPartition
+
+final class KvReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[KvInputPartition].rows.iterator
+    val fields = required.fieldNames
+    new PartitionReader[InternalRow] {
+      private var current: ServingStore.CounterRow = _
+      override def next(): Boolean = {
+        if (!rows.hasNext) return false
+        current = rows.next(); true
+      }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(fields.toSeq.map {
+          case "key" => UTF8String.fromString(current.key)
+          case "n_events" => current.nEvents
+          case "sum_value" => current.sumValue
+        })
+      override def close(): Unit = ()
+    }
+  }
+}
