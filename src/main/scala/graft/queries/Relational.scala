@@ -435,9 +435,30 @@ object Relational {
     }
   }
 
+  /** SQL named-WINDOW clause (one definition shared by several window
+    * functions) through the parser; the shared frame means Spark plans
+    * ONE Window operator for both functions — no duplicate sort.
+    */
+  val namedWindow: DeclaredQuery = {
+    val sql =
+      """SELECT o_orderkey, o_custkey, rn, run_spend FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_spend
+        |  FROM %ORDERS%
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin
+    DeclaredQuery("q_named_window", sql.replace("%ORDERS%", "orders")) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_nw")
+      s.sql(sql.replace("%ORDERS%", "orders_nw"))
+    }
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     pricingSummary, joinStar, topkCustomers, windowRank, semiJoin,
     antiJoin, leftJoinAgg, orderLineitemJoin, setop, unionDistinct,
     thetaJoin, stringFuncs, dateFuncs, percentiles, windowAnalytic,
-    saltedJoin, scalarSubquery, cteQuery, filterClause)
+    saltedJoin, scalarSubquery, cteQuery, filterClause, namedWindow)
 }
