@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "vec_dot"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.CharNGrams].getName, "char_ngrams"),
+      (children: Seq[Expression]) =>
+        graft.functions.CharNGrams(children(0), children(1))))
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -133,5 +133,28 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qLangId, qQuality, qBpeTokens)
+  /** The custom char_ngrams Generator (J4) end-to-end and hash-gated:
+    * per-language distinct-trigram vocabulary + total gram volume.
+    * The generator streams grams through GenerateExec one at a time
+    * (no per-doc array materialization — see CharNGrams scaladoc);
+    * the oracle reproduces it with a LATERAL generate_series.
+    */
+  val qCharNgrams = DeclaredQuery(
+    "q_char_ngrams",
+    """SELECT lang,
+      |  CAST(count(DISTINCT substring(text, i, 3)) AS BIGINT) AS n_distinct_trigrams,
+      |  CAST(count(*) AS BIGINT) AS n_grams
+      |FROM documents, LATERAL (
+      |  SELECT unnest(generate_series(1, greatest(len(text) - 2, 1))) AS i) g
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), expr("char_ngrams(text, 3)"))
+      .groupBy("lang")
+      .agg(countDistinct(col("ngram")).as("n_distinct_trigrams"),
+        count(lit(1)).as("n_grams"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qLangId, qQuality, qBpeTokens, qCharNgrams)
 }

@@ -8,6 +8,22 @@ import org.apache.spark.sql.functions._
   */
 class VectorExprSpec extends SparkSpec {
 
+  test("char_ngrams generator: counts, short-text padding, null, LATERAL VIEW") {
+    import spark.implicits._
+    val df = Seq((1L, "abcde"), (2L, "ab"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    df.createOrReplaceTempView("cn_t")
+    val rows = spark.sql(
+      "SELECT id, ngram FROM cn_t LATERAL VIEW char_ngrams(t, 3) g AS ngram")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList.sorted
+    // len 5 -> 3 grams; len 2 < n -> whole text once; null -> no rows
+    assert(rows == List((1L, "abc"), (1L, "bcd"), (1L, "cde"), (2L, "ab")), rows)
+    // n <= 0 emits nothing rather than throwing
+    assert(spark.sql(
+      "SELECT ngram FROM cn_t LATERAL VIEW char_ngrams(t, 0) g AS ngram")
+      .count() == 0)
+  }
+
   private lazy val emb = Tables.embeddings(spark, sf)
 
   test("vec_dot equals the HOF fold bit-for-bit on real vectors") {
