@@ -58,6 +58,33 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE splits a skewed sort-merge partition at runtime") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // test-sized thresholds: any partition 1.5x the median and over
+    // 16 KB counts as skewed, split to ~16 KB chunks. At production
+    // scale the defaults (256 MB advisory) play the same role.
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    import org.apache.spark.sql.functions.{col, lit, count}
+    // hot key 0 holds ~90% of the fact side
+    val fact = s2.range(0, 200000)
+      .select(org.apache.spark.sql.functions.when(col("id") % 10 =!= 0, 0L)
+        .otherwise(col("id")).as("k"), col("id").as("v"))
+    val dim = s2.range(0, 200000).select(col("id").as("k"),
+      (col("id") * 2).as("w"))
+    val joined = fact.join(dim, "k").agg(count(lit(1)).as("n"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("skew=true"), s"expected AQE to mark the skewed join:\n$p")
+  }
+
   test("AQE demotes a planned sort-merge join to broadcast at runtime") {
     // The 100 TB posture: leave mid-size dims to the static estimate,
     // and let AQE re-plan from true runtime sizes. A selective filter
