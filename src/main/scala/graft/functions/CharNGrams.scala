@@ -45,11 +45,18 @@ final case class CharNGrams(text: Expression, n: Expression)
     else {
       val s = t.asInstanceOf[UTF8String].toString
       val k = k0.asInstanceOf[Int]
+      // Slice by CODE POINTS, not UTF-16 units: java substring would
+      // split surrogate pairs, emitting malformed lone-surrogate
+      // "grams" for any non-BMP character (emoji, CJK-B) and
+      // diverging from codepoint-counting engines like the oracle.
+      val cps = s.codePoints().toArray
       if (k <= 0) Iterator.empty
-      else if (s.length < k)
+      else if (cps.length < k)
         Iterator.single(InternalRow(UTF8String.fromString(s)))
-      else (0 to s.length - k).iterator
-        .map(i => InternalRow(UTF8String.fromString(s.substring(i, i + k))))
+      else (0 to cps.length - k).iterator.map { i =>
+        InternalRow(UTF8String.fromString(
+          new String(cps, i, k)))
+      }
     }
   }
 

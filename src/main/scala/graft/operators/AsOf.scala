@@ -25,9 +25,24 @@ import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 object AsOf {
   def join(left: DataFrame, right: DataFrame,
       leftKeys: Seq[Column], rightKeys: Seq[Column],
-      leftTime: Column, rightTime: Column): DataFrame =
-    GraftSqlBridge.ofRows(left.sparkSession, AsOfJoinPlan(
-      left.queryExecution.analyzed, right.queryExecution.analyzed,
-      leftKeys.map(GraftSqlBridge.expr), rightKeys.map(GraftSqlBridge.expr),
-      GraftSqlBridge.expr(leftTime), GraftSqlBridge.expr(rightTime)))
+      leftTime: Column, rightTime: Column): DataFrame = {
+    val lk = leftKeys.map(GraftSqlBridge.expr)
+    val rk = rightKeys.map(GraftSqlBridge.expr)
+    val lt = GraftSqlBridge.expr(leftTime)
+    val rt = GraftSqlBridge.expr(rightTime)
+    // The merge exec compares right-side values with orderings built
+    // from the LEFT types — mismatched types would read garbage, not
+    // fail. Reject them here, where the user can see the schema.
+    require(lk.length == rk.length && lk.nonEmpty,
+      s"as-of join needs matching non-empty key lists (${lk.length} vs ${rk.length})")
+    lk.zip(rk).zipWithIndex.foreach { case ((l, r), i) =>
+      require(l.dataType == r.dataType,
+        s"as-of key $i type mismatch: ${l.dataType} vs ${r.dataType}")
+    }
+    require(lt.dataType == rt.dataType,
+      s"as-of time type mismatch: ${lt.dataType} vs ${rt.dataType}")
+    GraftSqlBridge.ofRows(left.sparkSession,
+      AsOfJoinPlan(left.queryExecution.analyzed,
+        right.queryExecution.analyzed, lk, rk, lt, rt))
+  }
 }

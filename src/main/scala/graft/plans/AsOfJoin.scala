@@ -26,10 +26,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * `requiredChildDistribution` = ClusteredDistribution on each side's
   * keys (EnsureRequirements co-partitions the children exactly as it
   * does for SortMergeJoin/CoGroup), `requiredChildOrdering` =
-  * (keys..., time), and `doExecute` zips co-partitions. The merge
-  * advances the right iterator monotonically, remembering the latest
-  * in-range right row per key — stage-retry safe because it is
-  * deterministic in the sorted order.
+  * (keys..., time — plus, on the right, every remaining orderable
+  * column as a tie-break, making the sort total), and `doExecute`
+  * zips co-partitions. The merge advances the right iterator
+  * monotonically, remembering the latest in-range right row per key —
+  * stage-retry safe because the total sort order makes the remembered
+  * tie deterministic.
   *
   * Null contract (documented, asserted by the ScalaTest twin): rows
   * with a NULL key or NULL time on either side never match — same as
@@ -74,10 +76,21 @@ final case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  /** Sorted by (keys..., time) so the merge is forward-only. */
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+  /** Sorted by (keys..., time) so the merge is forward-only. The
+    * RIGHT ordering appends every remaining orderable output column:
+    * with duplicate (key, time) right rows the merge remembers the
+    * LAST tie it consumes, so only a total sort order makes that
+    * choice — and therefore the join result — deterministic under
+    * stage retry/speculation. (Rows tied on every orderable column
+    * are interchangeable, so the result set is still deterministic.)
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    val rightTieBreak = right.output.filter(a =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(a.dataType))
+    Seq(
+      (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+      (rightKeys ++ (rightTime +: rightTieBreak)).map(SortOrder(_, Ascending)))
+  }
 
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))

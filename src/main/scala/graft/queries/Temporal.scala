@@ -15,16 +15,26 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
-  /** C8 as-of join, scalable union+window form: for each purchase, the
-    * latest click of the same user at-or-before it. No theta join: tag
-    * and union both sides, sort within user, carry the last click
-    * forward with an ignore-nulls window — O(n log n), one shuffle on
-    * user_id. Oracle: DuckDB's native ASOF JOIN. Clicks are collapsed
-    * to one per (user, second) (max event_id) to make at-or-before
-    * ties deterministic across engines.
+  /** Shared as-of inputs: clicks collapsed to one per (user, second)
+    * (max event_id — makes at-or-before ties deterministic across
+    * engines) and the purchase projection. Both the union+window and
+    * the native-operator forms consume exactly these, and both carry
+    * [[asofOracleSql]] — a drift in one would break the other's gate
+    * or the AsOfJoinSpec equivalence test, so they live here once.
     */
-  val asofJoin = DeclaredQuery(
-    "q_asof_join",
+  private def asofInputs(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("sec"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id", "sec").agg(max("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("sec"))
+    (purchases, clicks)
+  }
+
+  private val asofOracleSql =
     """WITH e AS (SELECT event_id, user_id, event_type,
       |            CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec FROM events),
       |clicks AS (SELECT user_id, sec, max(event_id) AS click_id
@@ -35,14 +45,16 @@ object Temporal {
       |       CAST(epoch(p.sec) - epoch(c.sec) AS BIGINT) AS lag_seconds
       |FROM purchases p
       |ASOF JOIN clicks c ON p.user_id = c.user_id AND c.sec <= p.sec
-      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
-    val e = Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        date_trunc("second", col("ts")).as("sec"))
-    val clicks = e.filter(col("event_type") === "click")
-      .groupBy("user_id", "sec").agg(max("event_id").as("click_id"))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("sec"))
+      |ORDER BY purchase_id""".stripMargin
+
+  /** C8 as-of join, scalable union+window form: for each purchase, the
+    * latest click of the same user at-or-before it. No theta join: tag
+    * and union both sides, sort within user, carry the last click
+    * forward with an ignore-nulls window — O(n log n), one shuffle on
+    * user_id. Oracle: DuckDB's native ASOF JOIN.
+    */
+  val asofJoin = DeclaredQuery("q_asof_join", asofOracleSql) { (s, d) =>
+    val (purchases, clicks) = asofInputs(s, d)
     // union trick: click rows sort before purchase rows at the same
     // second (is_click desc) => at-or-before semantics (<=)
     val tagged = purchases
@@ -67,37 +79,20 @@ object Temporal {
   }
 
   /** C8 as-of join, native-operator form: the SAME query as
-    * q_asof_join, executed by the custom whole-operator plan
-    * ([[graft.plans.AsOfJoinPlan]] → AsOfJoinExec via the injected
-    * planner strategy): shuffle each side once on user_id, sort by
-    * (user_id, sec), forward-only merge per co-partition — O(L+R)
-    * after sort, no pair materialization (Spark's own RewriteAsOfJoin
-    * would expand every candidate pair then min_by them away). Same
-    * DuckDB ASOF JOIN oracle → the custom exec is hash-gated.
+    * q_asof_join (same [[asofInputs]], same oracle), executed by the
+    * custom whole-operator plan ([[graft.plans.AsOfJoinPlan]] →
+    * AsOfJoinExec via the injected planner strategy): shuffle each
+    * side once on user_id, sort by (user_id, sec), forward-only merge
+    * per co-partition — O(L+R) after sort, no pair materialization
+    * (Spark's own RewriteAsOfJoin would expand every candidate pair
+    * then min_by them away). Same oracle → the custom exec is
+    * hash-gated.
     */
-  val asofNative = DeclaredQuery(
-    "q_asof_native",
-    """WITH e AS (SELECT event_id, user_id, event_type,
-      |            CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec FROM events),
-      |clicks AS (SELECT user_id, sec, max(event_id) AS click_id
-      |           FROM e WHERE event_type = 'click' GROUP BY user_id, sec),
-      |purchases AS (SELECT event_id AS purchase_id, user_id, sec
-      |              FROM e WHERE event_type = 'purchase')
-      |SELECT p.purchase_id, p.user_id, c.click_id,
-      |       CAST(epoch(p.sec) - epoch(c.sec) AS BIGINT) AS lag_seconds
-      |FROM purchases p
-      |ASOF JOIN clicks c ON p.user_id = c.user_id AND c.sec <= p.sec
-      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
-    val e = Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        date_trunc("second", col("ts")).as("sec"))
-    val clicks = e.filter(col("event_type") === "click")
-      .groupBy("user_id", "sec").agg(max("event_id").as("click_id"))
-      // fresh attribute ids for the right side (AsOf.join contract)
-      .select(col("user_id").as("c_user_id"), col("sec").as("c_sec"),
-        col("click_id"))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("sec"))
+  val asofNative = DeclaredQuery("q_asof_native", asofOracleSql) { (s, d) =>
+    val (purchases, clicks0) = asofInputs(s, d)
+    // fresh attribute ids for the right side (AsOf.join contract)
+    val clicks = clicks0.select(col("user_id").as("c_user_id"),
+      col("sec").as("c_sec"), col("click_id"))
     graft.operators.AsOf.join(purchases, clicks,
         leftKeys = Seq(purchases("user_id")),
         rightKeys = Seq(clicks("c_user_id")),

@@ -110,8 +110,9 @@ final class KvScan(storeName: String, filters: Array[Filter],
     s"graft_kv store=$storeName PushedFilters=${filters.mkString("[", ", ", "]")}"
 
   /** The snapshot is filtered at planning time (the "server side" of
-    * this source) and split into key-ordered slices — one per
-    * partition, as a range-partitioned KV store would serve them.
+    * this source) and split into CONTIGUOUS key ranges — one per
+    * partition, exactly as a range-partitioned KV store / Redis hash
+    * slot would serve them.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val rows = KvSourceProvider.lookup(storeName).filter { r =>
@@ -121,12 +122,12 @@ final class KvScan(storeName: String, filters: Array[Filter],
         case _ => true
       }
     }.sortBy(_.key)
-    val slices = if (rows.isEmpty) 1 else math.min(4, rows.size)
-    (0 until slices).map { i =>
-      KvInputPartition(rows.zipWithIndex.collect {
-        case (r, j) if j % slices == i => r
-      })
-    }.toArray
+    if (rows.isEmpty) Array(KvInputPartition(Nil))
+    else {
+      val slices = math.min(4, rows.size)
+      val per = (rows.size + slices - 1) / slices
+      rows.grouped(per).map(KvInputPartition(_)).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -108,9 +108,16 @@ class PlanSpec extends SparkSpec {
   test("no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed (bounded theta joins against
     // a broadcast side); an unbounded CartesianProduct never is.
-    for ((name, fn) <- SparkEntry.queries) {
+    // Streaming-backed queries are skipped: their fn RUNS the full
+    // pipeline before returning a (batch result) DataFrame, so
+    // "reading the plan" would execute two streaming jobs; their batch
+    // twins are covered by the rest of the sweep.
+    for ((name, fn) <- SparkEntry.queries if !name.startsWith("q_stream_")) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+      // query paths may persist() intermediates; don't let ~90 of them
+      // accumulate in the shared test session
+      spark.catalog.clearCache()
     }
   }
 }

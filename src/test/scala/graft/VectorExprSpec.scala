@@ -22,6 +22,14 @@ class VectorExprSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT ngram FROM cn_t LATERAL VIEW char_ngrams(t, 0) g AS ngram")
       .count() == 0)
+    // non-BMP safety: slices by code points, never through a surrogate
+    // pair — "ab😀cd" is 5 characters -> 3 well-formed trigrams
+    val emoji = Seq((1L, "ab😀cd")).toDF("id", "t")
+    emoji.createOrReplaceTempView("cn_emoji")
+    val grams = spark.sql(
+      "SELECT ngram FROM cn_emoji LATERAL VIEW char_ngrams(t, 3) g AS ngram")
+      .collect().map(_.getString(0)).toList
+    assert(grams == List("ab😀", "b😀c", "😀cd"), grams)
   }
 
   private lazy val emb = Tables.embeddings(spark, sf)
