@@ -250,7 +250,30 @@ object Functions2 {
       .orderBy("day")
   }
 
+  /** ANSI-safe arithmetic: Spark 4 runs with ANSI mode on, where /0
+    * throws — try_divide is the declarative opt-out (NULL on error),
+    * mirrored in the oracle with nullif. The 100 TB point: one poison
+    * row must not kill a 10-hour job; try_* keeps the error local.
+    */
+  val tryArith = DeclaredQuery(
+    "q_try_arith",
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN l_discount = 0 THEN NULL
+      |    ELSE CAST(round(l_extendedprice / nullif(l_discount, 0), 2) AS DECIMAL(22,2)) END) AS DOUBLE) AS sum_price_per_disc,
+      |  CAST(count(*) FILTER (WHERE l_discount = 0) AS BIGINT) AS n_zero_disc
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(round(try_divide(col("l_extendedprice"), col("l_discount")), 2)
+          .cast("decimal(22,2)")).cast("double").as("sum_price_per_disc"),
+        count(when(col("l_discount") === 0, lit(1))).as("n_zero_disc"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     regexpFuncs, hofFuncs, dateArith, condNullFuncs, windowRangeFrame,
-    bitwiseMedian, editDistancePairs, posexplodeTokens, hllSketch)
+    bitwiseMedian, editDistancePairs, posexplodeTokens, hllSketch, tryArith)
 }

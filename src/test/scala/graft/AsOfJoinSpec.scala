@@ -60,6 +60,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.exceptAll(ref).count() == 0 && ref.exceptAll(native).count() == 0)
   }
 
+  test("native as-of composes with streaming via foreachBatch enrichment") {
+    // The reference's enrichment shape: a stream of facts joined
+    // as-of against a static dimension snapshot, per micro-batch.
+    // foreachBatch hands us a BATCH DataFrame, so the custom batch
+    // operator drops straight in — no streaming-specific code path.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, 10L, "v1"), (1L, 20L, "v2"), (2L, 5L, "w1"))
+      .toDF("rk", "rt", "tag")
+    val stream = MemoryStream[(Long, Long)]
+    stream.addData((1L, 15L), (1L, 25L), (2L, 6L), (3L, 9L))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val q = stream.toDS().toDF("lk", "lt").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", SparkEnv.scratchDir("asof-stream"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val enriched = AsOf.join(batch, dim,
+          leftKeys = Seq(batch("lk")), rightKeys = Seq(dim("rk")),
+          leftTime = batch("lt"), rightTime = dim("rt"))
+        collected ++= enriched.select("lk", "lt", "tag").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // (2,6) matches w1 (rt=5 <= 6); (3,9) has no dim key -> dropped
+    assert(collected.sorted.toList == List(
+      (1L, 15L, "v1"), (1L, 25L, "v2"), (2L, 6L, "w1")).sorted, collected)
+  }
+
   test("null keys and null times never match; ties resolve to latest row") {
     val schema = StructType(Seq(
       StructField("k", LongType, nullable = true),
