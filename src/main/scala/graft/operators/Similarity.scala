@@ -79,44 +79,57 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
-    * candidate to a centroid cell; queries probe only the `nProbe`
-    * nearest cells. The index build is one MLlib KMeans fit (linear
-    * scans, seeded → deterministic); the query path is an equi-join on
-    * cell id — the classic IVF trade of recall for a corpus-fraction
-    * scan. Centroids live on the driver (they are model parameters,
-    * ~nCells×64 floats — tiny at any corpus size).
+  /** IVF (inverted-file) ANN, split into its two real phases:
+    *
+    *  - [[buildIvfIndex]] — one seeded MLlib KMeans fit assigns every
+    *    candidate to a centroid cell. At 100 TB the `indexed` relation
+    *    is written ONCE as a cell-partitioned table
+    *    (`write.partitionBy("cell")`) and reused by every probe —
+    *    rebuilding a coarse quantizer per query batch is the classic
+    *    ANN anti-pattern. Centroids are model parameters
+    *    (~nCells×64 floats), driver-resident at any corpus size.
+    *  - [[probeIvf]] — queries probe only their `nProbe` nearest
+    *    cells: an equi-join on cell id against the stored index (or a
+    *    partition-pruned scan of the cell-partitioned table), the IVF
+    *    trade of recall for a corpus-fraction scan.
+    *
+    * [[ivfTopK]] composes the two for the single-shot declared query.
     */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector, Vectors}
-    import org.apache.spark.sql.Encoders
+  final case class IvfIndex(
+      centroids: Array[(org.apache.spark.ml.linalg.Vector, Int)],
+      indexed: DataFrame)
 
+  /** Fit the coarse quantizer and assign cells. None on an empty
+    * corpus (KMeans cannot fit zero rows; empty partitions and fresh
+    * tables are routine at scale, not a crash).
+    */
+  def buildIvfIndex(candidates: DataFrame, nCells: Int = 16,
+      seed: Long = 42L): Option[IvfIndex] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
     val toVec = udf((a: Seq[Float]) =>
       Vectors.dense(a.map(_.toDouble).toArray))
     val withFeatures = candidates.withColumn("features", toVec(col("embedding")))
-    // KMeans cannot train on an empty corpus; an empty index means an
-    // empty result (schema preserved), not a crash — empty partitions
-    // and fresh tables are routine at scale. isEmpty is one cheap
-    // take(1) job against the (pruned) scan.
-    if (withFeatures.isEmpty) {
-      return queries
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        .crossJoin(candidates.select(col("vec_id"), col("embedding")))
-        .select(col("q_id"), col("vec_id"),
-          vec_dot(col("q_emb"), col("embedding")).as("cos_sim"),
-          lit(1).as("rn"))
-        .limit(0)
+    if (withFeatures.isEmpty) None
+    else {
+      val model = new KMeans().setK(nCells).setSeed(seed)
+        .setMaxIter(5) // coarse quantizer: cell boundaries, not convergence
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(withFeatures)
+      Some(IvfIndex(
+        model.clusterCenters.zipWithIndex,
+        model.transform(withFeatures)
+          .select(col("vec_id"), col("embedding"), col("cell"))))
     }
-    val model = new KMeans().setK(nCells).setSeed(seed)
-      .setMaxIter(5) // coarse quantizer: cell boundaries, not convergence
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(withFeatures)
-    val indexed = model.transform(withFeatures)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
 
-    val centroids = model.clusterCenters.zipWithIndex
+  /** Probe the nProbe nearest cells per query and take exact top-k
+    * within the probed fraction. Works identically against a freshly
+    * built index or one reloaded from a cell-partitioned table.
+    */
+  def probeIvf(index: IvfIndex, queries: DataFrame, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val centroids = index.centroids
     val probeCells = udf { (q: Seq[Float]) =>
       centroids.map { case (c, i) =>
         var d = 0.0; var j = 0
@@ -127,12 +140,29 @@ object Similarity {
     val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("cell", explode(probeCells(col("q_emb"))))
-    val sims = indexed.join(broadcast(q), Seq("cell"))
+    val sims = index.indexed.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), vec_dot(col("q_emb"), col("embedding")).as("cos_sim"))
+      .select(col("q_id"), col("vec_id"),
+        vec_dot(col("q_emb"), col("embedding")).as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
+
+  /** Single-shot IVF: build + probe (the declared-query form). */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame =
+    buildIvfIndex(candidates, nCells, seed) match {
+      case Some(index) => probeIvf(index, queries, k, nProbe)
+      case None =>
+        // empty index -> empty result with the probe schema preserved
+        queries
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          .crossJoin(candidates.select(col("vec_id"), col("embedding")))
+          .select(col("q_id"), col("vec_id"),
+            vec_dot(col("q_emb"), col("embedding")).as("cos_sim"),
+            lit(1).as("rn"))
+          .limit(0)
+    }
 
   // ---- declared queries ----
 

@@ -34,28 +34,32 @@ class AsOfJoinSpec extends SparkSpec {
   test("randomized: native exec equals the window-form reference on 2k rows") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
-    // Dense keys + coarse times force heavy per-key duplication, time
-    // ties, keys missing on either side, and multi-partition merges.
-    val left = Seq.fill(2000)((rnd.nextInt(40).toLong, rnd.nextInt(50).toLong,
-      rnd.nextLong())).toDF("lk", "lt", "lpayload")
-    val right = Seq.fill(1500)((rnd.nextInt(40).toLong, rnd.nextInt(50).toLong,
-      rnd.nextLong())).toDF("k", "t", "rpayload")
+    // Dense COMPOSITE keys + coarse times force heavy per-key
+    // duplication, time ties, keys missing on either side, and
+    // multi-partition merges through the two-column key path.
+    val left = Seq.fill(2000)((rnd.nextInt(8).toLong, rnd.nextInt(5),
+      rnd.nextInt(50).toLong, rnd.nextLong()))
+      .toDF("lk1", "lk2", "lt", "lpayload")
+    val right = Seq.fill(1500)((rnd.nextInt(8).toLong, rnd.nextInt(5),
+      rnd.nextInt(50).toLong, rnd.nextLong())).toDF("k1", "k2", "t", "rpayload")
       // unique (key, time) on the right: as-of picks the row with max
       // time <= lt; at equal times the match must be deterministic
-      .groupBy("k", "t").agg(max("rpayload").as("rpayload"))
-      .select(col("k").as("rk"), col("t").as("rt"), col("rpayload"))
+      .groupBy("k1", "k2", "t").agg(max("rpayload").as("rpayload"))
+      .select(col("k1").as("rk1"), col("k2").as("rk2"), col("t").as("rt"),
+        col("rpayload"))
     val native = AsOf.join(left, right,
-        leftKeys = Seq(left("lk")), rightKeys = Seq(right("rk")),
+        leftKeys = Seq(left("lk1"), left("lk2")),
+        rightKeys = Seq(right("rk1"), right("rk2")),
         leftTime = left("lt"), rightTime = right("rt"))
-      .select("lk", "lt", "lpayload", "rt", "rpayload")
+      .select("lk1", "lk2", "lt", "lpayload", "rt", "rpayload")
     // reference: window form — per left row, latest right at-or-before
-    val ref = left.join(right, left("lk") === right("rk") &&
-        right("rt") <= left("lt"))
+    val ref = left.join(right, left("lk1") === right("rk1") &&
+        left("lk2") === right("rk2") && right("rt") <= left("lt"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy("lk", "lt", "lpayload").orderBy(col("rt").desc)))
+          .partitionBy("lk1", "lk2", "lt", "lpayload").orderBy(col("rt").desc)))
       .filter(col("rn") === 1)
-      .select("lk", "lt", "lpayload", "rt", "rpayload")
+      .select("lk1", "lk2", "lt", "lpayload", "rt", "rpayload")
     assert(native.count() == ref.count())
     assert(native.exceptAll(ref).count() == 0 && ref.exceptAll(native).count() == 0)
   }

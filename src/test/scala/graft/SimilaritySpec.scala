@@ -77,6 +77,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"twin recall $recall")
   }
 
+  test("IVF index persists: build once, store cell-partitioned, probe the reload") {
+    val corpus = emb.select("vec_id", "embedding").union(planted)
+    val queries = emb.filter(col("vec_id") < 20)
+    val index = Similarity.buildIvfIndex(corpus).get
+    // the serving layout: one directory per cell; probes against the
+    // reloaded table prune to the probed cells' partitions
+    val dir = SparkEnv.scratchDir("ivf-index")
+    index.indexed.write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val reloaded = Similarity.IvfIndex(index.centroids, spark.read.parquet(dir))
+    val fresh = topkSet(Similarity.probeIvf(index, queries, k = 3))
+    val stored = topkSet(Similarity.probeIvf(reloaded, queries, k = 3))
+    assert(fresh == stored, "probe(reloaded index) must equal probe(fresh index)")
+    // partition pruning is real on the stored layout: filtering one
+    // cell reads one partition directory
+    val oneCell = spark.read.parquet(dir).filter(col("cell") === 0)
+    val plan = oneCell.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+  }
+
   test("LSH recovers most planted twins (recall >= 0.6 at 8 planes)") {
     val corpus = emb.select("vec_id", "embedding").union(planted)
     val queries = emb.filter(col("vec_id") < 20)
