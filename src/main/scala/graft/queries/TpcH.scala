@@ -265,5 +265,106 @@ object TpcH {
       .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n"))
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q3, q4, q5, q6, q10, q14, q18, q19)
+  /** Q7 volume shipping: revenue between a nation PAIR in both
+    * directions, by ship year — two independent joins to the same
+    * nation dim (supplier's and customer's), a symmetric OR-pair
+    * predicate, and a derived grouping column.
+    */
+  val q7 = DeclaredQuery(
+    "q_tpch_q7",
+    s"""SELECT supp_nation, cust_nation, l_year, $revSql AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |         l_extendedprice, l_discount
+       |  FROM lineitem
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+       |      OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01') t
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+    val n1 = broadcast(Tables.nation(s, d))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = broadcast(Tables.nation(s, d))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_20" && col("cust_nation") === "NATION_11") ||
+        (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_20"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q13 customer distribution: LEFT join so zero-order customers
+    * count, then a histogram over the per-customer counts — the
+    * double-aggregation shape (agg of an agg).
+    */
+  val q13 = DeclaredQuery(
+    "q_tpch_q13",
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q22-ish global-sales opportunity: above-average-balance customers
+    * with no urgent orders — an uncorrelated scalar subquery feeding a
+    * filter plus a NOT EXISTS anti join (fixture customers all have
+    * SOME order, so the classic no-orders form would be empty; the
+    * priority filter keeps the same plan shape with live rows).
+    */
+  val q22 = DeclaredQuery(
+    "q_tpch_q22",
+    """SELECT CAST(c_custkey % 10 AS BIGINT) AS cntrycode,
+      |  CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    // uncorrelated scalar subquery as a broadcast single-row join —
+    // stays lazy/distributed (no driver-side first()), same plan
+    // Catalyst builds for the SQL scalar-subquery form
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_custkey") % 10).cast("long").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q3, q4, q5, q6, q7, q10, q13, q14, q18, q19, q22)
 }
