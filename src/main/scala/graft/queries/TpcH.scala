@@ -366,5 +366,64 @@ object TpcH {
       .orderBy("cntrycode")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q3, q4, q5, q6, q7, q10, q13, q14, q18, q19, q22)
+  /** Q15 top supplier: a reused revenue CTE + an uncorrelated MAX
+    * scalar subquery over it, expressed as a broadcast single-row
+    * join (ties all surface — the ORDER BY makes them deterministic).
+    */
+  val q15 = DeclaredQuery(
+    "q_tpch_q15",
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val revenue = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(rev).cast("double").as("total_revenue"))
+    val maxRev = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    Tables.supplier(s, d)
+      .join(revenue, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** Q17 small-quantity-order revenue: the correlated per-part
+    * average (l_quantity < 0.2 * avg over the same part) as a
+    * pre-aggregated self-join. The threshold is bit-identical across
+    * engines: quantities are integral doubles, so their sum is exact
+    * under any order and avg rounds once.
+    */
+  val q17 = DeclaredQuery(
+    "q_tpch_q17",
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  count(*) AS n
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val partAvg = li.groupBy(col("l_partkey").as("avg_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_threshold"))
+    li.join(Tables.part(s, d).filter(col("p_brand") === "Brand#1"),
+        col("p_partkey") === col("l_partkey"))
+      .join(partAvg, col("l_partkey") === col("avg_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
+          .as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(
+    q3, q4, q5, q6, q7, q10, q13, q14, q15, q17, q18, q19, q22)
 }
