@@ -35,11 +35,18 @@ object AsOf {
     // fail. Reject them here, where the user can see the schema.
     require(lk.length == rk.length && lk.nonEmpty,
       s"as-of join needs matching non-empty key lists (${lk.length} vs ${rk.length})")
+    // structural equality ignoring nullability: a parquet-read struct
+    // (nullable fields) must join a literal-built one (non-null) —
+    // the physical layouts match; only the value types must.
+    def sameType(a: org.apache.spark.sql.types.DataType,
+        b: org.apache.spark.sql.types.DataType): Boolean =
+      org.apache.spark.sql.types.DataType.equalsStructurally(
+        a, b, ignoreNullability = true)
     lk.zip(rk).zipWithIndex.foreach { case ((l, r), i) =>
-      require(l.dataType == r.dataType,
+      require(sameType(l.dataType, r.dataType),
         s"as-of key $i type mismatch: ${l.dataType} vs ${r.dataType}")
     }
-    require(lt.dataType == rt.dataType,
+    require(sameType(lt.dataType, rt.dataType),
       s"as-of time type mismatch: ${lt.dataType} vs ${rt.dataType}")
     GraftSqlBridge.ofRows(left.sparkSession,
       AsOfJoinPlan(left.queryExecution.analyzed,

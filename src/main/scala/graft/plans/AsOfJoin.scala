@@ -77,19 +77,24 @@ final case class AsOfJoinExec(
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   /** Sorted by (keys..., time) so the merge is forward-only. The
-    * RIGHT ordering appends every remaining orderable output column:
-    * with duplicate (key, time) right rows the merge remembers the
-    * LAST tie it consumes, so only a total sort order makes that
+    * RIGHT ordering appends the remaining orderable output columns
+    * (deduplicated against the keys/time, which already lead the
+    * sort): with duplicate (key, time) right rows the merge remembers
+    * the LAST tie it consumes, so only a total sort order makes that
     * choice — and therefore the join result — deterministic under
-    * stage retry/speculation. (Rows tied on every orderable column
-    * are interchangeable, so the result set is still deterministic.)
+    * stage retry/speculation. Residual caveat: NON-orderable columns
+    * (maps) cannot join the tie-break, so right rows that differ
+    * ONLY in a map-typed payload are still chosen arbitrarily —
+    * pre-deduplicate the right side if such a payload matters.
     */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    val sorted = rightKeys :+ rightTime
     val rightTieBreak = right.output.filter(a =>
-      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(a.dataType))
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(a.dataType) &&
+        !sorted.exists(_.semanticEquals(a)))
     Seq(
       (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-      (rightKeys ++ (rightTime +: rightTieBreak)).map(SortOrder(_, Ascending)))
+      (sorted ++ rightTieBreak).map(SortOrder(_, Ascending)))
   }
 
   override def outputOrdering: Seq[SortOrder] =

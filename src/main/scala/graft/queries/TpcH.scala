@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classic TPC-H query shapes adapted to the fixture schema (SURVEY.md
@@ -388,10 +389,15 @@ object TpcH {
         col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey").as("supplier_no"))
       .agg(sum(rev).cast("double").as("total_revenue"))
-    val maxRev = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    // global-window max instead of a second aggregate subplan: the
+    // post-agg relation is |suppliers| rows, so the single-partition
+    // window is trivial, and the filtered lineitem scan+shuffle runs
+    // ONCE (a separate maxRev subquery would re-run the whole fact
+    // aggregation — Spark does not dedup uncached subtrees).
+    val withMax = revenue.withColumn("max_revenue",
+      max(col("total_revenue")).over(Window.partitionBy()))
     Tables.supplier(s, d)
-      .join(revenue, col("s_suppkey") === col("supplier_no"))
-      .crossJoin(broadcast(maxRev))
+      .join(withMax, col("s_suppkey") === col("supplier_no"))
       .filter(col("total_revenue") === col("max_revenue"))
       .select("s_suppkey", "s_name", "total_revenue")
       .orderBy("s_suppkey")
@@ -412,10 +418,18 @@ object TpcH {
       |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
       |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
-    val partAvg = li.groupBy(col("l_partkey").as("avg_partkey"))
+    val brandParts = Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+    // only Brand#1 parts survive the final join, so compute per-part
+    // averages over the brand's lineitems only (left-semi before the
+    // groupBy — Catalyst can't push the brand filter below the
+    // aggregate itself); identical averages for the surviving keys,
+    // brand-selectivity-fraction of the aggregation input.
+    val partAvg = li
+      .join(brandParts.select(col("p_partkey").as("bp_key")),
+        col("l_partkey") === col("bp_key"), "left_semi")
+      .groupBy(col("l_partkey").as("avg_partkey"))
       .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_threshold"))
-    li.join(Tables.part(s, d).filter(col("p_brand") === "Brand#1"),
-        col("p_partkey") === col("l_partkey"))
+    li.join(brandParts, col("p_partkey") === col("l_partkey"))
       .join(partAvg, col("l_partkey") === col("avg_partkey"))
       .filter(col("l_quantity") < col("qty_threshold"))
       .agg(

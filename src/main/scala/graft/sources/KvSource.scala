@@ -124,9 +124,14 @@ final class KvScan(storeName: String, filters: Array[Filter],
     }.sortBy(_.key)
     if (rows.isEmpty) Array(KvInputPartition(Nil))
     else {
+      // index-balanced contiguous ranges: exactly `slices` non-empty
+      // partitions (ceil-based grouped() can collapse one when the
+      // row count sits just above a multiple of the slice count)
       val slices = math.min(4, rows.size)
-      val per = (rows.size + slices - 1) / slices
-      rows.grouped(per).map(KvInputPartition(_)).toArray
+      (0 until slices).map { i =>
+        KvInputPartition(rows.slice(i * rows.size / slices,
+          (i + 1) * rows.size / slices))
+      }.toArray
     }
   }
 
