@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -64,15 +65,25 @@ object KvSourceProvider {
   private[sources] def lookup(name: String): Seq[ServingStore.CounterRow] =
     Option(registry.get(name)).getOrElse(
       throw new IllegalArgumentException(s"no registered kv store '$name'"))
+
+  /** Write-path base lookup: an unregistered name is an empty store
+    * (first append creates it), unlike the read path which fails fast.
+    */
+  private[sources] def lookupOrNull(name: String): Seq[ServingStore.CounterRow] =
+    registry.get(name)
 }
 
-final class KvTable(storeName: String) extends Table with SupportsRead {
+final class KvTable(storeName: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_kv($storeName)"
   override def schema(): StructType = KvSourceProvider.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(storeName)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KvWriteBuilder(storeName)
 }
 
 final class KvScanBuilder(storeName: String)
@@ -162,4 +173,57 @@ final class KvReaderFactory(required: StructType)
       override def close(): Unit = ()
     }
   }
+}
+
+/** DSv2 WRITE path: executors serialize their partition's counter
+  * rows into WriterCommitMessages; the driver-side commit merges all
+  * of them into the registry atomically (per Spark's BatchWrite
+  * contract, commit runs once after every task succeeded — task
+  * retries discard their uncommitted messages, so the write is
+  * effectively exactly-once). Overwrite mode truncates first
+  * (SupportsTruncate). At scale the same four classes write straight
+  * to a remote KV from the executors and commit only offsets — the
+  * planner-facing contract is what this proves.
+  */
+final class KvWriteBuilder(storeName: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new KvBatchWrite(storeName, doTruncate)
+  }
+}
+
+final case class KvCommit(rows: Seq[ServingStore.CounterRow])
+    extends WriterCommitMessage
+
+final class KvBatchWrite(storeName: String, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KvWriterFactory
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val incoming = messages.flatMap { case KvCommit(rows) => rows }.toSeq
+    val base = if (truncate) Nil
+      else Option(KvSourceProvider.lookupOrNull(storeName)).getOrElse(Nil)
+    // merge semantics match ServingStore: counters sum per key
+    val merged = (base ++ incoming)
+      .groupBy(_.key).map { case (k, rs) =>
+        ServingStore.CounterRow(k, rs.map(_.nEvents).sum, rs.map(_.sumValue).sum)
+      }.toSeq
+    KvSourceProvider.register(storeName, merged)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class KvWriterFactory extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[ServingStore.CounterRow]
+      override def write(row: InternalRow): Unit =
+        buf += ServingStore.CounterRow(
+          row.getUTF8String(0).toString, row.getLong(1), row.getDouble(2))
+      override def commit(): WriterCommitMessage = KvCommit(buf.toSeq)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
 }

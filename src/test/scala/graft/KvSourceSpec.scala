@@ -38,6 +38,31 @@ class KvSourceSpec extends SparkSpec {
       !scan.contains("sum_value"), scan)
   }
 
+  test("DSv2 write path: append merges counters per key, overwrite truncates") {
+    KvSourceProvider.register("w1", Seq(
+      ServingStore.CounterRow("a", 1L, 0.5)))
+    import spark.implicits._
+    // append: same-key counters SUM (the HINCRBY semantics)
+    Seq(("a", 2L, 1.0), ("b", 3L, 1.5)).toDF("key", "n_events", "sum_value")
+      .write.format("graft.sources.KvSourceProvider")
+      .option("store", "w1").mode("append").save()
+    val afterAppend = readStore("w1").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(afterAppend == Set(("a", 3L, 1.5), ("b", 3L, 1.5)), afterAppend)
+    // overwrite: truncate-then-write
+    Seq(("c", 9L, 9.0)).toDF("key", "n_events", "sum_value")
+      .write.format("graft.sources.KvSourceProvider")
+      .option("store", "w1").mode("overwrite").save()
+    val afterOverwrite = readStore("w1").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(afterOverwrite == Set(("c", 9L, 9.0)), afterOverwrite)
+    // round trip: read -> transform -> write to a new store
+    readStore("w1").withColumn("n_events", col("n_events") * 2)
+      .write.format("graft.sources.KvSourceProvider")
+      .option("store", "w2").mode("append").save()
+    assert(readStore("w2").collect().head.getLong(1) == 18L)
+  }
+
   test("streaming pipeline -> registered snapshot -> SQL over the store") {
     val store = new graft.streaming.InMemoryServingStore
     graft.streaming.Serving.runPipeline(spark, sf, store,
