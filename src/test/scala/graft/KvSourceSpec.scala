@@ -63,6 +63,31 @@ class KvSourceSpec extends SparkSpec {
     assert(readStore("w2").collect().head.getLong(1) == 18L)
   }
 
+  test("capstone: stream -> 4-granularity cube -> KV -> DSv2 prefix query == batch rollup") {
+    // The whole reference shape end-to-end: events stream in, the
+    // single-state multi-granularity cube maintains counters, the KV
+    // store serves them, and a prefix query over the DSv2 source
+    // (the HTTP read path) returns exactly what a batch rollup of the
+    // same events computes.
+    val store = new graft.streaming.InMemoryServingStore
+    graft.streaming.Serving.runMultiGranularityCube(spark, sf, store,
+      SparkEnv.scratchDir("kv-capstone-ckpt"))
+    KvSourceProvider.register("capstone", store.snapshot())
+    val served = readStore("capstone")
+      .filter(col("key").startsWith("click/hour/"))
+      .agg(sum("n_events")).collect().head.getLong(0)
+    val batch = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .count()
+    assert(served == batch,
+      s"served hourly click total $served != batch count $batch")
+    // and the per-granularity key families all exist
+    for (g <- Seq("hour", "day", "month", "year")) {
+      assert(readStore("capstone")
+        .filter(col("key").startsWith(s"click/$g/")).count() > 0, g)
+    }
+  }
+
   test("streaming pipeline -> registered snapshot -> SQL over the store") {
     val store = new graft.streaming.InMemoryServingStore
     graft.streaming.Serving.runPipeline(spark, sf, store,
