@@ -291,9 +291,28 @@ object TimeSeries {
       .orderBy("user_id", "rn")
   }
 
+  /** Heavy hitters per day via the DataSketches frequent-items
+    * sketch (approx_top_k) — the reference's "top pages" serving op
+    * in its 100 TB form: mergeable sketch state, single pass, no
+    * per-key exact counting. Rows-only (sketch estimates are
+    * engine-specific; the exact twin is q_top_types_per_user's
+    * window form); output is exploded to scalar columns — exactly k
+    * rows per day, so the rows-check is stable.
+    */
+  val heavyHitters = DeclaredQuery.noOracle("q_heavy_hitters") { (s, d) =>
+    Tables.events(s, d).createOrReplaceTempView("events_hh")
+    s.sql("""
+      SELECT day, t.item AS event_type, t.count AS est_count
+      FROM (SELECT date_trunc('day', ts) AS day,
+                   approx_top_k(event_type, 3) AS tops
+            FROM events_hh GROUP BY 1) x
+      LATERAL VIEW explode(tops) t_view AS t
+      ORDER BY day, est_count DESC, event_type""")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     eventsHourly, eventsRollup, eventsCube, eventsGroupingSets,
     eventsDistinctUsersDaily,
     eventsApproxUsers, eventsKmvUsers, eventsKmvExact, slidingWindows, statsFuncs,
-    typeCorrelation, jsonExtract, topEventTypesPerUser)
+    typeCorrelation, jsonExtract, topEventTypesPerUser, heavyHitters)
 }
