@@ -34,9 +34,11 @@ object TextAnalysis {
   /** Broadcast-scoring language ID — the serving form: profiles are
     * MODEL PARAMETERS (langs × profileSize trigrams ≈ 150 rows, like
     * IVF centroids), so they collect to the driver and broadcast; each
-    * doc is then scored in ONE codegen'd pass with no join, no
-    * re-explode, no per-doc window. Same argmax + lang-ascending
-    * tiebreak as [[languageId]], bit-identical predictions. Use the
+    * doc is then scored in ONE pass with no join, no re-explode, no
+    * per-doc window. Same argmax + lang-ascending tiebreak as
+    * [[languageId]], and the same row set: NULL-text docs and docs
+    * with zero overlap against every profile are dropped, exactly as
+    * the relational form's inner trigram join drops them. Use the
     * relational [[languageId]] only when the profile model itself is
     * too large to broadcast.
     */
@@ -61,9 +63,13 @@ object TextAnalysis {
       }
       (bestLang, best)
     }
-    docs.select(col("doc_id"), score(col("text")).as("s"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), score(col("text")).as("s"))
       .select(col("doc_id"), col("s._1").as("predicted_lang"),
         col("s._2").as("overlap"))
+      // zero-overlap docs have no candidate langs in the relational
+      // form (inner join on trigram) — drop them here too
+      .filter(col("overlap") > 0)
   }
 
   /** N-gram-heuristic language ID, relational form: score each doc
@@ -109,7 +115,8 @@ object TextAnalysis {
     // profiles learn from the exploded trigram relation (one pass);
     // classification then scores docs against the BROADCAST profiles
     // in a single scan — no second trigram explode, no score join, no
-    // per-doc window (round-2 rewrite: ~2× on the honest bench)
+    // per-doc window (round-2 rewrite: ~30% off the honest bench,
+    // 3.9 s → 2.7 s at sf0.1; profile learning now dominates)
     languageIdBroadcast(docs, langProfiles(docTrigrams(docs)))
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .groupBy(col("lang"), col("predicted_lang"))

@@ -296,8 +296,9 @@ object TimeSeries {
     * in its 100 TB form: mergeable sketch state, single pass, no
     * per-key exact counting. Rows-only (sketch estimates are
     * engine-specific; the exact twin is q_top_types_per_user's
-    * window form); output is exploded to scalar columns — exactly k
-    * rows per day, so the rows-check is stable.
+    * window form); output is exploded to scalar columns —
+    * min(k, distinct items) rows per day, deterministic for a given
+    * fixture, so the rows-check is stable.
     */
   val heavyHitters = DeclaredQuery.noOracle("q_heavy_hitters") { (s, d) =>
     Tables.events(s, d).createOrReplaceTempView("events_hh")

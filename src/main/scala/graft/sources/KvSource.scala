@@ -66,11 +66,20 @@ object KvSourceProvider {
     Option(registry.get(name)).getOrElse(
       throw new IllegalArgumentException(s"no registered kv store '$name'"))
 
-  /** Write-path base lookup: an unregistered name is an empty store
-    * (first append creates it), unlike the read path which fails fast.
+  /** Write-path merge: one atomic read-modify-write on the registry
+    * entry (ConcurrentHashMap.compute holds the bin lock), so two
+    * jobs appending to the same store cannot lose each other's
+    * increments. An unregistered name is an empty store — the first
+    * append creates it (unlike the read path, which fails fast).
     */
-  private[sources] def lookupOrNull(name: String): Seq[ServingStore.CounterRow] =
-    registry.get(name)
+  private[sources] def mergeInto(name: String,
+      incoming: Seq[ServingStore.CounterRow], truncate: Boolean): Unit =
+    registry.compute(name, (_, old) => {
+      val base = if (truncate || old == null) Nil else old
+      (base ++ incoming).groupBy(_.key).map { case (k, rs) =>
+        ServingStore.CounterRow(k, rs.map(_.nEvents).sum, rs.map(_.sumValue).sum)
+      }.toSeq
+    })
 }
 
 final class KvTable(storeName: String) extends Table
@@ -202,15 +211,10 @@ final class KvBatchWrite(storeName: String, truncate: Boolean)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new KvWriterFactory
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // merge semantics match ServingStore: counters sum per key; the
+    // registry-side compute makes concurrent appends lossless
     val incoming = messages.flatMap { case KvCommit(rows) => rows }.toSeq
-    val base = if (truncate) Nil
-      else Option(KvSourceProvider.lookupOrNull(storeName)).getOrElse(Nil)
-    // merge semantics match ServingStore: counters sum per key
-    val merged = (base ++ incoming)
-      .groupBy(_.key).map { case (k, rs) =>
-        ServingStore.CounterRow(k, rs.map(_.nEvents).sum, rs.map(_.sumValue).sum)
-      }.toSeq
-    KvSourceProvider.register(storeName, merged)
+    KvSourceProvider.mergeInto(storeName, incoming, truncate)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -52,6 +52,32 @@ class PropertySpec extends SparkSpec {
     assert(cmp.filter(col("jaccard") =!= col("j2")).count() == 0)
   }
 
+  test("language-ID: broadcast scoring equals the relational form incl. null/zero-overlap docs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // corpus with a real signal, a NULL-text doc, and a doc whose
+    // trigrams overlap no profile (digits never enter the top-30
+    // profiles learned from the letter docs)
+    val docs = ((0L until 40L).map { i =>
+      val word = if (i % 2 == 0) "alphabet" else "betacarotene"
+      (i, Seq.fill(12)(word).mkString(" "), if (i % 2 == 0) "aa" else "bb")
+    } ++ Seq((100L, null.asInstanceOf[String], "aa"),
+      (101L, "0123456789", "bb")))
+      .toDF("doc_id", "text", "lang")
+    val tri = TextAnalysis.docTrigrams(docs.filter(col("text").isNotNull))
+    val profiles = TextAnalysis.langProfiles(tri)
+    val rel = TextAnalysis.languageId(tri, profiles)
+      .select("doc_id", "predicted_lang", "overlap")
+    val bc = TextAnalysis.languageIdBroadcast(docs, profiles)
+      .select("doc_id", "predicted_lang", "overlap")
+    assert(rel.exceptAll(bc).count() == 0 && bc.exceptAll(rel).count() == 0)
+    // the null-text doc is dropped by both forms (the digit doc keeps
+    // a row in both: its trigrams entered the profile during learning)
+    assert(bc.filter(col("doc_id") === 100L).count() == 0)
+    assert(rel.filter(col("doc_id") === 101L).count() ===
+      bc.filter(col("doc_id") === 101L).count())
+  }
+
   test("tumbling windows partition the input: counts sum to total, no overlap") {
     import spark.implicits._
     // random timestamps INCLUDING exact hour boundaries (the edge that
