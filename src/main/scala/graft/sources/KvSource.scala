@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 import graft.streaming.ServingStore
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
@@ -97,10 +98,33 @@ final class KvTable(storeName: String) extends Table
 
 final class KvScanBuilder(storeName: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = KvSourceProvider.schema
+  private var pushedAgg: Option[Aggregation] = None
+
+  /** Global COUNT(*) / SUM(counter) aggregates are answered entirely
+    * source-side (complete pushdown — no Spark-side aggregate at
+    * all): the serving layer's cheapest query shape, a Redis
+    * GET/MGET-and-add. Grouped or exotic aggregates stay with Spark.
+    */
+  private def handled(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case s: Sum => !s.isDistinct && (s.column match {
+        case nr: NamedReference =>
+          nr.fieldNames.sameElements(Array("n_events")) ||
+            nr.fieldNames.sameElements(Array("sum_value"))
+        case _ => false
+      })
+      case _ => false
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = handled(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    handled(agg) && { pushedAgg = Some(agg); true }
 
   /** Accept key-prefix and key-equality predicates; everything else
     * stays with Spark as a post-scan filter.
@@ -119,15 +143,36 @@ final class KvScanBuilder(storeName: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new KvScan(storeName, pushed, required)
+  override def build(): Scan = new KvScan(storeName, pushed, required, pushedAgg)
 }
 
 final class KvScan(storeName: String, filters: Array[Filter],
-    required: StructType) extends Scan with Batch {
-  override def readSchema(): StructType = required
+    required: StructType, agg: Option[Aggregation]) extends Scan with Batch {
+
+  /** With a pushed aggregation the scan's output IS the aggregate
+    * row: one column per aggregate function, long for counts and
+    * counter sums, double for value sums — the types Spark's own
+    * aggregate would produce, so no Spark-side re-aggregation runs.
+    */
+  override def readSchema(): StructType = agg match {
+    case None => required
+    case Some(a) =>
+      a.aggregateExpressions.zipWithIndex.foldLeft(new StructType()) {
+        case (st, (_: CountStar, i)) => st.add(s"agg_$i", LongType, nullable = false)
+        case (st, (s: Sum, i)) =>
+          val isDouble = s.column match {
+            case nr: NamedReference => nr.fieldNames.sameElements(Array("sum_value"))
+            case _ => false
+          }
+          st.add(s"agg_$i", if (isDouble) DoubleType else LongType, nullable = false)
+        case (st, _) => st
+      }
+  }
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_kv store=$storeName PushedFilters=${filters.mkString("[", ", ", "]")}"
+    s"graft_kv store=$storeName PushedFilters=${filters.mkString("[", ", ", "]")}" +
+      agg.map(a => s" PushedAggregates=[${a.aggregateExpressions.mkString(", ")}]")
+        .getOrElse("")
 
   /** The snapshot is filtered at planning time (the "server side" of
     * this source) and split into CONTIGUOUS key ranges — one per
@@ -142,6 +187,22 @@ final class KvScan(storeName: String, filters: Array[Filter],
         case _ => true
       }
     }.sortBy(_.key)
+    agg match {
+      case Some(a) =>
+        // the "server side" answers the aggregate: one partition, one row
+        val values: Seq[Any] = a.aggregateExpressions.toSeq.map {
+          case _: CountStar => rows.size.toLong
+          case s: Sum =>
+            s.column match {
+              case nr: NamedReference if nr.fieldNames.sameElements(Array("sum_value")) =>
+                rows.map(_.sumValue).sum
+              case _ => rows.map(_.nEvents).sum
+            }
+          case _ => throw new IllegalStateException("unhandled pushed aggregate")
+        }
+        return Array(KvAggPartition(values))
+      case None => ()
+    }
     if (rows.isEmpty) Array(KvInputPartition(Nil))
     else {
       // index-balanced contiguous ranges: exactly `slices` non-empty
@@ -162,10 +223,23 @@ final class KvScan(storeName: String, filters: Array[Filter],
 final case class KvInputPartition(rows: Seq[ServingStore.CounterRow])
     extends InputPartition
 
+/** A fully-aggregated result: one row of pre-computed values. */
+final case class KvAggPartition(values: Seq[Any]) extends InputPartition
+
 final class KvReaderFactory(required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[KvInputPartition].rows.iterator
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    case KvAggPartition(values) => new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(values)
+      override def close(): Unit = ()
+    }
+    case p: KvInputPartition => createRowReader(p)
+  }
+
+  private def createRowReader(partition: KvInputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.rows.iterator
     val fields = required.fieldNames
     new PartitionReader[InternalRow] {
       private var current: ServingStore.CounterRow = _

@@ -63,6 +63,22 @@ class KvSourceSpec extends SparkSpec {
     assert(readStore("w2").collect().head.getLong(1) == 18L)
   }
 
+  test("aggregate pushdown: prefix-filtered count/sum answered source-side, no Spark aggregate") {
+    KvSourceProvider.register("agg1", Seq(
+      ServingStore.CounterRow("click/h/00", 5L, 1.5),
+      ServingStore.CounterRow("click/h/01", 7L, 2.5),
+      ServingStore.CounterRow("view/h/00", 9L, 4.0)))
+    val df = readStore("agg1").filter(col("key").startsWith("click/"))
+      .agg(count(lit(1)).as("n"), sum("n_events").as("sn"),
+        sum("sum_value").as("sv"))
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 12L, 4.0)), r)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), plan)
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown should leave no Spark-side aggregate:\n$plan")
+  }
+
   test("capstone: stream -> 4-granularity cube -> KV -> DSv2 prefix query == batch rollup") {
     // The whole reference shape end-to-end: events stream in, the
     // single-state multi-granularity cube maintains counters, the KV
