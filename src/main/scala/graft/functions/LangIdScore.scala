@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The language-ID model: per-language top-k trigram profiles, held as
+  * hash sets for O(1) membership. Profiles are MODEL PARAMETERS (langs
+  * × profileSize ≈ 150 strings), so the whole model ships inside the
+  * serialized plan via `addReferenceObj` — the same pattern Spark uses
+  * for regex `Pattern`s — and every task scores against local memory
+  * with no join and no shuffle.
+  *
+  * Scoring counts |doc-trigrams ∩ profile| by iterating the PROFILE
+  * side (≤ profileSize entries per language) against the doc's trigram
+  * set — overlap is symmetric, and the profile side is the smaller one
+  * by an order of magnitude for real documents. Languages are scanned
+  * in ascending order with "first strictly greater wins", which equals
+  * the relational form's (overlap desc, lang asc) row_number tiebreak.
+  *
+  * Trigrams slice by CODE POINTS (same rule as [[CharNGrams]] and
+  * Spark's own `substring`): text shorter than 3 code points
+  * contributes the whole text once.
+  */
+final class TrigramProfiles(
+    val langs: Array[String],
+    val sets: Array[Array[String]]) extends Serializable {
+  require(langs.length == sets.length, "one profile set per language")
+  require(langs.sorted.sameElements(langs),
+    "languages must be ascending for the tiebreak to match the relational form")
+
+  private val langsU8: Array[UTF8String] = langs.map(UTF8String.fromString)
+
+  /** Distinct code-point trigrams of `s`; whole text once if shorter
+    * than 3 code points (the [[CharNGrams]] padding rule).
+    */
+  private def trigramSet(s: String): java.util.HashSet[String] = {
+    val out = new java.util.HashSet[String]()
+    val cps = s.codePoints().toArray
+    if (cps.length < 3) out.add(s)
+    else {
+      var i = 0
+      while (i <= cps.length - 3) {
+        out.add(new String(cps, i, 3))
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Score one document: returns (predicted_lang, overlap) as an
+    * InternalRow. Zero-overlap docs still get a row (overlap = 0, the
+    * ascending-first language) — callers filter them to match the
+    * relational form's inner-join row set.
+    */
+  def score(text: UTF8String): InternalRow = {
+    val tris = trigramSet(text.toString)
+    var bestLang: UTF8String = null
+    var best = -1L
+    var i = 0
+    while (i < langs.length) {
+      // iterate the ≤30-entry profile, probe the doc set
+      var ov = 0L
+      val prof = sets(i)
+      var j = 0
+      while (j < prof.length) {
+        if (tris.contains(prof(j))) ov += 1L
+        j += 1
+      }
+      if (ov > best) { best = ov; bestLang = langsU8(i) }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bestLang, best))
+  }
+}
+
+/** Codegen'd language-ID scoring expression (SURVEY.md §2 J3/K7):
+  * `LangIdScore(text, model)` → struct(predicted_lang, overlap).
+  *
+  * Why a custom Expression and not a UDF: a Scala UDF pays
+  * UTF8String→String→catalyst converters per row plus a non-codegen
+  * plan node that breaks the WholeStageCodegen span; this expression
+  * stays inside the generated loop and calls the scorer on the raw
+  * UTF8String directly. The round-2 UDF form was the suite's slowest
+  * query (3.1 s at sf0.1); see VERDICT r2 "What's wrong" #1.
+  */
+case class LangIdScore(child: Expression, model: TrigramProfiles)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LangIdScore.schema
+  override def prettyName: String = "lang_id_score"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(t: Any): Any =
+    model.score(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langIdModel", model,
+      classOf[TrigramProfiles].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.score($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdScore =
+    copy(child = newChild)
+}
+
+object LangIdScore {
+  val schema: StructType = new StructType()
+    .add("predicted_lang", StringType, nullable = false)
+    .add("overlap", LongType, nullable = false)
+}

@@ -14,11 +14,22 @@ object TextAnalysis {
   /** Per-doc distinct char trigrams with the doc's label — the shared
     * relation both the profile learner and the classifier consume
     * (callers persist it when fanning out to both).
+    *
+    * Round-3 rewrite: the round-2 form exploded
+    * `transform(sequence(...), i -> substring(text, i, 3))` — a
+    * higher-order function, which Spark evaluates INTERPRETED (one
+    * lambda frame per gram, no codegen) and which materializes the
+    * full gram array per doc. The [[graft.functions.CharNGrams]]
+    * generator streams grams lazily instead; per-doc dedup then rides
+    * the map-side partial aggregate of `.distinct()` — so the shuffle
+    * carries only distinct (doc, trigram) pairs. Same rows as the old
+    * form (whole-text fallback under 3 code points, NULL text → no
+    * rows).
     */
   def docTrigrams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"), explode(array_distinct(expr(
-      "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")))
-      .as("trigram"))
+    docs.select(col("doc_id"), col("lang"),
+      expr("char_ngrams(text, 3) AS trigram"))
+      .distinct()
 
   /** Char-trigram profiles per language: top `profileSize` trigrams by
     * document frequency (deterministic tiebreak).
@@ -43,30 +54,24 @@ object TextAnalysis {
     * too large to broadcast.
     */
   def languageIdBroadcast(docs: DataFrame, profiles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
     // lang-ascending order makes "first strictly-greater wins" equal
     // to the relational form's (overlap desc, lang asc) row_number
-    val prof: Array[(String, Set[String])] = profiles
+    val prof: Array[(String, Array[String])] = profiles
       .select("lang", "trigram").collect()
       .groupBy(_.getString(0)).view
-      .mapValues(_.map(_.getString(1)).toSet).toArray.sortBy(_._1)
-    val profB = docs.sparkSession.sparkContext.broadcast(prof)
-    val score = udf { (text: String) =>
-      // same trigram construction as docTrigrams: whole-text fallback
-      // under 3 chars, distinct grams otherwise
-      val tris =
-        if (text.length < 3) Set(text)
-        else (0 to text.length - 3).iterator.map(i => text.substring(i, i + 3)).toSet
-      var bestLang = ""; var best = -1L
-      for ((lang, set) <- profB.value) {
-        val ov = tris.count(set.contains).toLong
-        if (ov > best) { best = ov; bestLang = lang }
-      }
-      (bestLang, best)
-    }
+      .mapValues(_.map(_.getString(1)).toArray).toArray.sortBy(_._1)
+    val model = new graft.functions.TrigramProfiles(
+      prof.map(_._1), prof.map(_._2))
+    // round-3 rewrite: scoring was a per-row Scala UDF (the suite's
+    // slowest path — catalyst converters per row + a codegen break);
+    // LangIdScore is a codegen'd Expression carrying the model via
+    // addReferenceObj, so the scan stays in one WholeStageCodegen span
     docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), score(col("text")).as("s"))
-      .select(col("doc_id"), col("s._1").as("predicted_lang"),
-        col("s._2").as("overlap"))
+      .select(col("doc_id"),
+        toColumn(graft.functions.LangIdScore(toExpression(col("text")), model)).as("s"))
+      .select(col("doc_id"), col("s.predicted_lang").as("predicted_lang"),
+        col("s.overlap").as("overlap"))
       // zero-overlap docs have no candidate langs in the relational
       // form (inner join on trigram) — drop them here too
       .filter(col("overlap") > 0)
@@ -112,11 +117,10 @@ object TextAnalysis {
     */
   val qLangId = DeclaredQuery.noOracle("q_language_id") { (s, d) =>
     val docs = Tables.documents(s, d)
-    // profiles learn from the exploded trigram relation (one pass);
-    // classification then scores docs against the BROADCAST profiles
-    // in a single scan — no second trigram explode, no score join, no
-    // per-doc window (round-2 rewrite: ~30% off the honest bench,
-    // 3.9 s → 2.7 s at sf0.1; profile learning now dominates)
+    // profiles learn from the lazy char_ngrams generator (round-3: no
+    // interpreted HOF, no per-doc gram array); classification then
+    // scores docs against the in-plan profile model in ONE codegen'd
+    // scan — no second explode, no score join, no per-doc window
     languageIdBroadcast(docs, langProfiles(docTrigrams(docs)))
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .groupBy(col("lang"), col("predicted_lang"))
