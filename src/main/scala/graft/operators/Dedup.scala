@@ -62,16 +62,7 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
     val r = k / bands
-    // both sides of the bucket self-join consume the signatures; the
-    // differing projections above the join keep ReuseExchange from
-    // deduplicating the subtree, so persist the 5k-row relation
-    // (min-of-runs: ~35 % off the pipeline at sf0.1). No unpersist
-    // here — the returned plan is lazy and still references the
-    // cache. NB CacheManager holds these blocks until an explicit
-    // unpersist/clearCache (ContextCleaner does NOT reclaim Dataset
-    // caches); long-lived sessions running many queries should call
-    // spark.catalog.clearCache() between them, as Bench does.
-    val sigs = minhashSignatures(shingles(docs), k).persist()
+    val sigs = minhashSignatures(shingles(docs), k)
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("band_sig"))
@@ -79,11 +70,23 @@ object Dedup {
     val bucketed = sigs.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.band_sig"))
-    val l = bucketed.select(col("doc_id").as("id_a"), col("band"), col("band_sig"))
-    val rr = bucketed.select(col("doc_id").as("id_b"), col("band"), col("band_sig"))
-    l.join(rr, Seq("band", "band_sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // Within-bucket pair generation instead of a bucket self-join: the
+    // self-join form scans the signature relation twice (the two sides'
+    // projections carry different exprIds, so ReuseExchange cannot
+    // deduplicate the subtree — measured 2× signature cost), while one
+    // groupBy collects each bucket's member list and expands ordered
+    // pairs in-place. Buckets are tiny by construction (docs sharing a
+    // band signature), so the O(|bucket|²) expansion is bounded; a
+    // degenerate bucket (mass-identical docs) is the same skew risk the
+    // self-join had, handled upstream by exact-dedup first.
+    bucketed.groupBy("band", "band_sig")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids) - 2), " +
+          "i -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "b -> struct(ids[i] AS id_a, b AS id_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
 
@@ -125,11 +128,18 @@ object Dedup {
     * via a semi-join, not the whole corpus.
     */
   def minhashNearDups(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    // cand feeds both the semi-join id set and the verify join; the
+    // candidate-doc shingle relation feeds three setJaccard inputs
+    // (counts + both pair sides). Both are tiny (bucket-collision
+    // pairs only) — persist so neither pipeline re-derives them. NB
+    // CacheManager holds these blocks until unpersist/clearCache
+    // (Bench clears between runs).
     val cand = minhashCandidates(docs).persist()
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
     val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
-    shingleJaccard(candDocs, cand)
+    val elems = shingles(candDocs).withColumnRenamed("shingle", "elem").persist()
+    setJaccard(elems, cand)
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
   }
@@ -165,11 +175,21 @@ object Dedup {
         "transform(sequence(0, 3), b -> struct(b AS blk, " +
           "CAST(shiftright(simhash, b * 16) & 65535 AS INT) AS blk_val))")).as("bv"))
       .select(col("doc_id"), col("simhash"), col("bv.blk"), col("bv.blk_val"))
-    val l = blocks.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"), col("blk"), col("blk_val"))
-    val r = blocks.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"), col("blk"), col("blk_val"))
-    l.join(r, Seq("blk", "blk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    // Same within-bucket expansion as minhashCandidates (see there):
+    // one scan of the 64-aggregate simhash pipeline instead of the
+    // self-join's two. sort_array orders the structs by doc_id (their
+    // first field), so id_a < id_b holds by construction.
+    blocks.groupBy("blk", "blk_val")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids) - 2), " +
+          "i -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "b -> struct(ids[i].doc_id AS id_a, b.doc_id AS id_b, " +
+          "ids[i].simhash AS sh_a, b.simhash AS sh_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
+      .distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")

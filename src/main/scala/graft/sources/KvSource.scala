@@ -153,6 +153,9 @@ final class KvScan(storeName: String, filters: Array[Filter],
     * row: one column per aggregate function, long for counts and
     * counter sums, double for value sums — the types Spark's own
     * aggregate would produce, so no Spark-side re-aggregation runs.
+    * SUM columns are nullable: SQL defines SUM over zero rows as
+    * NULL (COUNT stays 0), and with complete pushdown there is no
+    * Spark-side aggregate left to supply that semantics for us.
     */
   override def readSchema(): StructType = agg match {
     case None => required
@@ -164,7 +167,7 @@ final class KvScan(storeName: String, filters: Array[Filter],
             case nr: NamedReference => nr.fieldNames.sameElements(Array("sum_value"))
             case _ => false
           }
-          st.add(s"agg_$i", if (isDouble) DoubleType else LongType, nullable = false)
+          st.add(s"agg_$i", if (isDouble) DoubleType else LongType, nullable = true)
         case (st, _) => st
       }
   }
@@ -193,7 +196,9 @@ final class KvScan(storeName: String, filters: Array[Filter],
         val values: Seq[Any] = a.aggregateExpressions.toSeq.map {
           case _: CountStar => rows.size.toLong
           case s: Sum =>
-            s.column match {
+            // SQL: SUM over the empty set is NULL, not 0
+            if (rows.isEmpty) null
+            else s.column match {
               case nr: NamedReference if nr.fieldNames.sameElements(Array("sum_value")) =>
                 rows.map(_.sumValue).sum
               case _ => rows.map(_.nEvents).sum

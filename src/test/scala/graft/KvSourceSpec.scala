@@ -79,6 +79,22 @@ class KvSourceSpec extends SparkSpec {
       s"complete pushdown should leave no Spark-side aggregate:\n$plan")
   }
 
+  test("aggregate pushdown: SUM over a non-matching prefix is NULL, COUNT is 0") {
+    KvSourceProvider.register("agg2", Seq(
+      ServingStore.CounterRow("click/h/00", 5L, 1.5)))
+    val df = readStore("agg2").filter(col("key").startsWith("nope/"))
+      .agg(count(lit(1)).as("n"), sum("n_events").as("sn"),
+        sum("sum_value").as("sv"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), plan)
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown should leave no Spark-side aggregate:\n$plan")
+    val r = df.collect().head
+    assert(r.getLong(0) == 0L, r)
+    assert(r.isNullAt(1), s"SUM over empty set must be NULL, got $r")
+    assert(r.isNullAt(2), s"SUM over empty set must be NULL, got $r")
+  }
+
   test("capstone: stream -> 4-granularity cube -> KV -> DSv2 prefix query == batch rollup") {
     // The whole reference shape end-to-end: events stream in, the
     // single-state multi-granularity cube maintains counters, the KV
