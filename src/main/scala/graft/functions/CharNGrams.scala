@@ -13,11 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Why not `explode(transform(sequence(...), ...))` (the round-1
   * form)? That shape materializes the FULL n-gram array per row
-  * before the explode — ~len(text) UTF8Strings held at once per
-  * document. The generator yields them one at a time through
-  * GenerateExec's iterator, so peak memory per row is O(n), not
-  * O(len) — the difference between fine and OOM when a "document" is
-  * a 100 MB crawl page at 100 TB scale.
+  * before the explode — ~len(text) n-char UTF8Strings (O(n·len)
+  * bytes) held at once per document. The generator decodes the text
+  * to a codepoint array once (O(len) ints) and yields grams one at a
+  * time through GenerateExec's iterator, so peak per-row memory is
+  * O(len) instead of O(n·len) — the difference between fine and OOM
+  * when a "document" is a 100 MB crawl page at 100 TB scale.
   *
   * Semantics (mirrors docTrigrams' padding rule): NULL text or n → no
   * rows; text shorter than n → the whole text once; otherwise

@@ -55,9 +55,12 @@ final class TrigramProfiles(
   /** Score one document: returns (predicted_lang, overlap) as an
     * InternalRow. Zero-overlap docs still get a row (overlap = 0, the
     * ascending-first language) — callers filter them to match the
-    * relational form's inner-join row set.
+    * relational form's inner-join row set. A model with zero languages
+    * scores nothing: null (not a struct with a null lang field, which
+    * would violate the non-nullable schema when projected).
     */
   def score(text: UTF8String): InternalRow = {
+    if (langs.length == 0) return null
     val tris = trigramSet(text.toString)
     var bestLang: UTF8String = null
     var best = -1L
@@ -92,6 +95,8 @@ case class LangIdScore(child: Expression, model: TrigramProfiles)
     extends UnaryExpression {
 
   override def dataType: DataType = LangIdScore.schema
+  // an empty model (no languages learned) yields null scores
+  override def nullable: Boolean = child.nullable || model.langs.isEmpty
   override def prettyName: String = "lang_id_score"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -105,7 +110,11 @@ case class LangIdScore(child: Expression, model: TrigramProfiles)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("langIdModel", model,
       classOf[TrigramProfiles].getName)
-    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.score($t);")
+    // score() returns null only for an empty model — in that case the
+    // expression is nullable and ev.isNull is a real variable
+    val setNull =
+      if (model.langs.isEmpty) s"${ev.isNull} = (${ev.value} == null);" else ""
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.score($t); $setNull")
   }
 
   override protected def withNewChildInternal(newChild: Expression): LangIdScore =

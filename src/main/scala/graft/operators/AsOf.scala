@@ -35,6 +35,16 @@ object AsOf {
     // fail. Reject them here, where the user can see the schema.
     require(lk.length == rk.length && lk.nonEmpty,
       s"as-of join needs matching non-empty key lists (${lk.length} vs ${rk.length})")
+    // Same-DataFrame both sides: the right-side expressions would bind
+    // against the LEFT child's colliding attribute ids and silently
+    // read left values. Reject; an `.as(...)`-renamed select on one
+    // side mints fresh ids.
+    val leftIds = left.queryExecution.analyzed.outputSet
+    val rightAttrs = right.queryExecution.analyzed.outputSet
+    require(leftIds.intersect(rightAttrs).isEmpty,
+      "as-of join sides share attribute ids (self-join on the same " +
+        "DataFrame?) — derive one side from a renamed projection " +
+        "(.select(col(\"x\").as(\"y\"), ...)) so references are unambiguous")
     // structural equality ignoring nullability: a parquet-read struct
     // (nullable fields) must join a literal-built one (non-null) —
     // the physical layouts match; only the value types must.

@@ -225,8 +225,36 @@ object LlmOps {
   /** Embedding-cosine near-dup pairs (prompt's dedup list): all pairs
     * with cosine ≥ 0.4 (measured fixture max ≈ 0.48-0.60 — the vectors
     * are near-uniform on the sphere, so 0.4 marks genuine outlier
-    * pairs). Quadratic candidate generation is acceptable at fixture
-    * scale; the LSH-bucketed scale path is in [[Dedup]].
+    * pairs).
+    *
+    * Why not LSH candidates: at τ = 0.4 the qualifying pairs' angle is
+    * ≈ 66°, so a random hyperplane separates such a pair with
+    * probability ≈ 0.37 (measured on the fixtures: per-bit sign
+    * agreement 0.63, qualifying cosines 0.400-0.60). No banding
+    * (r, b) reaches recall 1 — which the exact oracle hash requires —
+    * without the candidate volume exceeding all-pairs. Recall-1
+    * bucketing needs genuinely *near* duplicates (τ ≥ 0.8, where the
+    * [[graft.operators.Dedup]] banded construction applies); an exact
+    * τ = 0.4 threshold join is inherently Ω(n²) comparisons on
+    * near-uniform data.
+    *
+    * So the scale story is the classic balanced theta-join
+    * decomposition instead (1-bucket-theta): hash every vector into B
+    * blocks, replicate each side B ways so block pair (i, j) is one
+    * key of a plain equi-join, and evaluate only that (n/B)² tile per
+    * task. No broadcast of a whole side, no BNLJ, every executor gets
+    * an even share, per-task memory is (n/B) rows regardless of
+    * corpus size — B scales with √corpus. The dot-product threshold
+    * rides the JOIN CONDITION, not a post-join filter: the join
+    * extracts the (blk_a, blk_b) equi keys and evaluates the residual
+    * condition per matched pair BEFORE materializing an output row, so
+    * non-qualifying pairs never pay the 600-byte two-embedding row
+    * copy (measured 2.5× on this query). The surviving pairs' dot is
+    * the same IEEE-exact [[dotProduct]] as before, so the oracle hash
+    * is unchanged. (A Cauchy-Schwarz head/tail-norm prefilter was
+    * tried and rejected: near-uniform unit vectors put ~7/8 of their
+    * energy in any 56-dim tail, so the bound ≈ 0.95 prunes nothing at
+    * τ = 0.4.)
     */
   val embedNearDup = DeclaredQuery(
     "q_embed_near_dup",
@@ -235,16 +263,31 @@ object LlmOps {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE ${duckDot.format("a.embedding", "b.embedding")} >= 0.4
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    // cheap id predicate FIRST in the conjunction: And short-circuits
-    // left-to-right in the generated code, so the upper-triangle half
-    // of the nested loop never pays the 64-wide dot product
-    a.join(b, col("id_a") < col("id_b") && dotProduct("emb_a", "emb_b") >= 0.4)
+    embedNearDupBlocked(Tables.embeddings(s, d))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Block-pair exact cosine threshold join (see [[embedNearDup]]).
+    * B = 8 → 64 balanced tiles; sized for local[32], grows with the
+    * cluster at scale.
+    */
+  def embedNearDupBlocked(emb: DataFrame, tau: Double = 0.4, blocks: Int = 8): DataFrame = {
+    val prepped = emb.select(
+      col("vec_id"), col("embedding"),
+      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("blk"))
+    val partners = sequence(lit(0), lit(blocks - 1))
+    val a = prepped.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("blk").as("blk_a"), explode(partners).as("partner_a"))
+    val b = prepped.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      explode(partners).as("partner_b"), col("blk").as("blk_b"))
+    // cheap id predicate FIRST in the residual conjunction: And
+    // short-circuits in the generated code, so the dropped half of
+    // each tile never pays the 64-wide dot product
+    a.join(b,
+        col("blk_a") === col("partner_b") && col("partner_a") === col("blk_b") &&
+          col("id_a") < col("id_b") && dotProduct("emb_a", "emb_b") >= tau)
       .select(col("id_a"), col("id_b"),
         round(dotProduct("emb_a", "emb_b"), 6).as("cos_sim"))
-      .orderBy("id_a", "id_b")
   }
 
   /** K3-adjacent cluster stats: per-label centroid L2 norm via per-dim

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+/** Streaming as-of enrichment (SURVEY.md §7.6.2): the temporal twin of
+  * the batch [[graft.operators.AsOf]] operator. Facts stream in and
+  * are enriched with the latest dimension version at-or-before their
+  * event time — the reference's whole ingest pattern
+  * (enrichment-at-event-time), expressed as Spark 4
+  * `transformWithState` custom state.
+  *
+  * State design: per key, a time-ordered list of (right_time, payload)
+  * dimension versions in typed `ListState`. Each left row binary-
+  * searches the greatest version ≤ its time — identical semantics to
+  * [[graft.plans.AsOfJoin]]'s forward merge, so a single-batch run
+  * equals the batch operator row-for-row (asserted in StreamJoinSpec).
+  *
+  * Ordering contract (the streaming part that batch doesn't have): a
+  * version must ARRIVE no later than the first fact that should see
+  * it — the standard assumption of changelog enrichment (dimension
+  * updates publish before facts at their effective time). Within one
+  * micro-batch arrival order is irrelevant: rights are folded into
+  * state before any left of that batch is matched, and lefts are
+  * processed in time order.
+  *
+  * Scale: state per key is the key's version history, not the fact
+  * stream — bounded by dimension churn. For unbounded-churn dims, pass
+  * a TTL (versions older than the fact watermark minus the TTL can
+  * never match a future fact once facts arrive in watermark order).
+  */
+object AsOfEnrich {
+
+  /** Tagged union of both streams: `isRight` marks dimension-version
+    * rows; facts carry their payload through to the output.
+    */
+  case class In(key: Long, isRight: Boolean, t: Long, payload: Long)
+
+  /** One enriched fact: the fact's (t, payload) plus the matched
+    * version's (t, payload). Facts with no version at-or-before their
+    * time emit nothing (inner as-of semantics, like the batch
+    * operator).
+    */
+  case class Out(key: Long, lt: Long, lpayload: Long, rt: Long, rpayload: Long)
+
+  class Processor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, In, Out] {
+    @transient private var versions: ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      versions = getHandle.getListState[(Long, Long)]("versions",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[In],
+        timerValues: TimerValues): Iterator[Out] = {
+      val (rights, lefts) = rows.toSeq.partition(_.isRight)
+      val existing = versions.get().toSeq
+      val merged =
+        if (rights.isEmpty) existing.toArray
+        else {
+          // sorted + distinct keeps replayed/duplicate versions from
+          // growing state; ties on t resolve to the greatest payload,
+          // mirroring the batch operator's total right-sort tiebreak
+          val m = (existing ++ rights.map(r => (r.t, r.payload)))
+            .distinct.sorted.toArray
+          versions.put(m)
+          m
+        }
+      lefts.sortBy(l => (l.t, l.payload)).iterator.flatMap { l =>
+        // binary search for the LAST index with rt <= l.t — in the
+        // (t, payload)-sorted array that is also the greatest payload
+        // among rt ties, the batch operator's tiebreak
+        var lo = 0; var hi = merged.length - 1; var best = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (merged(mid)._1 <= l.t) { best = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        if (best < 0) None
+        else Some(Out(key, l.t, l.payload, merged(best)._1, merged(best)._2))
+      }
+    }
+  }
+
+  /** Wire a tagged-union stream through the processor. Requires the
+    * RocksDB state store provider (transformWithState contract).
+    */
+  def enrich(spark: SparkSession, tagged: Dataset[In]): Dataset[Out] = {
+    import spark.implicits._
+    tagged.groupByKey(_.key)
+      .transformWithState(new Processor(), TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -26,6 +26,18 @@ trait ServingStore {
     * MUST be idempotent per batchId (replays happen on recovery).
     */
   def merge(batchId: Long, rows: Seq[ServingStore.CounterRow]): Unit
+
+  /** Executor-side sink for one keyed micro-batch (columns `key`,
+    * `n_events`, `sum_value`): partitions write DIRECTLY from the
+    * tasks — the driver coordinates but never materializes the rows.
+    * Writes are per-key PUTs of running totals (HSET, not HINCRBY),
+    * so task retries and batch replays are idempotent by
+    * construction — the property that makes executor-side writes
+    * safe without a commit protocol. [[merge]] remains for
+    * driver-side callers (tests, DSv2 commit).
+    */
+  def sinkBatch(keyed: DataFrame, batchId: Long): Unit
+
   def snapshot(): Seq[ServingStore.CounterRow]
 }
 
@@ -39,18 +51,49 @@ object ServingStore {
     */
 }
 
-/** Test/serving stub: last-write-wins per key, replay-safe. */
+/** Test/serving stub: last-write-wins per key, replay-safe.
+  *
+  * [[sinkBatch]] writes from the EXECUTORS: each task partition
+  * resolves the store through the static instance registry (the
+  * local-mode stand-in for "open a client connection to the KV
+  * endpoint" — a Redis impl would connect by address here) and PUTs
+  * its rows directly; the closure captures only the store id string.
+  * No row ever rides a collect back to the driver.
+  */
 final class InMemoryServingStore extends ServingStore {
   private val data = new ConcurrentHashMap[String, ServingStore.CounterRow]()
   private val seenBatches = ConcurrentHashMap.newKeySet[Long]()
+  private val storeId: String = java.util.UUID.randomUUID().toString
+  InMemoryServingStore.instances.put(storeId, this)
+
+  private[streaming] def put(r: ServingStore.CounterRow): Unit = data.put(r.key, r)
 
   override def merge(batchId: Long, rows: Seq[ServingStore.CounterRow]): Unit = {
     // replays of an already-applied batch are harmless (HSET semantics)
     seenBatches.add(batchId)
-    rows.foreach(r => data.put(r.key, r))
+    rows.foreach(put)
   }
+
+  override def sinkBatch(keyed: DataFrame, batchId: Long): Unit = {
+    val id = storeId // capture the id, not `this` (not serializable)
+    keyed.select("key", "n_events", "sum_value").foreachPartition {
+      (it: Iterator[Row]) =>
+        val store = InMemoryServingStore.instance(id)
+        it.foreach(r => store.put(
+          ServingStore.CounterRow(r.getString(0), r.getLong(1), r.getDouble(2))))
+    }
+    seenBatches.add(batchId)
+  }
+
   override def snapshot(): Seq[ServingStore.CounterRow] = data.values.asScala.toSeq
   def batchesSeen: Set[Long] = seenBatches.asScala.toSet
+}
+
+object InMemoryServingStore {
+  private val instances = new ConcurrentHashMap[String, InMemoryServingStore]()
+  private[streaming] def instance(id: String): InMemoryServingStore =
+    Option(instances.get(id)).getOrElse(
+      throw new IllegalStateException(s"no serving store '$id' in this JVM"))
 }
 
 /** Durable analog: parquet partitioned by batch_id. Replay-idempotent
@@ -67,6 +110,16 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
       rows.toDF().withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
   }
+
+  /** Executors write their partitions straight to the batch's parquet
+    * directory — the natural distributed form of [[merge]] (which
+    * exists for driver-side callers). Overwrite of exactly this
+    * batch's partition keeps replays idempotent.
+    */
+  override def sinkBatch(keyed: DataFrame, batchId: Long): Unit =
+    keyed.select(col("key"), col("n_events").as("nEvents"),
+        col("sum_value").as("sumValue"))
+      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
 
   /** Latest-batch-wins view of the store. */
   def latest(): DataFrame = {
@@ -114,11 +167,22 @@ object Serving {
       .select(col("w.start").as("bucket"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  def toCounterRows(batch: DataFrame): Seq[ServingStore.CounterRow] =
+  /** (bucket, event_type, n_events, sum_value) → the store's keyed
+    * schema (`key`, `n_events`, `sum_value`), keys per the reference's
+    * `type/granularity/bucket` scheme.
+    */
+  def keyedCounters(batch: DataFrame): DataFrame =
     batch.select(
       concat_ws("/", col("event_type"), lit("hour"),
         date_format(col("bucket"), "yyyy-MM-dd-HH")).as("key"),
       col("n_events"), col("sum_value"))
+
+  /** Driver-side materialization of [[keyedCounters]] — test helper;
+    * the streaming sinks go through [[ServingStore.sinkBatch]] and
+    * never collect.
+    */
+  def toCounterRows(batch: DataFrame): Seq[ServingStore.CounterRow] =
+    keyedCounters(batch)
       .collect().toSeq
       .map(r => ServingStore.CounterRow(r.getString(0), r.getLong(1), r.getDouble(2)))
 
@@ -138,9 +202,10 @@ object Serving {
   }
 
   /** Run the full streaming pipeline to completion (AvailableNow) and
-    * return the store contents. `collect` here is sink-side only — the
-    * aggregate state is tiny by construction (keys × buckets), exactly
-    * like the reference's Redis working set.
+    * return the store contents. The sink is executor-side
+    * ([[ServingStore.sinkBatch]]): tasks PUT their partitions straight
+    * into the store — no driver collect, so key-cardinality growth
+    * never bottlenecks on the driver.
     */
   def runPipeline(spark: SparkSession, sfDir: String, store: ServingStore,
       checkpoint: String): ServingStore = {
@@ -149,7 +214,7 @@ object Serving {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        store.merge(batchId, toCounterRows(batch))
+        store.sinkBatch(keyedCounters(batch), batchId)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -205,12 +270,9 @@ object Serving {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val rows = batch.select(
+        store.sinkBatch(batch.select(
           concat_ws("/", col("event_type"), col("gran"), fmtCol).as("key"),
-          col("n_events"), col("sum_value"))
-          .collect().toSeq
-          .map(r => ServingStore.CounterRow(r.getString(0), r.getLong(1), r.getDouble(2)))
-        store.merge(batchId, rows)
+          col("n_events"), col("sum_value")), batchId)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -239,13 +301,10 @@ object Serving {
         .outputMode("update")
         .option("checkpointLocation", s"$checkpointRoot/$gran")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val rows = batch.select(
+          store.sinkBatch(batch.select(
             concat_ws("/", col("event_type"), lit(gran),
               date_format(col("bucket"), fmt)).as("key"),
-            col("n_events"), col("sum_value"))
-            .collect().toSeq
-            .map(r => ServingStore.CounterRow(r.getString(0), r.getLong(1), r.getDouble(2)))
-          store.merge(batchId, rows)
+            col("n_events"), col("sum_value")), batchId)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

@@ -24,6 +24,7 @@ object TimeQuery {
       graft.Bench.warmCpu(spark)
     } catch { case _: Throwable => }
     val acc = scala.collection.mutable.Map[String, Double]().withDefaultValue(Double.MaxValue)
+    val failed = scala.collection.mutable.Set[String]()
     for (p <- 1 to passes; name <- names) {
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
@@ -32,13 +33,18 @@ object TimeQuery {
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case e: Throwable => println(s"FAIL $name: $e"); false }
           val t = (System.nanoTime() - t0) / 1e9
-          if (ok) acc(name) = math.min(acc(name), t)
+          if (ok) acc(name) = math.min(acc(name), t) else failed += name
           println(f"pass $p $name%-28s $t%8.3f s")
         case None => println(s"unknown query: $name")
       }
     }
     println("--- per-query min ---")
     acc.toSeq.sortBy(-_._2).foreach { case (n, t) => println(f"$t%8.3f  $n") }
+    // a query failing EVERY pass never enters acc — name it loudly so
+    // the min table can't overstate suite health
+    val neverPassed = failed -- acc.keySet
+    if (neverPassed.nonEmpty)
+      println(s"FAILED (no successful pass): ${neverPassed.toSeq.sorted.mkString(", ")}")
     spark.stop()
   }
 }

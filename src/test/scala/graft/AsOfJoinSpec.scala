@@ -24,11 +24,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(p.contains("AsOfJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // exactly the four required exchanges: one per join side, one
+    // a small bounded number of exchanges: one per join side, one
     // inside the clicks (user_id, sec) pre-aggregation, one for the
     // final ORDER BY — and in particular no expand-then-aggregate
     // blow-up like Spark's built-in RewriteAsOfJoin would produce
-    assert("Exchange".r.findAllIn(p).size == 4, p)
+    // (a pair-materializing plan shows up as extra exchanges plus an
+    // Expand/Window; bound rather than pin, so planner-version noise
+    // doesn't false-fail)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges >= 3 && exchanges <= 5, s"$exchanges exchanges:\n$p")
+    assert(!p.contains("Expand"), p)
   }
 
   test("randomized: native exec equals the window-form reference on 2k rows") {

@@ -32,10 +32,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("embedding near-dup is a broadcast nested loop, never cartesian") {
+  test("embedding near-dup is a block-pair equi-join: no BNLJ, no cartesian") {
     val p = planOf("q_embed_near_dup")
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // the tile join is a plain equi-join on (blk_a, blk_b)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("embedding near-dup block decomposition matches the quadratic form exactly") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val quad = a.join(b, col("id_a") < col("id_b") &&
+        graft.queries.LlmOps.dotProduct("emb_a", "emb_b") >= 0.4)
+      .select(col("id_a"), col("id_b"),
+        round(graft.queries.LlmOps.dotProduct("emb_a", "emb_b"), 6).as("cos_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = graft.queries.LlmOps.embedNearDupBlocked(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked == quad,
+      s"missing=${(quad -- blocked).take(5)} extra=${(blocked -- quad).take(5)}")
   }
 
   test("semi/anti joins plan as semi/anti, not as aggregates over joins") {

@@ -49,6 +49,61 @@ class StreamJoinSpec extends SparkSpec {
     assert(got == Set(1L))
   }
 
+  test("streaming as-of enrichment equals the q_asof_native batch twin on fixture data") {
+    import graft.streaming.AsOfEnrich
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the same inputs q_asof_native consumes: purchases as facts,
+    // per-(user, second)-collapsed clicks as dimension versions
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id", "sec").agg(max("event_id").as("click_id"))
+      .select(col("user_id"), lit(true).as("isRight"), col("sec").as("t"),
+        col("click_id").as("payload"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), lit(false).as("isRight"), col("sec").as("t"),
+        col("event_id").as("payload"))
+    val tagged = clicks.unionByName(purchases)
+      .select(col("user_id").as("key"), col("isRight"), col("t"), col("payload"))
+      .as[AsOfEnrich.In].collect()
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[AsOfEnrich.In]
+      val q = AsOfEnrich.enrich(spark, mem.toDS())
+        .writeStream.format("memory").queryName("asof_enrich_t")
+        .outputMode("append")
+        .option("checkpointLocation", SparkEnv.scratchDir("asof-enrich"))
+        .start()
+      // two micro-batches: all versions first, all facts second —
+      // versions from batch 1 must persist in ListState to enrich
+      // batch-2 facts (the cross-batch property a single batch hides)
+      val (b1, b2) = tagged.partition(_.isRight)
+      mem.addData(b1.toSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("asof_enrich_t").as[AsOfEnrich.Out].collect()
+        .map(o => (o.lpayload, o.key, o.rpayload, o.lt - o.rt)).toSet
+      val expected = SparkEntry.queries("q_asof_native")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(expected.nonEmpty)
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("socket source ingests wire JSON events (A4: the ZMQ-SUB stand-in)") {
     import graft.streaming.Ingest
     // a minimal TCP publisher: accepts one connection, writes JSON
