@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.CharNGrams(children(0), children(1))))
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // intercept Spark's own logical AsOfJoin (Dataset.joinAsOf /
+    // pandas merge_asof) before the optimizer's RewriteAsOfJoin
+    // expands it into a pair-materializing join + min_by
+    e.injectPostHocResolutionRule(_ => graft.plans.RewriteSparkAsOfJoin)
   }
 }

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,13 +21,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * O(len) instead of O(n·len) — the difference between fine and OOM
   * when a "document" is a 100 MB crawl page at 100 TB scale.
   *
+  * Codegen (round-4): the generator does NOT fall back — [[doGenCode]]
+  * emits the gram iterator directly, so GenerateExec keeps the whole
+  * stage inside one generated loop (GenerateExec's IterableOnce
+  * template calls `.iterator()` on the produced value and consumes it
+  * inline; a CodegenFallback generator would split the stage). The
+  * produced iterator is never null — a NULL text yields the empty
+  * iterator, which is also the semantics (NULL → no rows).
+  *
   * Semantics (mirrors docTrigrams' padding rule): NULL text or n → no
   * rows; text shorter than n → the whole text once; otherwise
   * len-n+1 grams. Registered as SQL `char_ngrams` via
   * [[graft.GraftExtensions]].
   */
 final case class CharNGrams(text: Expression, n: Expression)
-    extends Generator with CodegenFallback {
+    extends Generator {
 
   override def children: Seq[Expression] = Seq(text, n)
 
@@ -39,26 +48,48 @@ final case class CharNGrams(text: Expression, n: Expression)
     else TypeCheckResult.TypeCheckFailure(
       "char_ngrams expects (text: STRING, n: INT literal)")
 
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val t = text.eval(input)
-    val k0 = n.eval(input)
-    if (t == null || k0 == null) Iterator.empty
+  // n is a foldable literal (enforced above) — evaluate once
+  @transient private lazy val kVal: Int = n.eval() match {
+    case null => -1
+    case k => k.asInstanceOf[Int]
+  }
+
+  /** The lazy gram iterator, shared by interpreted eval and the
+    * generated code (called through an `addReferenceObj` handle).
+    * Never returns null: GenerateExec's codegen template invokes
+    * `.iterator()` on it without a null check.
+    *
+    * Slices by CODE POINTS, not UTF-16 units: java substring would
+    * split surrogate pairs, emitting malformed lone-surrogate "grams"
+    * for any non-BMP character (emoji, CJK-B) and diverging from
+    * codepoint-counting engines like the oracle.
+    */
+  def grams(t: UTF8String): Iterator[InternalRow] = {
+    if (t == null || kVal <= 0) Iterator.empty
     else {
-      val s = t.asInstanceOf[UTF8String].toString
-      val k = k0.asInstanceOf[Int]
-      // Slice by CODE POINTS, not UTF-16 units: java substring would
-      // split surrogate pairs, emitting malformed lone-surrogate
-      // "grams" for any non-BMP character (emoji, CJK-B) and
-      // diverging from codepoint-counting engines like the oracle.
+      val s = t.toString
       val cps = s.codePoints().toArray
-      if (k <= 0) Iterator.empty
-      else if (cps.length < k)
+      if (cps.length < kVal)
         Iterator.single(InternalRow(UTF8String.fromString(s)))
-      else (0 to cps.length - k).iterator.map { i =>
-        InternalRow(UTF8String.fromString(
-          new String(cps, i, k)))
+      else (0 to cps.length - kVal).iterator.map { i =>
+        InternalRow(UTF8String.fromString(new String(cps, i, kVal)))
       }
     }
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] =
+    grams(text.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val textEv = text.genCode(ctx)
+    val ref = ctx.addReferenceObj("charNGrams", this, classOf[CharNGrams].getName)
+    ev.copy(
+      code = code"""
+        ${textEv.code}
+        scala.collection.Iterator<InternalRow> ${ev.value} =
+          $ref.grams(${textEv.isNull} ? null : ${textEv.value});
+      """,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Redis-backed [[ServingStore]] (SURVEY.md §7.6.6 — the reference's
+  * actual serving store, re-expressed): counters live in one Redis
+  * hash per key (`HSET key n_events <v> sum_value <v>`), written with
+  * a PIPELINED dependency-free RESP client over a plain socket — no
+  * Redis driver on the classpath (this environment has zero external
+  * resolution; RESP is a ~50-line wire protocol, so the adapter is a
+  * real client, not a stub).
+  *
+  * Executor-side writes ([[sinkBatch]]): each task partition opens its
+  * own connection — the closure captures only (host, port) — streams
+  * all its HSETs without waiting, then drains the replies. PUTs of
+  * running totals are idempotent, so task retries and batch replays
+  * are safe without a commit protocol (same argument as the other
+  * stores; HSET-not-HINCRBY is what upgrades the reference's
+  * at-least-once increments to exactly-once-observable totals).
+  *
+  * No Redis runs in this environment; RedisStoreSpec drives the
+  * adapter against an in-process fake RESP server (protocol-level
+  * test, same pattern as the socket-source spec).
+  */
+final class RedisServingStore(host: String, port: Int) extends ServingStore {
+
+  override def merge(batchId: Long, rows: Seq[ServingStore.CounterRow]): Unit = {
+    val c = new RespClient(host, port)
+    try c.pipelineHsets(rows) finally c.close()
+  }
+
+  override def sinkBatch(keyed: DataFrame, batchId: Long): Unit = {
+    val (h, p) = (host, port) // capture primitives, not `this`
+    keyed.select("key", "n_events", "sum_value").foreachPartition {
+      (it: Iterator[Row]) =>
+        if (it.nonEmpty) {
+          val c = new RespClient(h, p)
+          try c.pipelineHsets(it.map(r =>
+            ServingStore.CounterRow(r.getString(0), r.getLong(1), r.getDouble(2))))
+          finally c.close()
+        }
+    }
+  }
+
+  /** Full-store read via cursor SCAN + HGETALL per key (the bounded-
+    * batch iteration a production reader uses — never KEYS *).
+    */
+  override def snapshot(): Seq[ServingStore.CounterRow] = {
+    val c = new RespClient(host, port)
+    try {
+      val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cursor = "0"
+      var first = true
+      while (first || cursor != "0") {
+        first = false
+        val reply = c.command("SCAN", cursor, "COUNT", "512")
+        reply match {
+          case Seq(next: String, batch: Seq[_]) =>
+            cursor = next
+            keys ++= batch.collect { case s: String => s }
+          case other => throw new java.io.IOException(s"bad SCAN reply: $other")
+        }
+      }
+      keys.sorted.map { k =>
+        val fields = c.command("HGETALL", k) match {
+          case pairs: Seq[_] =>
+            pairs.collect { case s: String => s }.grouped(2)
+              .collect { case Seq(f, v) => f -> v }.toMap
+          case other => throw new java.io.IOException(s"bad HGETALL reply: $other")
+        }
+        ServingStore.CounterRow(k,
+          fields.getOrElse("n_events", "0").toLong,
+          fields.getOrElse("sum_value", "0").toDouble)
+      }.toSeq
+    } finally c.close()
+  }
+}
+
+/** Minimal RESP2 client: array-of-bulk-string requests, full reply
+  * parse (simple string / error / integer / bulk / array). Enough for
+  * HSET / SCAN / HGETALL / PING — and exactly what any pipelined
+  * counter writer needs.
+  */
+final class RespClient(host: String, port: Int, timeoutMs: Int = 10000) {
+  private val socket = new Socket()
+  socket.connect(new InetSocketAddress(host, port), timeoutMs)
+  socket.setSoTimeout(timeoutMs)
+  private val in = new BufferedInputStream(socket.getInputStream)
+  private val out = new BufferedOutputStream(socket.getOutputStream)
+
+  def close(): Unit = socket.close()
+
+  private def writeCommand(args: Seq[String]): Unit = {
+    out.write(s"*${args.length}\r\n".getBytes(UTF_8))
+    args.foreach { a =>
+      val b = a.getBytes(UTF_8)
+      out.write(s"$$${b.length}\r\n".getBytes(UTF_8))
+      out.write(b); out.write('\r'); out.write('\n')
+    }
+  }
+
+  /** One command, one parsed reply. Replies map to: String (simple or
+    * bulk), Long (integer), null (null bulk), Seq[Any] (array);
+    * `-ERR` raises.
+    */
+  def command(args: String*): Any = {
+    writeCommand(args); out.flush(); readReply(in)
+  }
+
+  /** Pipelining: stream every HSET without waiting, then drain the
+    * replies — one round trip per batch instead of per key.
+    */
+  def pipelineHsets(rows: IterableOnce[ServingStore.CounterRow]): Unit = {
+    var n = 0
+    rows.iterator.foreach { r =>
+      writeCommand(Seq("HSET", r.key,
+        "n_events", r.nEvents.toString, "sum_value", r.sumValue.toString))
+      n += 1
+    }
+    out.flush()
+    (1 to n).foreach(_ => readReply(in)) // surfaces any -ERR as a throw
+  }
+
+  private def readLine(s: InputStream): String = {
+    val sb = new java.lang.StringBuilder
+    var c = s.read()
+    while (c != '\r') {
+      if (c == -1) throw new java.io.EOFException("RESP stream closed")
+      sb.append(c.toChar); c = s.read()
+    }
+    if (s.read() != '\n') throw new java.io.IOException("RESP: CR without LF")
+    sb.toString
+  }
+
+  private def readReply(s: InputStream): Any = s.read() match {
+    case '+' => readLine(s)
+    case '-' => throw new java.io.IOException(s"redis error: ${readLine(s)}")
+    case ':' => readLine(s).toLong
+    case '$' =>
+      val len = readLine(s).toInt
+      if (len < 0) null
+      else {
+        val buf = new Array[Byte](len)
+        var off = 0
+        while (off < len) {
+          val r = s.read(buf, off, len - off)
+          if (r < 0) throw new java.io.EOFException("RESP stream closed")
+          off += r
+        }
+        if (s.read() != '\r' || s.read() != '\n')
+          throw new java.io.IOException("RESP: bulk not CRLF-terminated")
+        new String(buf, UTF_8)
+      }
+    case '*' =>
+      val n = readLine(s).toInt
+      if (n < 0) null else Seq.fill(n)(readReply(s))
+    case other =>
+      throw new java.io.IOException(s"RESP: unknown reply type byte $other")
+  }
+}

@@ -16,4 +16,15 @@ object GraftSqlBridge {
   /** Spark 4 moved `Column.expr` behind the classic converter. */
   def expr(c: Column): catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Surface the `private[sql]` joinAsOf so tests can exercise the
+    * [[graft.plans.RewriteSparkAsOfJoin]] interception of Spark's own
+    * AsOfJoin node (tolerance=null, allowExactMatches=true, backward —
+    * the merge_asof defaults the rule targets).
+    */
+  def joinAsOf(left: DataFrame, right: DataFrame, leftAsOf: Column,
+      rightAsOf: Column, condition: Column, joinType: String): DataFrame =
+    left.asInstanceOf[classic.Dataset[Row]].joinAsOf(
+      right.asInstanceOf[classic.Dataset[_]], leftAsOf, rightAsOf, condition,
+      joinType, null, allowExactMatches = true, "backward")
 }

@@ -36,6 +36,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!p.contains("Expand"), p)
   }
 
+  test("Spark's own joinAsOf API routes to the native merge exec (RewriteSparkAsOfJoin)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l_a"), (1L, 3L, "l_early"), (2L, 10L, "l_nofuture"))
+      .toDF("lk", "lt", "ltag")
+    val right = Seq((1L, 5L, "r_old"), (1L, 9L, "r_new"), (2L, 11L, "r_future"))
+      .toDF("rk", "rt", "rtag")
+    val joined = org.apache.spark.sql.GraftSqlBridge.joinAsOf(
+      left, right, left("lt"), right("rt"), left("lk") === right("rk"), "inner")
+    val p = joined.queryExecution.executedPlan.toString
+    // the injected post-hoc rule replaced Spark's AsOfJoin (which the
+    // optimizer would expand into join + min_by aggregate) with the
+    // merge exec — the physical plan carries AsOfJoin and no aggregate
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+    val got = joined.select("ltag", "rtag").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("l_a", "r_new")), got)
+
+    // shapes the merge exec does NOT implement still work via Spark's
+    // own rewrite: left-outer keeps unmatched left rows
+    val outer = org.apache.spark.sql.GraftSqlBridge.joinAsOf(
+      left, right, left("lt"), right("rt"), left("lk") === right("rk"), "left")
+    // untouched by the rule -> Spark's pair-expand + min_by aggregate
+    assert(outer.queryExecution.executedPlan.toString.contains("Aggregate"),
+      outer.queryExecution.executedPlan.toString)
+    assert(outer.count() == 3, "left outer keeps all left rows")
+  }
+
   test("randomized: native exec equals the window-form reference on 2k rows") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -76,6 +76,34 @@ class PlanSpec extends SparkSpec {
     assert(codegenText.contains("getFloat"), "expected generated float loop")
   }
 
+  test("char_ngrams generator runs inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q_char_ngrams")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = finalPlan.toString
+    // the '*(n)' star marks WholeStageCodegen membership; a
+    // CodegenFallback generator would print an unstarred Generate
+    // (the node prints its prettyName, 'charngrams')
+    assert("""\*\(\d+\) Generate charngrams""".r.findFirstIn(s).isDefined,
+      s"expected codegen'd Generate:\n$s")
+  }
+
+  test("language-ID scoring scan stays in one WholeStageCodegen span") {
+    val docs = Tables.documents(spark, sf)
+    val model = graft.operators.TextAnalysis.cachedTrigramModel(docs, sf)
+    val scored = graft.operators.TextAnalysis.scoreWithModel(docs, model)
+    scored.collect()
+    val p = scored.queryExecution.executedPlan.toString
+    assert(p.contains("lang_id_score"), p)
+    // scan -> filter -> score projection all carry the same codegen id
+    val stages = """\*\((\d+)\)""".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(stages == Set("1"), s"expected one codegen span, got $stages:\n$p")
+  }
+
   test("range join uses the bucket equi-join, not a pure theta join") {
     val p = planOf("q_range_join")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
