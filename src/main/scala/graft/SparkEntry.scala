@@ -13,7 +13,8 @@ object SparkEntry {
       graft.operators.Similarity.all ++ graft.operators.TextAnalysis.all ++
       graft.operators.Multimodal.all ++ graft.queries.Temporal.all ++
       graft.queries.StreamingQueries.all ++ graft.queries.Functions.all ++
-      graft.queries.TpcH.all ++ graft.queries.Functions2.all
+      graft.queries.TpcH.all ++ graft.queries.Functions2.all ++
+      graft.queries.Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

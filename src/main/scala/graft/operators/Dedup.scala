@@ -253,7 +253,9 @@ object Dedup {
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     var prevSum = labelSum(labels)
-    var converged = labels.head(1).isEmpty
+    // no explicit empty check: an empty label set converges after one
+    // (empty, near-free) round — cheaper than an extra action per call
+    var converged = false
     while (!converged) {
       val nbr = sym
         .join(labels.select(col("node").as("dst"), col("label").as("dst_label")), Seq("dst"))

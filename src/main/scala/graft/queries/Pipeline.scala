@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline endgame ops (prompt's LLM-pipeline list,
+  * SURVEY.md §2 K-family extensions): the steps that sit between
+  * "cleaned corpus" and "training shards" in a 100 TB pipeline —
+  * PII-style redaction, repetition filtering, deterministic
+  * train/val/test splitting, and sequence packing. All four are
+  * single-scan or shard-parallel plans with exact DuckDB oracles.
+  */
+object Pipeline {
+
+  /** PII-style lexicon redaction (the C4/CCNet scrub step). The
+    * fixtures carry no real PII, so a lexicon term stands in for the
+    * pattern — the machinery under test is global regex replacement
+    * with word boundaries and per-source audit counts, a pure
+    * projection that scales as one codegen'd scan, no shuffle beyond
+    * the final per-source rollup.
+    *
+    * Redaction count is derived from the length delta (avoids
+    * regexp_count portability): the pattern is fixed-width, so
+    * (len(text) - len(scrubbed)) / len(term) is exact in both engines.
+    */
+  val piiRedact = DeclaredQuery(
+    "q_pii_redact",
+    """WITH r AS (
+      |  SELECT source,
+      |         len(text) AS l0,
+      |         len(regexp_replace(text, '\bcustomer\b', '', 'g')) AS l1
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(*) FILTER (WHERE l0 > l1) AS BIGINT) AS docs_hit,
+      |  CAST(sum((l0 - l1) / 8) AS BIGINT) AS n_redactions,
+      |  CAST(sum(l1) AS BIGINT) AS sum_scrubbed_chars
+      |FROM r
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("source"),
+        length(col("text")).as("l0"),
+        length(regexp_replace(col("text"), "\\bcustomer\\b", "")).as("l1"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("l0") > col("l1"), 1)).as("docs_hit"),
+        sum(((col("l0") - col("l1")) / 8).cast("long")).as("n_redactions"),
+        sum(col("l1")).cast("long").as("sum_scrubbed_chars"))
+      .orderBy("source")
+  }
+
+  /** Repetition filter (the Gopher "top n-gram fraction" rule): the
+    * share of a doc's token trigrams taken by its single most frequent
+    * trigram — high values flag boilerplate/spam. Rides the codegen'd
+    * `token_ngrams` generator straight into a two-level aggregate;
+    * linear, one scan, shuffles only (doc, trigram) partial counts.
+    * Fixture docs all have ≥ 10 tokens, so the generator's short-text
+    * fallback never fires and the plain SQL trigram form is the exact
+    * oracle.
+    */
+  val topNgramFraction = DeclaredQuery(
+    "q_top_ngram_fraction",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tri AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) s),
+      |cnt AS (SELECT doc_id, g, count(*) AS n FROM tri GROUP BY doc_id, g),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
+      |         CAST(max(n) AS BIGINT) AS n_top
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n_trigrams, n_top,
+      |       round(CAST(n_top AS DOUBLE) / n_trigrams, 6) AS top_frac
+      |FROM agg
+      |ORDER BY top_frac DESC, doc_id
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.shingleRows(Tables.documents(s, d))
+      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_trigrams"), max("n").as("n_top"))
+      .select(
+        col("doc_id"), col("n_trigrams"), col("n_top"),
+        round(col("n_top").cast("double") / col("n_trigrams"), 6).as("top_frac"))
+      .orderBy(col("top_frac").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Deterministic train/val/test split by content hash — the split a
+    * 100 TB pipeline needs (reproducible, no RNG state, stable under
+    * re-partitioning and re-runs; near-dup docs land together only if
+    * byte-identical, which is what content-hash splitting promises).
+    * md5 hex is identical in Spark and DuckDB, so the assignment
+    * itself is oracle-checked, not just the counts' plausibility.
+    * Pure scan + 3-group rollup.
+    */
+  val hashSplit = DeclaredQuery(
+    "q_hash_split",
+    """WITH s AS (
+      |  SELECT CASE WHEN substring(md5(text), 1, 2) < '05' THEN 'validation'
+      |              WHEN substring(md5(text), 1, 2) < '0a' THEN 'test'
+      |              ELSE 'train' END AS split,
+      |         n_chars
+      |  FROM documents)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        when(substring(md5(col("text")), 1, 2) < "05", "validation")
+          .when(substring(md5(col("text")), 1, 2) < "0a", "test")
+          .otherwise("train").as("split"),
+        col("n_chars"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("split")
+  }
+
+  /** Sequence packing: assign docs to fixed-token-budget training
+    * sequences by running token count, one packing stream per lang
+    * shard. Packing is inherently sequential WITHIN a stream, so the
+    * scale form is exactly this shape — parallel across shards
+    * (lang/source/date partitions at 100 TB), a window cumsum within
+    * each — not a global single-partition sort. A doc whose tokens
+    * straddle a budget boundary opens the next bin (streaming
+    * first-fit; bins may overfill by < 1 doc, never underfill).
+    */
+  val packSequences = DeclaredQuery(
+    "q_pack_sequences",
+    """WITH t AS (
+      |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, doc_id, n_tok,
+      |         sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |                          ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT lang, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS bin,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+      |FROM c
+      |GROUP BY lang, bin
+      |ORDER BY lang, bin""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .select(col("lang"),
+        floor((col("cum") - col("n_tok")) / 512.0).cast("long").as("bin"),
+        col("n_tok"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  val all: Seq[DeclaredQuery] =
+    Seq(piiRedact, topNgramFraction, hashSplit, packSequences)
+}
