@@ -177,21 +177,28 @@ final class KvScan(storeName: String, filters: Array[Filter],
       agg.map(a => s" PushedAggregates=[${a.aggregateExpressions.mkString(", ")}]")
         .getOrElse("")
 
-  /** The snapshot is filtered at planning time (the "server side" of
-    * this source) and split into CONTIGUOUS key ranges — one per
-    * partition, exactly as a range-partitioned KV store / Redis hash
-    * slot would serve them.
+  /** Planning touches METADATA only: the matching key set (what a
+    * remote KV exposes as SCAN keys / hash-slot topology) is consulted
+    * to choose contiguous range boundaries, and each partition carries
+    * just `[lo, hi)` key bounds + the pushed filters. Row payloads are
+    * fetched by the PartitionReaders at execution time, executor-side —
+    * the shape a remote-KV implementation must have (a partition that
+    * serialized rows at planning time would funnel the whole store
+    * through the driver).
+    *
+    * The pushed-aggregate path stays planning-side by design: with
+    * complete pushdown the "server" answers the aggregate (here the
+    * registry is the server stand-in) and the scan emits one row.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val rows = KvSourceProvider.lookup(storeName).filter { r =>
-      filters.forall {
-        case StringStartsWith("key", p) => r.key.startsWith(p)
-        case EqualTo("key", v: String) => r.key == v
-        case _ => true
-      }
-    }.sortBy(_.key)
+    def matches(key: String): Boolean = filters.forall {
+      case StringStartsWith("key", p) => key.startsWith(p)
+      case EqualTo("key", v: String) => key == v
+      case _ => true
+    }
     agg match {
       case Some(a) =>
+        val rows = KvSourceProvider.lookup(storeName).filter(r => matches(r.key))
         // the "server side" answers the aggregate: one partition, one row
         val values: Seq[Any] = a.aggregateExpressions.toSeq.map {
           case _: CountStar => rows.size.toLong
@@ -208,30 +215,38 @@ final class KvScan(storeName: String, filters: Array[Filter],
         return Array(KvAggPartition(values))
       case None => ()
     }
-    if (rows.isEmpty) Array(KvInputPartition(Nil))
+    val keys = KvSourceProvider.lookup(storeName).iterator
+      .map(_.key).filter(matches).toIndexedSeq.sorted
+    if (keys.isEmpty) Array.empty
     else {
-      // index-balanced contiguous ranges: exactly `slices` non-empty
-      // partitions (ceil-based grouped() can collapse one when the
-      // row count sits just above a multiple of the slice count)
-      val slices = math.min(4, rows.size)
+      // index-balanced contiguous ranges over the sorted key space;
+      // the last range is unbounded above so late-arriving keys in a
+      // live store still land in exactly one partition
+      val slices = math.min(4, keys.size)
       (0 until slices).map { i =>
-        KvInputPartition(rows.slice(i * rows.size / slices,
-          (i + 1) * rows.size / slices))
+        val lo = keys(i * keys.size / slices)
+        val hi =
+          if (i == slices - 1) None else Some(keys((i + 1) * keys.size / slices))
+        KvInputPartition(storeName, lo, hi)
       }.toArray
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(required)
+    new KvReaderFactory(required, filters)
 }
 
-final case class KvInputPartition(rows: Seq[ServingStore.CounterRow])
+/** A contiguous key range `[lo, hi)` of one store — no row payloads;
+  * the reader fetches them executor-side. `hi = None` = unbounded.
+  */
+final case class KvInputPartition(
+    storeName: String, lo: String, hi: Option[String])
     extends InputPartition
 
 /** A fully-aggregated result: one row of pre-computed values. */
 final case class KvAggPartition(values: Seq[Any]) extends InputPartition
 
-final class KvReaderFactory(required: StructType)
+final class KvReaderFactory(required: StructType, filters: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
     case KvAggPartition(values) => new PartitionReader[InternalRow] {
@@ -243,8 +258,23 @@ final class KvReaderFactory(required: StructType)
     case p: KvInputPartition => createRowReader(p)
   }
 
+  /** Executor-side fetch of one key range (the remote-KV analogue is a
+    * server-side SCAN over `[lo, hi)` with the filter pushed along).
+    * Filters are re-applied here: range bounds were chosen from the
+    * matching key set, but the range may interleave non-matching keys
+    * that live between two matching ones.
+    */
   private def createRowReader(partition: KvInputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.rows.iterator
+    val rows = KvSourceProvider.lookup(partition.storeName).iterator
+      .filter { r =>
+        r.key >= partition.lo && partition.hi.forall(r.key < _) &&
+          filters.forall {
+            case StringStartsWith("key", p) => r.key.startsWith(p)
+            case EqualTo("key", v: String) => r.key == v
+            case _ => true
+          }
+      }
+      .toIndexedSeq.sortBy(_.key).iterator
     val fields = required.fieldNames
     new PartitionReader[InternalRow] {
       private var current: ServingStore.CounterRow = _

@@ -64,6 +64,28 @@ class TokenNGramsSpec extends SparkSpec {
     assert(got == oldGot, s"old form disagrees: $oldGot")
   }
 
+  test("token_ngrams matches the old expression on seeded random text") {
+    import spark.implicits._
+    // adversarial alphabet: multi-byte chars, runs of spaces (empty
+    // tokens), leading/trailing spaces, single chars
+    val rnd = new scala.util.Random(7)
+    val pieces = Array("a", "bb", "é", "😀", "wörld", "", " ")
+    val texts = (1L to 300L).map { id =>
+      val s = Seq.fill(rnd.nextInt(12))(pieces(rnd.nextInt(pieces.length)))
+        .mkString(rnd.nextInt(3) match { case 0 => " "; case 1 => "  "; case _ => " " })
+      (id, s)
+    }
+    val df = texts.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val neu = df.select(col("doc_id"), expr(s"token_ngrams(text, $n)"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+      val old = oldShingleRows(df, n)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .filter(_._3 != null).sorted
+      assert(neu.sameElements(old), s"n=$n mismatch")
+    }
+  }
+
   test("token_ngrams generator runs inside whole-stage codegen") {
     val df = Dedup.shingleRows(Tables.documents(spark, sf))
       .groupBy("shingle").count().orderBy(desc("count")).limit(5)
