@@ -38,6 +38,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.TokenNGrams].getName, "token_ngrams"),
       (children: Seq[Expression]) =>
         graft.functions.TokenNGrams(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) =>
+        graft.functions.MinHashSig(children(0),
+          graft.functions.ShingleScan.foldedInt(children(1), "minhash_sig n"),
+          graft.functions.ShingleScan.foldedInt(children(2), "minhash_sig k"))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) =>
+        graft.functions.SimHash64(children(0),
+          graft.functions.ShingleScan.foldedInt(children(1), "simhash64 n"))))
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // intercept Spark's own logical AsOfJoin (Dataset.joinAsOf /

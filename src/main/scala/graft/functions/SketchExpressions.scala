@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole-signature sketch expressions (SURVEY.md §2 J3/K2): compute a
+  * document's MinHash signature / SimHash fingerprint in ONE pass over
+  * the text, per row, no explode and no shuffle.
+  *
+  * Why expressions and not the relational explode→groupBy form: the
+  * sketch of one document depends only on that document, so routing
+  * ~50 shingle rows per doc through a hash-aggregate exchange buys
+  * nothing — it was the widest shuffle in the dedup pipelines. These
+  * stay inside the scan's whole-stage-codegen span; the relational
+  * forms remain in [[graft.operators.Dedup]]/tests as the parity
+  * reference (specs assert bit-identical results).
+  *
+  * Hash-compatibility contract (tested): shingle fingerprints equal
+  * `xxhash64(shingle)` (XXH64 over the UTF-8 bytes, seed 42) and
+  * minhash family members equal `xxhash64(lit(i), fingerprint)` (seed
+  * chained through `XXH64.hashInt(i, 42)` then `hashLong`) — so
+  * sketches from the expression and the relational pipeline can be
+  * mixed, cached, and compared freely.
+  *
+  * Tokenization matches [[TokenNGrams]]: split on single spaces,
+  * empty tokens kept, each shingle a contiguous byte range of the
+  * text; fewer than n tokens → the whole text once. NULL text → NULL.
+  */
+private[graft] object ShingleScan {
+  /** Visit each n-token shingle of `t` as a zero-copy UTF8String slice. */
+  def foreachShingle(t: UTF8String, n: Int)(f: UTF8String => Unit): Unit = {
+    val bytes = t.getBytes
+    val nb = bytes.length
+    var nSp = 0
+    var i = 0
+    while (i < nb) { if (bytes(i) == 0x20) nSp += 1; i += 1 }
+    if (nSp + 1 <= n) { f(UTF8String.fromBytes(bytes, 0, nb)); return }
+    val sp = new Array[Int](nSp)
+    var j = 0; i = 0
+    while (i < nb) { if (bytes(i) == 0x20) { sp(j) = i; j += 1 }; i += 1 }
+    var p = 0
+    val last = nSp + 1 - n
+    while (p <= last) {
+      val start = if (p == 0) 0 else sp(p - 1) + 1
+      val end = if (p + n - 1 < nSp) sp(p + n - 1) else nb
+      f(UTF8String.fromBytes(bytes, start, end - start))
+      p += 1
+    }
+  }
+
+  /** Evaluate a foldable INT argument at function-registration time. */
+  def foldedInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be an INT literal")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$what must be an INT literal, got $other")
+    }
+  }
+}
+
+/** `minhash_sig(text, n, k)` → ARRAY<BIGINT>: k minhashes over the
+  * doc's n-token shingles, bit-identical to the relational
+  * `min(xxhash64(lit(i), xxhash64(shingle)))` pipeline.
+  */
+final case class MinHashSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+
+  require(n > 0 && k > 0, "minhash_sig: n and k must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  // seed_i = XXH64.hashInt(i, 42) — the exact seed chain of
+  // xxhash64(lit(i), h) with an integer literal first argument
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
+
+  /** Shared by interpreted eval and generated code (addReferenceObj). */
+  def sig(t: UTF8String): GenericArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    ShingleScan.foreachShingle(t, n) { sh =>
+      val base = XXH64.hashUTF8String(sh, 42L)
+      var i = 0
+      while (i < k) {
+        val h = XXH64.hashLong(base, seeds(i))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(t: Any): Any = sig(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.sig($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `simhash64(text, n)` → BIGINT: Charikar SimHash over the doc's
+  * DISTINCT n-token-shingle fingerprints (per-bit ±1 vote, sign →
+  * bit), matching the relational 64-sum-aggregate form bit-for-bit.
+  */
+final case class SimHash64(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, "simhash64: n must be positive")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  /** Shared by interpreted eval and generated code (addReferenceObj). */
+  def fp(t: UTF8String): Long = {
+    // per-doc distinct shingle set: docs are bounded (≤ ~100 shingles
+    // in fixtures; one web page at 100 TB), so a heap set per row is
+    // fine and dies young
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val counts = new Array[Int](64)
+    ShingleScan.foreachShingle(t, n) { sh =>
+      val h = XXH64.hashUTF8String(sh, 42L)
+      if (seen.add(h)) {
+        var b = 0
+        while (b < 64) {
+          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override def nullSafeEval(t: Any): Any = fp(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash64", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.fp($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

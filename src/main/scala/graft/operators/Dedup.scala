@@ -69,10 +69,12 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
     val r = k / bands
-    // duplicate shingles are harmless under min — skip the distinct
-    val sigs = minhashSignatures(shingleRows(docs).select("doc_id", "shingle"), k)
+    // whole-signature expression: one codegen'd pass per doc, NO
+    // explode/groupBy shuffle (bit-identical to minhashSignatures —
+    // SketchExprSpec asserts it)
+    val sigs = docs.select(col("doc_id"), expr(s"minhash_sig(text, 3, $k)").as("sig"))
     val bandStructs = (0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
+      val cols = (b * r until (b + 1) * r).map(i => element_at(col("sig"), i + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("band_sig"))
     }
     val bucketed = sigs.select(col("doc_id"),
@@ -173,23 +175,13 @@ object Dedup {
     * Implemented relationally (explode shingle × bit) so it scales the
     * same way as minhash; the bit loop is a 64-element array expr.
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    // distinct per-doc FINGERPRINTS, not shingle strings: the dedup
-    // rides map-side partial aggregation over two longs instead of
-    // shuffling shingle text (same set semantics as before up to a
-    // 64-bit hash collision within one doc, ~1e-9 at fixture scale)
-    val sh = shingleRows(docs)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h")).distinct()
-    // 64 parallel codegen'd sum-aggregates (one shuffle of doc_id →
-    // 64 ints) instead of a ×64 row explosion — ~5× faster measured.
-    val bitAggs = (0 until 64).map(b =>
-      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
-    val sums = sh.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val hashCol = (0 until 64)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _) // distinct bits: sum == bitwise OR
-    sums.select(col("doc_id"), hashCol.as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    // whole-fingerprint expression: one codegen'd pass per doc, zero
+    // shuffles (the round-3 form shuffled distinct (doc, hash) pairs
+    // then 64 sum-aggregates; SketchExprSpec asserts bit-parity with
+    // that relational form). NULL-text docs are absent, as before.
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("simhash64(text, 3)").as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using
     * 16-bit block bucketing (pigeonhole: dist ≤ 3 ⇒ ≥1 of 4 blocks

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Whole-signature sketch expressions vs their relational reference
+  * forms: bit-identical minhash signatures and simhash fingerprints,
+  * null semantics, codegen membership.
+  */
+class SketchExprSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("minhash_sig equals the relational explode/groupBy signatures bit-for-bit") {
+    val k = 32
+    val viaExpr = docs
+      .select(col("doc_id"), expr(s"minhash_sig(text, 3, $k)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val viaRel = Dedup.minhashSignatures(
+      Dedup.shingleRows(docs).select("doc_id", "shingle"), k)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(i => r.getLong(i)).toVector)
+      .toMap
+    assert(viaExpr.keySet == viaRel.keySet)
+    viaRel.foreach { case (id, sig) =>
+      assert(viaExpr(id) == sig, s"doc $id signature differs")
+    }
+  }
+
+  test("simhash64 equals the relational 64-sum-aggregate form bit-for-bit") {
+    // the round-3 relational reference: distinct (doc, shingle-hash)
+    // pairs → 64 per-bit ±1 sums → sign bits
+    val sh = Dedup.shingleRows(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h")).distinct()
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val hashCol = (0 until 64)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val viaRel = sh.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), hashCol.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = Dedup.simhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaRel)
+  }
+
+  test("null text yields null sketches; empty text yields defined ones") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val r = df.selectExpr("doc_id", "minhash_sig(text, 3, 4) AS sig",
+      "simhash64(text, 3) AS fp").orderBy("doc_id").collect()
+    assert(r(0).isNullAt(1) && r(0).isNullAt(2))
+    assert(!r(1).isNullAt(1) && !r(1).isNullAt(2))
+    assert(r(2).getSeq[Long](1).size == 4)
+    // Dedup.simhash drops NULL-text docs (matching the old relational
+    // row set)
+    assert(Dedup.simhash(df).count() == 2)
+  }
+
+  test("sketch expressions evaluate inside whole-stage codegen") {
+    val df = docs.select(expr("minhash_sig(text, 3, 8)").as("sig"),
+      expr("simhash64(text, 3)").as("fp"))
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = finalPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(s).isDefined &&
+      s.contains("minhash_sig") && s.contains("simhash64"),
+      s"expected codegen'd Project with both sketch expressions:\n$s")
+  }
+}
