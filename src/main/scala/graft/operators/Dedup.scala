@@ -67,18 +67,25 @@ object Dedup {
     * (no per-band shuffle); the explode is only ×b over one row per
     * doc.
     */
-  def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+  /** The b per-band (band, band_sig) structs over a `sig` array
+    * column — shared by the batch pipeline and the streaming twin
+    * ([[graft.streaming.StreamDedup]]).
+    */
+  private[graft] def bandStructs(k: Int, bands: Int) = {
     val r = k / bands
+    (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => element_at(col("sig"), i + 1))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("band_sig"))
+    }
+  }
+
+  def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
     // whole-signature expression: one codegen'd pass per doc, NO
     // explode/groupBy shuffle (bit-identical to minhashSignatures —
     // SketchExprSpec asserts it)
     val sigs = docs.select(col("doc_id"), expr(s"minhash_sig(text, 3, $k)").as("sig"))
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => element_at(col("sig"), i + 1))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("band_sig"))
-    }
     val bucketed = sigs.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bb"))
+      explode(array(bandStructs(k, bands): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.band_sig"))
     // Within-bucket pair generation instead of a bucket self-join: the
     // self-join form scans the signature relation twice (the two sides'
@@ -152,6 +159,15 @@ object Dedup {
     // persist so the LSH pipeline runs once. NB CacheManager holds
     // the blocks until unpersist/clearCache (Bench clears per run).
     val cand = minhashCandidates(docs).persist()
+    verifyCandidates(docs, cand, tau)
+  }
+
+  /** Exact shingle-set Jaccard verify over any `(id_a, id_b)`
+    * candidate relation (batch LSH candidates, the streaming dedup
+    * gate's output, an external blocker): re-shingles only candidate
+    * docs, joins per-doc fingerprint sets, keeps pairs ≥ tau.
+    */
+  def verifyCandidates(docs: DataFrame, cand: DataFrame, tau: Double = 0.5): DataFrame = {
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
     val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")

@@ -54,5 +54,50 @@ object StreamingQueries {
       .orderBy("key")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(streamHourly, streamMultiGran)
+  /** Continuous near-dup detection pushed through the judged gate:
+    * stream the documents table through the transformWithState LSH
+    * bucket index ([[graft.streaming.StreamDedup]]) to completion,
+    * then exact-verify the streamed candidates against the static
+    * table — the result equals `q_minhash_near_dups` row-for-row
+    * (StreamDedupSpec asserts candidate-set equality; this query is
+    * the end-to-end form). Rows-only check: minhash bucketing is not
+    * expressible in the oracle's SQL.
+    */
+  val streamNearDups = DeclaredQuery.noOracle("q_stream_near_dups") { (s, d) =>
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    // transformWithState requires the RocksDB provider
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val qname = "stream_near_dups_cand"
+    try {
+      val docsStream = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select(col("doc_id"), col("text"))
+      val q = graft.streaming.StreamDedup.candidates(docsStream)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", graft.SparkEnv.scratchDir("graft-stream-dedup-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+    val cand = s.table(qname)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    graft.operators.Dedup
+      .verifyCandidates(graft.Tables.documents(s, d), cand)
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(streamHourly, streamMultiGran, streamNearDups)
 }

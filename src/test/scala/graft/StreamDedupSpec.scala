@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.StreamDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming MinHash-LSH dedup: the continuous candidate stream over
+  * micro-batches equals the batch LSH pipeline's candidate set on the
+  * same corpus, and replayed docs emit nothing new.
+  */
+object StreamDedupSpec {
+  case class Doc(doc_id: Long, text: String)
+}
+
+class StreamDedupSpec extends SparkSpec {
+  import StreamDedupSpec.Doc
+
+  private def withRocksDb[A](f: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("streamed candidates across micro-batches equal the batch LSH candidate set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.select(col("doc_id"), col("text")).as[Doc].collect()
+
+    val expected = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture should plant near-dup candidates")
+
+    withRocksDb {
+      val mem = MemoryStream[Doc]
+      val q = StreamDedup.candidates(mem.toDF())
+        .writeStream.format("memory").queryName("stream_dedup_t")
+        .outputMode("append")
+        .option("checkpointLocation", SparkEnv.scratchDir("stream-dedup"))
+        .start()
+      // three micro-batches; the last replays batch 2 entirely —
+      // replays must emit no new candidates
+      val (b1, rest) = rows.partition(_.doc_id % 3 == 0)
+      mem.addData(b1.toSeq)
+      q.processAllAvailable()
+      mem.addData(rest.toSeq)
+      q.processAllAvailable()
+      mem.addData(rest.toSeq) // replay
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("stream_dedup_t").as[StreamDedup.CandPair].collect()
+        .map(p => (math.min(p.id_a, p.id_b), math.max(p.id_a, p.id_b))).toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
+  test("q_stream_near_dups equals q_minhash_near_dups end-to-end") {
+    val stream = SparkEntry.queries("q_stream_near_dups")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = SparkEntry.queries("q_minhash_near_dups")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty)
+    assert(stream == batch,
+      s"missing=${(batch -- stream).take(5)} extra=${(stream -- batch).take(5)}")
+  }
+}
