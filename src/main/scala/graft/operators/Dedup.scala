@@ -271,7 +271,10 @@ object Dedup {
       val next = labels.join(nbr, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true) // cut lineage each round
+        // LAZY checkpoint: the labelSum action right below both
+        // materializes the cut-lineage blocks and computes the
+        // convergence sum — one job per round instead of two
+        .localCheckpoint(false)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
