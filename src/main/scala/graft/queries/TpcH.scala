@@ -438,6 +438,63 @@ object TpcH {
         count(lit(1)).as("n"))
   }
 
+  /** Q8 national market share — previously listed as fixture-blocked,
+    * but unlike Q2/9/11/12/16/20/21 it needs no partsupp /
+    * l_shipmode / l_commitdate: every referenced column ships in the
+    * fixtures (p_type stands in with the planted category values).
+    * Plan shape: the two nation dims and region broadcast; the
+    * fact-side three-way lineitem⋈orders⋈customer chain shuffles on
+    * its join keys once each; conditional-ratio aggregate rides the
+    * same decimal-exact pattern as Q14.
+    */
+  val q8 = DeclaredQuery(
+    "q_tpch_q8",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+      |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))
+      |      ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
+      |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)
+      |    AS mkt_share
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("nation"))
+    // only the fixed-cardinality dims (nation ×2, region) are hinted
+    // broadcast; part/supplier/customer grow with SF — AQE picks
+    // broadcast for them when they fit, shuffle joins when they don't
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n1_region") === col("r_regionkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg((sum(when(col("nation") === "NATION_7", rev)
+          .otherwise(lit(0).cast("decimal(22,4)"))).cast("double") /
+        sum(rev).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
-    q3, q4, q5, q6, q7, q10, q13, q14, q15, q17, q18, q19, q22)
+    q3, q4, q5, q6, q7, q8, q10, q13, q14, q15, q17, q18, q19, q22)
 }
