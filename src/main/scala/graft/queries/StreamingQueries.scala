@@ -70,10 +70,17 @@ object StreamingQueries {
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
     val key = "spark.sql.streaming.stateStore.providerClass"
+    val partKey = "spark.sql.shuffle.partitions"
     val prev = s.conf.getOption(key)
+    val prevParts = s.conf.get(partKey)
     // transformWithState requires the RocksDB provider
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // state partition count is fixed at query start: each one is a
+    // RocksDB instance, so right-size to the stream rather than the
+    // session's CPU count (at scale this is sized to state VOLUME;
+    // the checkpoint is fresh per run, so the choice is free here)
+    s.conf.set(partKey, "8")
     val qname = "stream_near_dups_cand"
     try {
       val docsStream = s.readStream.schema(docSchema)
@@ -86,9 +93,12 @@ object StreamingQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally prev match {
-      case Some(p) => s.conf.set(key, p)
-      case None => s.conf.unset(key)
+    } finally {
+      s.conf.set(partKey, prevParts)
+      prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
     }
     val cand = s.table(qname)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
