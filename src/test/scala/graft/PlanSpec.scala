@@ -152,6 +152,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("pii redaction scan reads only the two referenced columns") {
+    val p = planOf("q_pii_redact")
+    assert(p.contains("ReadSchema: struct<text:string,source:string>") ||
+      p.contains("ReadSchema: struct<source:string,text:string>"), p)
+  }
+
+  test("sequence packing windows per shard — no single-partition exchange") {
+    val p = planOf("q_pack_sequences")
+    assert(!p.contains("SinglePartition"),
+      s"packing must partition by shard, not globally:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("tpch q8 broadcasts the fixed dims and keeps every join equi") {
+    val p = planOf("q_tpch_q8")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed (bounded theta joins against
     // a broadcast side); an unbounded CartesianProduct never is.
