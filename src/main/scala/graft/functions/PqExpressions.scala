@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType}
+
+/** Product-quantization model parameters (SURVEY.md §2 K3): m
+  * subspaces × ksub centroids × dsub dims. Codes are m bytes per
+  * vector — a 64-dim float32 embedding (256 B) compresses 32× to an
+  * 8-byte code, which is what lets a 100 TB embedding corpus's search
+  * structure live in a fraction of the memory (the classic
+  * Jégou/Douze/Schmid PQ design). Trained per-subspace with seeded
+  * KMeans; carried into the expressions as a broadcast-style
+  * reference object, like [[LangIdScore]]'s trigram model.
+  */
+final case class PqModel(
+    m: Int, dsub: Int, ksub: Int,
+    cents: Array[Array[Array[Float]]]) // [m][ksub][dsub]
+  extends Serializable {
+  require(ksub <= 256, "PQ codes are one byte per subspace")
+
+  /** Nearest-centroid code per subspace (squared L2). */
+  def encode(v: ArrayData): Array[Byte] = {
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val cs = cents(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val t = v.getFloat(s * dsub + j) - cent(j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** Asymmetric distance: squared L2 between the raw query and the
+    * candidate's reconstruction from its code.
+    */
+  def adc(codes: Array[Byte], q: ArrayData): Double = {
+    var d = 0.0
+    var s = 0
+    while (s < m) {
+      val cent = cents(s)(codes(s) & 0xff)
+      var j = 0
+      while (j < dsub) {
+        val t = q.getFloat(s * dsub + j) - cent(j)
+        d += t * t
+        j += 1
+      }
+      s += 1
+    }
+    d
+  }
+}
+
+/** `PqEncode(embedding)` → BINARY (m bytes): quantize a float vector
+  * to its PQ code. One codegen'd pass per row; the model rides an
+  * `addReferenceObj` handle.
+  */
+final case class PqEncode(child: Expression, model: PqModel)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    model.encode(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqModel", model, classOf[PqModel].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.encode($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** `PqAdcDist(codes, query)` → DOUBLE: asymmetric squared-L2 distance
+  * between a PQ code and a raw query vector.
+  */
+final case class PqAdcDist(left: Expression, right: Expression, model: PqModel)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_dist"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY, ARRAY<FLOAT>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(codes: Any, q: Any): Any =
+    model.adc(codes.asInstanceOf[Array[Byte]], q.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqModel", model, classOf[PqModel].getName)
+    nullSafeCodeGen(ctx, ev, (c, q) => s"${ev.value} = $ref.adc($c, $q);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDist =
+    copy(left = newLeft, right = newRight)
+}

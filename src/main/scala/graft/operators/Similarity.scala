@@ -192,6 +192,75 @@ object Similarity {
           .limit(0)
     }
 
+  /** Product-quantization ANN (the memory-compressed scale path):
+    * vectors quantize to m one-byte codes (32× compression at
+    * Dim=64/m=8 — the structure that keeps a 100 TB embedding
+    * corpus's search set in memory), search is a linear ADC scan over
+    * codes + exact re-rank of the top-R by original vectors.
+    *
+    *  - [[trainPq]] — m seeded per-subspace KMeans fits (the PQ
+    *    codebook is model parameters: m×ksub×dsub floats,
+    *    driver-resident at any corpus size).
+    *  - [[pqTopK]] — encode candidates once ([[graft.functions.PqEncode]],
+    *    codegen'd), broadcast the query set, rank by asymmetric
+    *    distance ([[graft.functions.PqAdcDist]]), then re-rank the
+    *    top-R approx hits exactly via a semi-join back to the raw
+    *    vectors — the standard two-phase PQ retrieval. At 100 TB the
+    *    coded relation is the persisted artifact (like the IVF cell
+    *    table) and the raw-vector join touches only R rows per query.
+    */
+  def trainPq(candidates: DataFrame, m: Int = 8, ksub: Int = 16,
+      seed: Long = 42L): Option[graft.functions.PqModel] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    if (candidates.isEmpty) return None
+    val dsub = Dim / m
+    val sliceVec = udf((a: Seq[Float], s: Int) =>
+      Vectors.dense(a.slice(s * dsub, (s + 1) * dsub).map(_.toDouble).toArray))
+    val cents = (0 until m).map { s =>
+      val sub = candidates.withColumn("features", sliceVec(col("embedding"), lit(s)))
+      new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("code")
+        .fit(sub)
+        .clusterCenters.map(_.toArray.map(_.toFloat))
+    }.toArray
+    Some(graft.functions.PqModel(m, dsub, ksub, cents))
+  }
+
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      model: graft.functions.PqModel, rerank: Int = 32): DataFrame = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    val coded = candidates.select(col("vec_id"),
+      toColumn(graft.functions.PqEncode(toExpression(col("embedding")), model))
+        .as("codes"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val approx = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"),
+        toColumn(graft.functions.PqAdcDist(
+          toExpression(col("codes")), toExpression(col("q_emb")), model))
+          .as("adc"))
+    val wApprox = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+    val shortlist = approx.withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= rerank)
+      .select("q_id", "q_emb", "vec_id")
+    // exact re-rank of the shortlist only (R rows per query)
+    val sims = shortlist
+      .join(candidates.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        vec_dot(col("q_emb"), col("embedding")).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Train-once cache per corpus dir, like [[cachedIvfIndex]]. */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.functions.PqModel]()
+
+  def cachedPqModel(candidates: DataFrame, cacheKey: String): Option[graft.functions.PqModel] =
+    Option(pqCache.computeIfAbsent(cacheKey,
+      _ => trainPq(candidates).orNull))
+
   // ---- declared queries ----
 
   /** Approximate ANN (randomized bucketing → rows-only check;
@@ -226,5 +295,22 @@ object Similarity {
     }
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qAnnLsh, qAnnIvf)
+  /** PQ ANN (iterative-float KMeans codebooks — rows-only; ScalaTest
+    * asserts re-ranked recall vs brute force). Train-once/search-many:
+    * the codebook caches per corpus dir like the IVF index.
+    */
+  val qAnnPq = DeclaredQuery.noOracle("q_ann_pq") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    cachedPqModel(emb, d) match {
+      case Some(model) =>
+        pqTopK(emb.filter(col("vec_id") < 5), emb, k = 3, model)
+          .select("q_id", "vec_id", "cos_sim", "rn")
+          .orderBy("q_id", "rn")
+      case None =>
+        emb.select(col("vec_id").as("q_id"), col("vec_id"),
+          lit(0.0).as("cos_sim"), lit(1).as("rn")).limit(0)
+    }
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qAnnLsh, qAnnIvf, qAnnPq)
 }
