@@ -111,6 +111,63 @@ final case class MinHashSig(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** `token_ngram_stats(text, n)` → STRUCT<n_trigrams: BIGINT, n_top:
+  * BIGINT>: total and most-frequent n-token-shingle counts of one
+  * doc, in one pass — the per-doc aggregate the Gopher repetition
+  * filter needs, without shuffling an exploded (doc, shingle) row per
+  * gram. Counts EXACT shingle strings (zero-copy UTF8String slices as
+  * hash keys), so results match the relational
+  * groupBy(doc, shingle) → sum/max form bit-for-bit and stay
+  * oracle-checkable.
+  */
+final case class TokenNGramStats(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, "token_ngram_stats: n must be positive")
+
+  override def dataType: DataType = TokenNGramStats.schema
+  override def prettyName: String = "token_ngram_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  /** Shared by interpreted eval and generated code (addReferenceObj). */
+  def stats(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    var total = 0L
+    ShingleScan.foreachShingle(t, n) { sh =>
+      total += 1L
+      val c = counts.get(sh)
+      if (c == null) counts.put(sh, Array(1L)) else c(0) += 1L
+    }
+    var top = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next()(0); if (c > top) top = c }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, top))
+  }
+
+  override def nullSafeEval(t: Any): Any = stats(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenNGramStats", this,
+      classOf[TokenNGramStats].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.stats($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenNGramStats =
+    copy(child = newChild)
+}
+
+object TokenNGramStats {
+  val schema: org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+      .add("n_trigrams", LongType, nullable = false)
+      .add("n_top", LongType, nullable = false)
+}
+
 /** `simhash64(text, n)` → BIGINT: Charikar SimHash over the doc's
   * DISTINCT n-token-shingle fingerprints (per-bit ±1 vote, sign →
   * bit), matching the relational 64-sum-aggregate form bit-for-bit.

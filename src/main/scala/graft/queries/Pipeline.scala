@@ -78,13 +78,20 @@ object Pipeline {
       |FROM agg
       |ORDER BY top_frac DESC, doc_id
       |LIMIT 20""".stripMargin) { (s, d) =>
-    graft.operators.Dedup.shingleRows(Tables.documents(s, d))
-      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("n"))
-      .groupBy("doc_id")
-      .agg(sum("n").as("n_trigrams"), max("n").as("n_top"))
+    // per-doc aggregate fused into one codegen'd expression — no
+    // exploded (doc, shingle) shuffle; exact string counts, so the
+    // SQL oracle above still gates it (TokenNGramsSpec asserts parity
+    // with the relational groupBy form)
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        toColumn(graft.functions.TokenNGramStats(toExpression(col("text")), 3))
+          .as("st"))
       .select(
-        col("doc_id"), col("n_trigrams"), col("n_top"),
-        round(col("n_top").cast("double") / col("n_trigrams"), 6).as("top_frac"))
+        col("doc_id"), col("st.n_trigrams").as("n_trigrams"),
+        col("st.n_top").as("n_top"),
+        round(col("st.n_top").cast("double") / col("st.n_trigrams"), 6)
+          .as("top_frac"))
       .orderBy(col("top_frac").desc, col("doc_id"))
       .limit(20)
   }

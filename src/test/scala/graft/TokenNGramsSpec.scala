@@ -86,6 +86,21 @@ class TokenNGramsSpec extends SparkSpec {
     }
   }
 
+  test("token_ngram_stats equals the relational groupBy counts on real docs") {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    val docs = Tables.documents(spark, sf)
+    val viaExpr = docs.select(col("doc_id"),
+      toColumn(graft.functions.TokenNGramStats(toExpression(col("text")), 3)).as("st"))
+      .select(col("doc_id"), col("st.n_trigrams"), col("st.n_top"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaRel = Dedup.shingleRows(docs)
+      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_trigrams"), max("n").as("n_top"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaExpr == viaRel)
+  }
+
   test("token_ngrams generator runs inside whole-stage codegen") {
     val df = Dedup.shingleRows(Tables.documents(spark, sf))
       .groupBy("shingle").count().orderBy(desc("count")).limit(5)
