@@ -51,6 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.functions.SimHash64(children(0),
           graft.functions.ShingleScan.foldedInt(children(1), "simhash64 n"))))
+    e.injectFunction((
+      FunctionIdentifier("token_ngram_stats"),
+      new ExpressionInfo(classOf[graft.functions.TokenNGramStats].getName, "token_ngram_stats"),
+      (children: Seq[Expression]) =>
+        graft.functions.TokenNGramStats(children(0),
+          graft.functions.ShingleScan.foldedInt(children(1), "token_ngram_stats n"))))
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // intercept Spark's own logical AsOfJoin (Dataset.joinAsOf /
