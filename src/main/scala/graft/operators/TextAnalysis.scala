@@ -157,7 +157,41 @@ object TextAnalysis {
   /** Language-ID predictions vs labels (mechanics demo — rows-only;
     * confusion counts are asserted in ScalaTest).
     */
-  val qLangId = DeclaredQuery.noOracle("q_language_id") { (s, d) =>
+  /** Round-4 upgrade: the learning+scoring pipeline is DETERMINISTIC
+    * end-to-end (distinct trigrams, count-distinct document frequency,
+    * (n DESC, trigram ASC) profile cut, (overlap DESC, lang ASC)
+    * argmax), so the confusion matrix carries a full DuckDB oracle —
+    * the SQL twin recomputes profiles and predictions from scratch.
+    */
+  val qLangId = DeclaredQuery(
+    "q_language_id",
+    """WITH tri AS (
+      |  SELECT DISTINCT d.doc_id, d.lang, substring(d.text, i, 3) AS trigram
+      |  FROM documents d, LATERAL (
+      |    SELECT unnest(generate_series(1, greatest(len(d.text) - 2, 1))) AS i) g
+      |  WHERE d.text IS NOT NULL),
+      |prof AS (
+      |  SELECT lang, trigram, count(DISTINCT doc_id) AS n
+      |  FROM tri GROUP BY lang, trigram),
+      |top_prof AS (
+      |  SELECT lang AS cand_lang, trigram FROM (
+      |    SELECT lang, trigram,
+      |           row_number() OVER (PARTITION BY lang ORDER BY n DESC, trigram) AS rn
+      |    FROM prof) WHERE rn <= 30),
+      |scored AS (
+      |  SELECT t.doc_id, p.cand_lang, count(*) AS overlap
+      |  FROM (SELECT DISTINCT doc_id, trigram FROM tri) t
+      |  JOIN top_prof p ON t.trigram = p.trigram
+      |  GROUP BY t.doc_id, p.cand_lang),
+      |pred AS (
+      |  SELECT doc_id, cand_lang AS predicted_lang FROM (
+      |    SELECT doc_id, cand_lang,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, cand_lang) AS rn
+      |    FROM scored) WHERE rn = 1)
+      |SELECT d.lang, p.predicted_lang, CAST(count(*) AS BIGINT) AS n
+      |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     // train-once / score-many: profile learning (char_ngrams →
     // count-distinct-doc aggregate → per-lang top-30) runs once per
