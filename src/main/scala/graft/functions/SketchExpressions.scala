@@ -111,6 +111,39 @@ final case class MinHashSig(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** `BloomMightContain(hash)` → BOOLEAN: probe a driver-built Bloom
+  * filter (`org.apache.spark.util.sketch.BloomFilter`) carried as a
+  * reference object — the pruning side of incremental exact dedup
+  * ([[graft.operators.Dedup.incrementalExactDups]]). False ⇒
+  * definitely new; true ⇒ verify exactly downstream. The filter is
+  * the broadcastable summary of a 100 TB historical corpus (~1.2 GB
+  * per 10⁹ keys at 1 % fpp).
+  */
+final case class BloomMightContain(
+    child: Expression, bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(h: Any): Any =
+    bloom.mightContainLong(h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, h => s"${ev.value} = $ref.mightContainLong($h);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 /** `token_ngram_stats(text, n)` → STRUCT<n_trigrams: BIGINT, n_top:
   * BIGINT>: total and most-frequent n-token-shingle counts of one
   * doc, in one pass — the per-doc aggregate the Gopher repetition

@@ -165,6 +165,36 @@ object Pipeline {
       .orderBy("lang", "bin")
   }
 
+  /** Incremental ingest dedup gate: split the corpus into a
+    * "historical" majority and a "new batch" (deterministic id split),
+    * then count how many batch docs are byte-identical to history via
+    * [[graft.operators.Dedup.incrementalExactDups]] — Bloom-pruned,
+    * exactly verified. The Bloom filter is invisible in the result
+    * (output = plain semi-join semantics), so the query is hash-gated;
+    * the fixture plants zero byte-dups, making this a sentinel like
+    * `q_exact_dedup` (the planted-dup behavior is spec-gated in
+    * DedupSpec).
+    */
+  val incrementalDedup = DeclaredQuery(
+    "q_incremental_dedup",
+    """WITH b AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+      |h AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      |d AS (SELECT CAST(count(*) AS BIGINT) AS n_dups FROM b
+      |      WHERE EXISTS (SELECT 1 FROM h WHERE h.text = b.text))
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_batch,
+      |       d.n_dups AS n_dups,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM b) - d.n_dups AS n_new_unique
+      |FROM d""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val dups = graft.operators.Dedup.incrementalExactDups(hist, batch)
+    batch.agg(count(lit(1)).as("n_batch"))
+      .crossJoin(dups.agg(count(lit(1)).as("n_dups")))
+      .select(col("n_batch"), col("n_dups"),
+        (col("n_batch") - col("n_dups")).as("n_new_unique"))
+  }
+
   val all: Seq[DeclaredQuery] =
-    Seq(piiRedact, topNgramFraction, hashSplit, packSequences)
+    Seq(piiRedact, topNgramFraction, hashSplit, packSequences, incrementalDedup)
 }

@@ -96,6 +96,22 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("incremental exact dedup flags exactly the planted historical copies") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val hist = docs.filter(col("doc_id") < 400)
+    // batch: 5 byte-identical copies of historical texts under new
+    // ids, plus genuinely new docs (ids >= 400)
+    val copies = hist.limit(5).collect().zipWithIndex.map { case (r, i) =>
+      (900000L + i, r.getString(1), r.getString(2), r.getString(3), r.getLong(4))
+    }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = docs.filter(col("doc_id") >= 400).union(copies)
+    val flagged = Dedup.incrementalExactDups(hist, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == (0 until 5).map(i => 900000L + i).toSet,
+      s"flagged: $flagged")
+  }
+
   test("winnowing: every planted pair shares fingerprints") {
     val fp = Dedup.winnowFingerprints(docs)
     val byDoc = fp.collect().groupBy(_.getLong(0))
