@@ -195,6 +195,83 @@ object Pipeline {
         (col("n_batch") - col("n_dups")).as("n_new_unique"))
   }
 
-  val all: Seq[DeclaredQuery] =
-    Seq(piiRedact, topNgramFraction, hashSplit, packSequences, incrementalDedup)
+  /** The corpus filter funnel — the whole cleaning pipeline as ONE
+    * cumulative-survival query (the per-stage doc counts a pipeline
+    * operator watches in production): language keep-list → length
+    * floor → repetition cut (top-trigram fraction, fused
+    * `token_ngram_stats` expression) → near-dup survivor (keep the
+    * earliest of each exact prefix-blocked Jaccard pair). Every stage
+    * is deterministic, so the funnel is hash-gated end-to-end. Plan:
+    * one scan computes the three per-doc flags; the dup set reuses
+    * the shared exact pair relation; one aggregate + stack emits the
+    * five stage rows.
+    */
+  val corpusFunnel = DeclaredQuery(
+    "q_corpus_funnel",
+    """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM documents a JOIN documents b
+      |    ON substring(a.text, 1, 40) = substring(b.text, 1, 40) AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+      |  FROM cand c JOIN tok t1 ON t1.doc_id = c.id_a
+      |  JOIN tok t2 ON t2.doc_id = c.id_b AND t2.token = t1.token
+      |  GROUP BY c.id_a, c.id_b),
+      |dups AS (
+      |  SELECT DISTINCT i.id_b AS doc_id
+      |  FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b
+      |  WHERE CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter) >= 0.3),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tri AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) s),
+      |tc AS (SELECT doc_id, g, count(*) AS n FROM tri GROUP BY doc_id, g),
+      |rep AS (SELECT doc_id, sum(n) AS n_trigrams, max(n) AS n_top FROM tc GROUP BY doc_id),
+      |f AS (
+      |  SELECT d.doc_id,
+      |         (d.lang IN ('en','de','es','fr')) AS lang_ok,
+      |         (d.n_chars >= 100) AS len_ok,
+      |         (CAST(r.n_top AS DOUBLE) / r.n_trigrams < 0.1) AS rep_ok,
+      |         (dup.doc_id IS NULL) AS dup_ok
+      |  FROM documents d JOIN rep r ON r.doc_id = d.doc_id
+      |  LEFT JOIN dups dup ON dup.doc_id = d.doc_id)
+      |SELECT stage, n_docs FROM (
+      |  SELECT '0_total' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM f
+      |  UNION ALL SELECT '1_lang', CAST(count(*) FILTER (WHERE lang_ok) AS BIGINT) FROM f
+      |  UNION ALL SELECT '2_length', CAST(count(*) FILTER (WHERE lang_ok AND len_ok) AS BIGINT) FROM f
+      |  UNION ALL SELECT '3_repetition', CAST(count(*) FILTER (WHERE lang_ok AND len_ok AND rep_ok) AS BIGINT) FROM f
+      |  UNION ALL SELECT '4_near_dup', CAST(count(*) FILTER (WHERE lang_ok AND len_ok AND rep_ok AND dup_ok) AS BIGINT) FROM f)
+      |ORDER BY stage""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    val docs = Tables.documents(s, d)
+    val dups = graft.queries.LlmOps.exactNearDupStats(docs)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    val f = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        toColumn(graft.functions.TokenNGramStats(toExpression(col("text")), 3))
+          .as("st"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(
+        col("lang").isin("en", "de", "es", "fr").as("lang_ok"),
+        (col("n_chars") >= 100).as("len_ok"),
+        (col("st.n_top").cast("double") / col("st.n_trigrams") < 0.1).as("rep_ok"),
+        col("is_dup").isNull.as("dup_ok"))
+    f.agg(
+      count(lit(1)).as("c0"),
+      count(when(col("lang_ok"), 1)).as("c1"),
+      count(when(col("lang_ok") && col("len_ok"), 1)).as("c2"),
+      count(when(col("lang_ok") && col("len_ok") && col("rep_ok"), 1)).as("c3"),
+      count(when(col("lang_ok") && col("len_ok") && col("rep_ok") && col("dup_ok"), 1))
+        .as("c4"))
+      .selectExpr("stack(5, '0_total', c0, '1_lang', c1, '2_length', c2, " +
+        "'3_repetition', c3, '4_near_dup', c4) AS (stage, n_docs)")
+      .orderBy("stage")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(
+    piiRedact, topNgramFraction, hashSplit, packSequences, incrementalDedup,
+    corpusFunnel)
 }
