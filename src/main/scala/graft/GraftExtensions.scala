@@ -23,40 +23,60 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[graft.plans.AsOfJoinExec]]; SURVEY.md §4.3 ladder (c)).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  /** Wrong-arity SQL calls should read as analysis errors naming the
+    * function, not raw IndexOutOfBoundsExceptions from children(i).
+    */
+  private def checkArity(fn: String, children: Seq[Expression], n: Int): Unit =
+    if (children.size != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${children.size}")
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "vec_dot"),
-      (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        checkArity("vec_dot", children, 2)
+        DotProductF(children(0), children(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[graft.functions.CharNGrams].getName, "char_ngrams"),
-      (children: Seq[Expression]) =>
-        graft.functions.CharNGrams(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        checkArity("char_ngrams", children, 2)
+        graft.functions.CharNGrams(children(0), children(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("token_ngrams"),
       new ExpressionInfo(classOf[graft.functions.TokenNGrams].getName, "token_ngrams"),
-      (children: Seq[Expression]) =>
-        graft.functions.TokenNGrams(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        checkArity("token_ngrams", children, 2)
+        graft.functions.TokenNGrams(children(0), children(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
-      (children: Seq[Expression]) =>
+      (children: Seq[Expression]) => {
+        checkArity("minhash_sig", children, 3)
         graft.functions.MinHashSig(children(0),
           graft.functions.ShingleScan.foldedInt(children(1), "minhash_sig n"),
-          graft.functions.ShingleScan.foldedInt(children(2), "minhash_sig k"))))
+          graft.functions.ShingleScan.foldedInt(children(2), "minhash_sig k"))
+      }))
     e.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) =>
+      (children: Seq[Expression]) => {
+        checkArity("simhash64", children, 2)
         graft.functions.SimHash64(children(0),
-          graft.functions.ShingleScan.foldedInt(children(1), "simhash64 n"))))
+          graft.functions.ShingleScan.foldedInt(children(1), "simhash64 n"))
+      }))
     e.injectFunction((
       FunctionIdentifier("token_ngram_stats"),
       new ExpressionInfo(classOf[graft.functions.TokenNGramStats].getName, "token_ngram_stats"),
-      (children: Seq[Expression]) =>
+      (children: Seq[Expression]) => {
+        checkArity("token_ngram_stats", children, 2)
         graft.functions.TokenNGramStats(children(0),
-          graft.functions.ShingleScan.foldedInt(children(1), "token_ngram_stats n"))))
+          graft.functions.ShingleScan.foldedInt(children(1), "token_ngram_stats n"))
+      }))
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // intercept Spark's own logical AsOfJoin (Dataset.joinAsOf /

@@ -30,26 +30,48 @@ import org.apache.spark.unsafe.types.UTF8String
   * empty tokens kept, each shingle a contiguous byte range of the
   * text; fewer than n tokens → the whole text once. NULL text → NULL.
   */
-private[graft] object ShingleScan {
-  /** Visit each n-token shingle of `t` as a zero-copy UTF8String slice. */
-  def foreachShingle(t: UTF8String, n: Int)(f: UTF8String => Unit): Unit = {
-    val bytes = t.getBytes
-    val nb = bytes.length
+/** The ONE implementation of token-shingle boundary math — every
+  * consumer ([[TokenNGrams]] generator, [[MinHashSig]], [[SimHash64]],
+  * [[TokenNGramStats]]) slices through this cursor, so the
+  * hash-compatibility contracts between them can't drift. One byte
+  * scan finds the space positions (0x20 never occurs inside a UTF-8
+  * multi-byte sequence); shingle p is then a zero-copy byte-range
+  * view of the text.
+  */
+private[graft] final class ShingleCursor(t: UTF8String, n: Int) {
+  private val bytes = t.getBytes
+  private val nb = bytes.length
+  private val sp: Array[Int] = {
     var nSp = 0
     var i = 0
     while (i < nb) { if (bytes(i) == 0x20) nSp += 1; i += 1 }
-    if (nSp + 1 <= n) { f(UTF8String.fromBytes(bytes, 0, nb)); return }
-    val sp = new Array[Int](nSp)
+    val a = new Array[Int](nSp)
     var j = 0; i = 0
-    while (i < nb) { if (bytes(i) == 0x20) { sp(j) = i; j += 1 }; i += 1 }
-    var p = 0
-    val last = nSp + 1 - n
-    while (p <= last) {
+    while (i < nb) { if (bytes(i) == 0x20) { a(j) = i; j += 1 }; i += 1 }
+    a
+  }
+  private val nSp = sp.length
+  private val whole = nSp + 1 <= n // fewer than n tokens → whole text once
+
+  /** Number of shingles this text emits (≥ 1). */
+  val size: Int = if (whole) 1 else nSp + 2 - n
+
+  /** The p-th shingle (0-based), as a zero-copy slice. */
+  def slice(p: Int): UTF8String =
+    if (whole) UTF8String.fromBytes(bytes, 0, nb)
+    else {
       val start = if (p == 0) 0 else sp(p - 1) + 1
       val end = if (p + n - 1 < nSp) sp(p + n - 1) else nb
-      f(UTF8String.fromBytes(bytes, start, end - start))
-      p += 1
+      UTF8String.fromBytes(bytes, start, end - start)
     }
+}
+
+private[graft] object ShingleScan {
+  /** Visit each n-token shingle of `t` as a zero-copy UTF8String slice. */
+  def foreachShingle(t: UTF8String, n: Int)(f: UTF8String => Unit): Unit = {
+    val c = new ShingleCursor(t, n)
+    var p = 0
+    while (p < c.size) { f(c.slice(p)); p += 1 }
   }
 
   /** Evaluate a foldable INT argument at function-registration time. */

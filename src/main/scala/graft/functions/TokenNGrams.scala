@@ -69,24 +69,10 @@ final case class TokenNGrams(text: Expression, n: Expression)
   def grams(t: UTF8String): Iterator[InternalRow] = {
     if (t == null || kVal <= 0) Iterator.empty
     else {
-      val bytes = t.getBytes
-      val nb = bytes.length
-      // space positions; token j spans (j==0 ? 0 : sp(j-1)+1) until
-      // (j<nSp ? sp(j) : nb)
-      var nSp = 0
-      var i = 0
-      while (i < nb) { if (bytes(i) == 0x20) nSp += 1; i += 1 }
-      val sp = new Array[Int](nSp)
-      var j = 0; i = 0
-      while (i < nb) { if (bytes(i) == 0x20) { sp(j) = i; j += 1 }; i += 1 }
-      val numToks = nSp + 1
-      if (numToks <= kVal)
-        Iterator.single(InternalRow(0, UTF8String.fromBytes(bytes, 0, nb)))
-      else (0 to numToks - kVal).iterator.map { p =>
-        val start = if (p == 0) 0 else sp(p - 1) + 1
-        val end = if (p + kVal - 1 < nSp) sp(p + kVal - 1) else nb
-        InternalRow(p, UTF8String.fromBytes(bytes, start, end - start))
-      }
+      // all boundary math lives in ShingleCursor — the single source
+      // the sketch expressions also slice through
+      val c = new ShingleCursor(t, kVal)
+      (0 until c.size).iterator.map(p => InternalRow(p, c.slice(p)))
     }
   }
 

@@ -195,7 +195,11 @@ object Dedup {
     // whole-fingerprint expression: one codegen'd pass per doc, zero
     // shuffles (the round-3 form shuffled distinct (doc, hash) pairs
     // then 64 sum-aggregates; SketchExprSpec asserts bit-parity with
-    // that relational form). NULL-text docs are absent, as before.
+    // that relational form on non-null text). NULL-text docs are
+    // DROPPED — which also fixes the round-1 relational form's
+    // artifact where every NULL-text doc got the same constant
+    // fingerprint (xxhash64 of a NULL shingle = the seed) and so all
+    // NULL-text docs paired with each other at Hamming distance 0.
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), expr("simhash64(text, 3)").as("simhash"))
 

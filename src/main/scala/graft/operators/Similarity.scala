@@ -213,6 +213,8 @@ object Similarity {
       seed: Long = 42L): Option[graft.functions.PqModel] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
+    require(Dim % m == 0,
+      s"trainPq: m=$m must divide Dim=$Dim (trailing dims would be silently dropped)")
     if (candidates.isEmpty) return None
     val dsub = Dim / m
     val sliceVec = udf((a: Seq[Float], s: Int) =>
@@ -230,9 +232,13 @@ object Similarity {
   def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       model: graft.functions.PqModel, rerank: Int = 32): DataFrame = {
     import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    // NULL embeddings encode to NULL codes — drop them here, or the
+    // ascending ADC ordering (NULLS FIRST) would fill the shortlist
+    // with unrankable rows
     val coded = candidates.select(col("vec_id"),
       toColumn(graft.functions.PqEncode(toExpression(col("embedding")), model))
         .as("codes"))
+      .filter(col("codes").isNotNull)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val approx = coded.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))

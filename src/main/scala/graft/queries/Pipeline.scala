@@ -205,6 +205,12 @@ object Pipeline {
     * one scan computes the three per-doc flags; the dup set reuses
     * the shared exact pair relation; one aggregate + stack emits the
     * five stage rows.
+    *
+    * Oracle robustness: the trigram relation LEFT-joins so NULL-text
+    * or sub-trigram docs still count in `0_total` (their rep_ok is
+    * NULL ⇒ filtered, which matches the Spark side, where the
+    * whole-text fallback gives them top_frac 1.0 ⇒ false, and NULL
+    * text gives a NULL flag).
     */
   val corpusFunnel = DeclaredQuery(
     "q_corpus_funnel",
@@ -235,7 +241,7 @@ object Pipeline {
       |         (d.n_chars >= 100) AS len_ok,
       |         (CAST(r.n_top AS DOUBLE) / r.n_trigrams < 0.1) AS rep_ok,
       |         (dup.doc_id IS NULL) AS dup_ok
-      |  FROM documents d JOIN rep r ON r.doc_id = d.doc_id
+      |  FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id
       |  LEFT JOIN dups dup ON dup.doc_id = d.doc_id)
       |SELECT stage, n_docs FROM (
       |  SELECT '0_total' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM f

@@ -220,11 +220,12 @@ final class KvScan(storeName: String, filters: Array[Filter],
     if (keys.isEmpty) Array.empty
     else {
       // index-balanced contiguous ranges over the sorted key space;
-      // the last range is unbounded above so late-arriving keys in a
-      // live store still land in exactly one partition
+      // the FIRST range is unbounded below and the LAST unbounded
+      // above, so a key merged into a live store between planning and
+      // execution lands in exactly one partition wherever it sorts
       val slices = math.min(4, keys.size)
       (0 until slices).map { i =>
-        val lo = keys(i * keys.size / slices)
+        val lo = if (i == 0) None else Some(keys(i * keys.size / slices))
         val hi =
           if (i == slices - 1) None else Some(keys((i + 1) * keys.size / slices))
         KvInputPartition(storeName, lo, hi)
@@ -237,10 +238,11 @@ final class KvScan(storeName: String, filters: Array[Filter],
 }
 
 /** A contiguous key range `[lo, hi)` of one store — no row payloads;
-  * the reader fetches them executor-side. `hi = None` = unbounded.
+  * the reader fetches them executor-side. `None` = unbounded on that
+  * side.
   */
 final case class KvInputPartition(
-    storeName: String, lo: String, hi: Option[String])
+    storeName: String, lo: Option[String], hi: Option[String])
     extends InputPartition
 
 /** A fully-aggregated result: one row of pre-computed values. */
@@ -267,7 +269,7 @@ final class KvReaderFactory(required: StructType, filters: Array[Filter])
   private def createRowReader(partition: KvInputPartition): PartitionReader[InternalRow] = {
     val rows = KvSourceProvider.lookup(partition.storeName).iterator
       .filter { r =>
-        r.key >= partition.lo && partition.hi.forall(r.key < _) &&
+        partition.lo.forall(r.key >= _) && partition.hi.forall(r.key < _) &&
           filters.forall {
             case StringStartsWith("key", p) => r.key.startsWith(p)
             case EqualTo("key", v: String) => r.key == v

@@ -29,7 +29,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 object HttpServing {
 
   private def jsonNum(d: Double): String =
-    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+    if (d.isNaN || d.isInfinite) "null" // JSON has no NaN/Infinity
+    else if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
 
   private def esc(s: String): String =
@@ -63,17 +64,20 @@ object HttpServing {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/stats/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        val resp =
+        val (status, resp) =
           try {
             val prefix = ex.getRequestURI.getPath.stripPrefix("/stats/")
             val rows = store.snapshot().filter(_.key.startsWith(prefix))
             val query = Option(ex.getRequestURI.getQuery).getOrElse("")
-            if (query.split('&').contains("agg=sum")) aggJson(rows)
-            else listJson(rows)
-          } catch { case e: Exception => s"""{"error": "${esc(e.toString)}"}""" }
+            (200,
+              if (query.split('&').contains("agg=sum")) aggJson(rows)
+              else listJson(rows))
+          } catch {
+            case e: Exception => (500, s"""{"error": "${esc(e.toString)}"}""")
+          }
         val bytes = resp.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "application/json")
-        ex.sendResponseHeaders(200, bytes.length)
+        ex.sendResponseHeaders(status, bytes.length)
         ex.getResponseBody.write(bytes)
         ex.close()
       }
