@@ -312,7 +312,10 @@ object Dedup {
     val hashes = historical.select(xxhash64(col("text")).as("h"))
     // sizing scan touches one long column; at scale the count rides
     // the snapshot's metadata instead
-    val n = math.max(hashes.count(), 1L)
+    val n = hashes.count()
+    // empty history: nothing can be a dup (and stat.bloomFilter over
+    // zero rows yields a null sketch buffer)
+    if (n == 0L) return batch.limit(0)
     val bloom = hashes.stat.bloomFilter("h", n, 0.01)
     val pruned = batch.filter(toColumn(graft.functions.BloomMightContain(
       toExpression(xxhash64(col("text"))), bloom)))
