@@ -38,6 +38,35 @@ class KvSourceSpec extends SparkSpec {
       !scan.contains("sum_value"), scan)
   }
 
+  test("randomized consistency: DSv2 read equals direct snapshot filter") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val rows = (0 until rnd.nextInt(40)).map { i =>
+        val key = s"${"abc" (rnd.nextInt(3))}/${rnd.nextInt(4)}/k$i"
+        ServingStore.CounterRow(key, rnd.nextInt(100).toLong, rnd.nextInt(100) / 4.0)
+      }
+      val name = s"rand$trial"
+      KvSourceProvider.register(name, rows)
+      val prefix = s"${"abc" (rnd.nextInt(3))}/${rnd.nextInt(4)}"
+      val expected = rows.filter(_.key.startsWith(prefix))
+      // row path: range partitions + reader-side filters
+      val got = readStore(name).filter(col("key").startsWith(prefix))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected.map(r => (r.key, r.nEvents, r.sumValue)).toSet,
+        s"trial $trial prefix $prefix")
+      // complete-pushdown aggregate path: sums over the same prefix
+      // (NULL when nothing matches — SQL semantics)
+      val agg = readStore(name).filter(col("key").startsWith(prefix))
+        .agg(count(lit(1)), sum("n_events"), sum("sum_value")).collect()(0)
+      assert(agg.getLong(0) == expected.size.toLong)
+      if (expected.isEmpty) assert(agg.isNullAt(1) && agg.isNullAt(2))
+      else {
+        assert(agg.getLong(1) == expected.map(_.nEvents).sum)
+        assert(math.abs(agg.getDouble(2) - expected.map(_.sumValue).sum) < 1e-9)
+      }
+    }
+  }
+
   test("DSv2 write path: append merges counters per key, overwrite truncates") {
     KvSourceProvider.register("w1", Seq(
       ServingStore.CounterRow("a", 1L, 0.5)))
