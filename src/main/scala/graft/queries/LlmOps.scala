@@ -172,6 +172,11 @@ object LlmOps {
   /** The exact prefix-blocked token-Jaccard pair relation (τ = 0.3)
     * shared by q_near_dup_pairs and the clustering query. */
   def exactNearDupStats(docs: DataFrame): DataFrame = {
+    // tok feeds three subtrees (per-doc counts + both pair sides);
+    // measured: persisting it is a net LOSS here (materializing the
+    // exploded relation costs more than three codegen'd re-scans of
+    // the 17 MB corpus), so it stays recomputed — at 100 TB the call
+    // is the opposite and a caller would persist/checkpoint upstream
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("token"))
     val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
