@@ -54,6 +54,31 @@ object StreamingQueries {
       .orderBy("key")
   }
 
+  /** The reference's account-scoped key scheme, judged end-to-end:
+    * per-(account, metric, day) counters through the real streaming
+    * pipeline and the executor-side sink; the oracle recomputes the
+    * same keys in SQL. State cardinality = accounts × metrics × days
+    * (~8k at the graded sf) — the per-tenant dimensioning the other
+    * streaming queries don't exercise.
+    */
+  val streamAccountDaily = DeclaredQuery(
+    "q_stream_account_daily",
+    """SELECT 'user/' || user_id || '/' || event_type || '/day/' ||
+      |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS key,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val checkpoint = graft.SparkEnv.scratchDir("graft-stream-acct-ckpt")
+    val store = Serving.runAccountPipeline(s, d, new InMemoryServingStore, checkpoint)
+    store.snapshot().toDF()
+      .select(col("key"), col("nEvents").as("n_events"),
+        col("sumValue").as("sum_value"))
+      .orderBy("key")
+  }
+
   /** Continuous near-dup detection pushed through the judged gate:
     * stream the documents table through the transformWithState LSH
     * bucket index ([[graft.streaming.StreamDedup]]) to completion,
@@ -109,5 +134,6 @@ object StreamingQueries {
       .orderBy("id_a", "id_b")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(streamHourly, streamMultiGran, streamNearDups)
+  val all: Seq[DeclaredQuery] =
+    Seq(streamHourly, streamMultiGran, streamAccountDaily, streamNearDups)
 }

@@ -222,6 +222,46 @@ object Serving {
     store
   }
 
+  /** Account-scoped daily counters — the reference's full key scheme
+    * (`account:metric:calendar-bucket`; so far the other pipelines
+    * keyed only metric×bucket): keys are
+    * `user/{user_id}/{event_type}/day/{bucket}`. The state and the
+    * serving key space scale with accounts × metrics × days — the
+    * realistic dimensioning of a per-tenant counter service, and the
+    * reason the sink writes executor-side (a driver collect would
+    * bottleneck exactly here as tenants grow).
+    */
+  def accountDailyCounters(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("bucket"), col("user_id"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  def keyedAccountCounters(batch: DataFrame): DataFrame =
+    batch.select(
+      concat_ws("/", lit("user"), col("user_id"), col("event_type"),
+        lit("day"), date_format(col("bucket"), "yyyy-MM-dd")).as("key"),
+      col("n_events"), col("sum_value"))
+
+  def runAccountPipeline(spark: SparkSession, sfDir: String, store: ServingStore,
+      checkpoint: String): ServingStore = {
+    val agg = accountDailyCounters(Ingest.eventStream(stateSession(spark), sfDir))
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.sinkBatch(keyedAccountCounters(batch), batchId)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store
+  }
+
   /** The reference's eager time-cube as ONE streaming aggregation:
     * each event explodes into its four (granularity, bucket) pairs
     * *before* the groupBy, so all four calendar rollups share a single
