@@ -41,7 +41,7 @@ object Similarity {
   }
 
   private def planeCol(p: Array[Double]) =
-    array(p.map(x => lit(x.toFloat)): _*)
+    array(p.toIndexedSeq.map(x => lit(x.toFloat)): _*)
 
   /** LSH bucket id: one sign bit per hyperplane. */
   def bucketCol(embCol: String, planes: Seq[Array[Double]]) =

@@ -26,7 +26,7 @@ object Skew {
     // rows whose reducers already committed. Hashing the row's own
     // columns is stable under any retry/speculation.
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*), lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")

@@ -42,7 +42,7 @@ object TimeQuery {
     acc.toSeq.sortBy(-_._2).foreach { case (n, t) => println(f"$t%8.3f  $n") }
     // a query failing EVERY pass never enters acc — name it loudly so
     // the min table can't overstate suite health
-    val neverPassed = failed -- acc.keySet
+    val neverPassed = failed.toSet -- acc.keySet
     if (neverPassed.nonEmpty)
       println(s"FAILED (no successful pass): ${neverPassed.toSeq.sorted.mkString(", ")}")
     spark.stop()
