@@ -21,8 +21,13 @@ final case class PqModel(
   extends Serializable {
   require(ksub <= 256, "PQ codes are one byte per subspace")
 
-  /** Nearest-centroid code per subspace (squared L2). */
+  /** Nearest-centroid code per subspace (squared L2). Returns null
+    * for a vector of the wrong dimension — at corpus scale malformed
+    * rows are data, not exceptions; NULL codes drop out of the ADC
+    * ranking the same way NULL embeddings do.
+    */
   def encode(v: ArrayData): Array[Byte] = {
+    if (v.numElements() != m * dsub) return null
     val out = new Array[Byte](m)
     var s = 0
     while (s < m) {
@@ -49,9 +54,15 @@ final case class PqModel(
   }
 
   /** Asymmetric distance: squared L2 between the raw query and the
-    * candidate's reconstruction from its code.
+    * candidate's reconstruction from its code. Wrong-dimension
+    * queries and wrong-length codes yield NULL (boxed), mirroring
+    * [[encode]]'s dirty-data posture.
     */
-  def adc(codes: Array[Byte], q: ArrayData): Double = {
+  def adcOrNull(codes: Array[Byte], q: ArrayData): java.lang.Double =
+    if (codes.length != m || q.numElements() != m * dsub) null
+    else java.lang.Double.valueOf(adc(codes, q))
+
+  private def adc(codes: Array[Byte], q: ArrayData): Double = {
     var d = 0.0
     var s = 0
     while (s < m) {
@@ -77,6 +88,8 @@ final case class PqEncode(child: Expression, model: PqModel)
 
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_encode"
+  // null also for wrong-dimension vectors, not just NULL input
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -104,6 +117,8 @@ final case class PqAdcDist(left: Expression, right: Expression, model: PqModel)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_dist"
+  // null also for wrong-dimension inputs, not just NULL input
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -114,11 +129,14 @@ final case class PqAdcDist(left: Expression, right: Expression, model: PqModel)
     }
 
   override def nullSafeEval(codes: Any, q: Any): Any =
-    model.adc(codes.asInstanceOf[Array[Byte]], q.asInstanceOf[ArrayData])
+    model.adcOrNull(codes.asInstanceOf[Array[Byte]], q.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqModel", model, classOf[PqModel].getName)
-    nullSafeCodeGen(ctx, ev, (c, q) => s"${ev.value} = $ref.adc($c, $q);")
+    nullSafeCodeGen(ctx, ev, (c, q) =>
+      s"""java.lang.Double r = $ref.adcOrNull($c, $q);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+         |""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(

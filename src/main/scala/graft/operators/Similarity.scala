@@ -246,6 +246,7 @@ object Similarity {
         toColumn(graft.functions.PqAdcDist(
           toExpression(col("codes")), toExpression(col("q_emb")), model))
           .as("adc"))
+      .filter(col("adc").isNotNull) // wrong-dim queries rank nothing
     val wApprox = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
     val shortlist = approx.withColumn("arn", row_number().over(wApprox))
       .filter(col("arn") <= rerank)

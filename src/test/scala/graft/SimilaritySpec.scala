@@ -134,6 +134,27 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.trainPq(emb.filter(col("vec_id") < -1)).isEmpty)
   }
 
+  test("PQ treats wrong-dimension vectors as data, not exceptions") {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    import spark.implicits._
+    val model = Similarity.trainPq(emb).get
+    val dirty = Seq(
+      (1L, Array.fill(64)(0.1f)),  // well-formed
+      (2L, Array.fill(32)(0.1f)),  // truncated
+      (3L, Array.empty[Float]))    // empty
+      .toDF("vec_id", "embedding")
+    val codes = dirty.select(col("vec_id"),
+      toColumn(graft.functions.PqEncode(toExpression(col("embedding")), model))
+        .as("codes")).collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(codes == Map(1L -> false, 2L -> true, 3L -> true), codes)
+    // the search path simply drops them — no crash, no NULL ranks
+    val queries = emb.filter(col("vec_id") < 2)
+    val got = Similarity.pqTopK(queries, emb.select("vec_id", "embedding").union(
+      dirty.filter(col("vec_id") > 1).withColumn("vec_id", col("vec_id") + 50000)),
+      k = 3, model)
+    assert(got.filter(col("cos_sim").isNull).count() == 0)
+  }
+
   test("LSH recovers most planted twins (recall >= 0.6 at 8 planes)") {
     val corpus = emb.select("vec_id", "embedding").union(planted)
     val queries = emb.filter(col("vec_id") < 20)
