@@ -45,6 +45,13 @@ object AsOf {
       "as-of join sides share attribute ids (self-join on the same " +
         "DataFrame?) — derive one side from a renamed projection " +
         "(.select(col(\"x\").as(\"y\"), ...)) so references are unambiguous")
+    // Swapped arguments (a left expression passed as a right key or
+    // vice versa) would otherwise surface as a cryptic executor-time
+    // binding failure after a full stage launch — reject driver-side.
+    (lk :+ lt).foreach(e => require(e.references.subsetOf(leftIds),
+      s"as-of left-side expression $e references columns not in the left side"))
+    (rk :+ rt).foreach(e => require(e.references.subsetOf(rightAttrs),
+      s"as-of right-side expression $e references columns not in the right side"))
     // structural equality ignoring nullability: a parquet-read struct
     // (nullable fields) must join a literal-built one (non-null) —
     // the physical layouts match; only the value types must.

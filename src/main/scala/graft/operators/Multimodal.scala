@@ -22,6 +22,22 @@ object Multimodal {
   case class ImageMeta(doc_id: Long, width: Int, height: Int,
       format: String, n_bytes: Int)
 
+  /** THE header layout of the fake IMG0 container — magic (4 bytes) +
+    * big-endian u16 width/height. Every stub parses/writes dims
+    * through here, so a format change (e.g. swapping in a real codec)
+    * lands in one place.
+    */
+  private def magicOk(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 &&
+      bytes(0) == 'I' && bytes(1) == 'M' && bytes(2) == 'G' && bytes(3) == '0'
+  private def readDims(bytes: Array[Byte]): (Int, Int) =
+    ((((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)),
+      (((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)))
+  private def writeDims(bytes: Array[Byte], w: Int, h: Int): Unit = {
+    bytes(4) = ((w >> 8) & 0xff).toByte; bytes(5) = (w & 0xff).toByte
+    bytes(6) = ((h >> 8) & 0xff).toByte; bytes(7) = (h & 0xff).toByte
+  }
+
   /** Attach a fake binary payload with a parseable header. */
   def asFakeImage(docs: DataFrame): DataFrame =
     docs.withColumn("payload",
@@ -41,11 +57,9 @@ object Multimodal {
     withPayload.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val magicOk = bytes.length >= 8 &&
-            bytes(0) == 'I' && bytes(1) == 'M' && bytes(2) == 'G' && bytes(3) == '0'
-          val w = if (magicOk) ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff) else -1
-          val h = if (magicOk) ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff) else -1
-          ImageMeta(id, w, h, if (magicOk) "img0" else "unknown", bytes.length)
+          val ok = magicOk(bytes)
+          val (w, h) = if (ok) readDims(bytes) else (-1, -1)
+          ImageMeta(id, w, h, if (ok) "img0" else "unknown", bytes.length)
         }
       }
   }
@@ -53,12 +67,17 @@ object Multimodal {
   /** Frame sampling for "video" payloads: every `stride`-th byte block
     * — the partition-local slicing pattern real frame extraction uses.
     */
-  def sampleFrames(withPayload: DataFrame, frameSize: Int = 16, stride: Int = 4): DataFrame =
+  def sampleFrames(withPayload: DataFrame, frameSize: Int = 16, stride: Int = 4): DataFrame = {
+    // stride/frameSize = 0 would make the non-ANSI division NULL out
+    // the sequence and silently drop every row — reject loudly
+    require(frameSize > 0 && stride > 0,
+      s"sampleFrames: frameSize=$frameSize and stride=$stride must be positive")
     withPayload.select(
       col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, CAST((octet_length(payload) - $frameSize) / ($frameSize * $stride) AS INT)), " +
           s"i -> substring(payload, i * $frameSize * $stride + 1, $frameSize))")).as(Seq("frame_no", "frame")))
+  }
 
   /** Resize for the fake format: keep the header, rewrite the dims to
     * (w/k, h/k), and downsample the body by taking every k-th byte —
@@ -74,13 +93,11 @@ object Multimodal {
         it.map { case (id, bytes) =>
           if (bytes.length < 8) (id, bytes)
           else {
-            val w = (((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)) / k
-            val h = (((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)) / k
+            val (w0, h0) = readDims(bytes)
             val body = bytes.drop(8).grouped(k).map(_.head).toArray
             val out = new Array[Byte](8 + body.length)
-            System.arraycopy(bytes, 0, out, 0, 4)
-            out(4) = ((w >> 8) & 0xff).toByte; out(5) = (w & 0xff).toByte
-            out(6) = ((h >> 8) & 0xff).toByte; out(7) = (h & 0xff).toByte
+            System.arraycopy(bytes, 0, out, 0, 8)
+            writeDims(out, w0 / k, h0 / k)
             System.arraycopy(body, 0, out, 8, body.length)
             (id, out)
           }

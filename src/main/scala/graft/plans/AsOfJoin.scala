@@ -100,6 +100,16 @@ final case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
 
+  /** Both children are hash-partitioned on their keys (inner as-of
+    * semantics keep every output row co-partitioned under either) —
+    * advertise it, or EnsureRequirements treats the output as
+    * UnknownPartitioning and re-shuffles a downstream
+    * groupBy/join on the same keys that the join already paid for.
+    */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    org.apache.spark.sql.catalyst.plans.physical.PartitioningCollection(
+      Seq(left.outputPartitioning, right.outputPartitioning))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)

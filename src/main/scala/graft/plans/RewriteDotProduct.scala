@@ -73,6 +73,11 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
               Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), false),
             LambdaFunction(finBody, Seq(fin: NamedLambdaVariable), false))
           if isFloatArray(l) && isFloatArray(r) &&
+            // the rewrite duplicates l and r into the Size guard: a
+            // nondeterministic array would be evaluated independently
+            // there and in DotProductF, guarding a DIFFERENT value
+            // than the one dotted — only rewrite deterministic inputs
+            l.deterministic && r.deterministic &&
             isDoubleCastMultiply(mult, x, y) &&
             ((sameVar(accRef, acc) && sameVar(vRef, v)) ||
               (sameVar(accRef, v) && sameVar(vRef, acc))) &&

@@ -84,10 +84,18 @@ object AsOfEnrich {
 
   /** Wire a tagged-union stream through the processor. Requires the
     * RocksDB state store provider (transformWithState contract).
+    *
+    * `ttl` bounds per-key version history for unbounded-churn
+    * dimensions (the scaladoc's mitigation is actually reachable from
+    * here): state TTL requires processing-time mode, so the time mode
+    * switches with it — TTLConfig.NONE keeps TimeMode.None.
     */
-  def enrich(spark: SparkSession, tagged: Dataset[In]): Dataset[Out] = {
+  def enrich(spark: SparkSession, tagged: Dataset[In],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[Out] = {
     import spark.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     tagged.groupByKey(_.key)
-      .transformWithState(new Processor(), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new Processor(ttl), timeMode, OutputMode.Append())
   }
 }

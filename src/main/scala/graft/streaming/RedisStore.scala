@@ -65,16 +65,21 @@ final class RedisServingStore(host: String, port: Int) extends ServingStore {
           case other => throw new java.io.IOException(s"bad SCAN reply: $other")
         }
       }
-      keys.sorted.map { k =>
+      // SCAN is at-least-once: a rehash mid-iteration may return the
+      // same key in two cursor batches — dedupe before fetching
+      keys.distinct.sorted.flatMap { k =>
         val fields = c.command("HGETALL", k) match {
           case pairs: Seq[_] =>
             pairs.collect { case s: String => s }.grouped(2)
               .collect { case Seq(f, v) => f -> v }.toMap
           case other => throw new java.io.IOException(s"bad HGETALL reply: $other")
         }
-        ServingStore.CounterRow(k,
+        // a key deleted/expired between SCAN and HGETALL answers with
+        // an empty hash — skip it rather than fabricate a zero row
+        if (fields.isEmpty) None
+        else Some(ServingStore.CounterRow(k,
           fields.getOrElse("n_events", "0").toLong,
-          fields.getOrElse("sum_value", "0").toDouble)
+          fields.getOrElse("sum_value", "0").toDouble))
       }.toSeq
     } finally c.close()
   }
@@ -87,8 +92,15 @@ final class RedisServingStore(host: String, port: Int) extends ServingStore {
   */
 final class RespClient(host: String, port: Int, timeoutMs: Int = 10000) {
   private val socket = new Socket()
-  socket.connect(new InetSocketAddress(host, port), timeoutMs)
-  socket.setSoTimeout(timeoutMs)
+  try {
+    socket.connect(new InetSocketAddress(host, port), timeoutMs)
+    socket.setSoTimeout(timeoutMs)
+  } catch {
+    // the caller can never reach close() if the constructor throws —
+    // release the descriptor here (task retries against a flapping
+    // endpoint would otherwise strand one fd per attempt)
+    case t: Throwable => socket.close(); throw t
+  }
   private val in = new BufferedInputStream(socket.getInputStream)
   private val out = new BufferedOutputStream(socket.getOutputStream)
 
@@ -111,18 +123,29 @@ final class RespClient(host: String, port: Int, timeoutMs: Int = 10000) {
     writeCommand(args); out.flush(); readReply(in)
   }
 
-  /** Pipelining: stream every HSET without waiting, then drain the
-    * replies — one round trip per batch instead of per key.
+  /** Pipelining: stream HSETs in bounded windows, draining replies
+    * between windows — one round trip per window instead of per key,
+    * WITHOUT the unbounded-pipeline deadlock (writing a whole huge
+    * partition before reading any reply lets both TCP buffers fill
+    * with undrained `:1`s; the server then blocks on its write and
+    * stops reading, and our blocking `out.write` — which has no
+    * timeout, unlike reads — hangs forever).
     */
-  def pipelineHsets(rows: IterableOnce[ServingStore.CounterRow]): Unit = {
-    var n = 0
+  def pipelineHsets(rows: IterableOnce[ServingStore.CounterRow],
+      window: Int = 4096): Unit = {
+    var pending = 0
+    def drain(): Unit = {
+      out.flush()
+      (1 to pending).foreach(_ => readReply(in)) // surfaces -ERR as a throw
+      pending = 0
+    }
     rows.iterator.foreach { r =>
       writeCommand(Seq("HSET", r.key,
         "n_events", r.nEvents.toString, "sum_value", r.sumValue.toString))
-      n += 1
+      pending += 1
+      if (pending >= window) drain()
     }
-    out.flush()
-    (1 to n).foreach(_ => readReply(in)) // surfaces any -ERR as a throw
+    drain()
   }
 
   private def readLine(s: InputStream): String = {
