@@ -277,7 +277,50 @@ object Pipeline {
       .orderBy("stage")
   }
 
+  /** Benchmark decontamination — the train/test overlap check every
+    * training pipeline runs before shipping a corpus: flag training
+    * docs sharing any 8-token shingle with the benchmark set
+    * (deterministic id split stands in for a held-out eval suite).
+    * Distinct from near-dup detection: the relation is asymmetric
+    * cross-SET containment, and even one shared long n-gram flags a
+    * doc regardless of overall similarity. Plan: distinct per-doc
+    * 8-grams from the codegen'd `token_ngrams` generator, equi-join
+    * train grams against benchmark grams, per-doc rollup — at 100 TB
+    * the benchmark side is tiny (eval suites), so the join broadcasts
+    * and the corpus side is one scan + one shuffle.
+    *
+    * Oracle robustness: `greatest(len - 7, 1)` + DuckDB's clamped
+    * list slicing reproduce the generator's whole-text fallback for
+    * sub-8-token docs.
+    */
+  val decontaminate = DeclaredQuery(
+    "q_decontaminate",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+      |  FROM t, LATERAL (
+      |    SELECT unnest(generate_series(1, greatest(len(w) - 7, 1))) AS i) s),
+      |bench AS (SELECT doc_id AS bench_doc, gram FROM g WHERE doc_id % 10 = 0),
+      |train AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0)
+      |SELECT t.doc_id,
+      |       CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared_grams,
+      |       CAST(count(DISTINCT b.bench_doc) AS BIGINT) AS n_bench_docs
+      |FROM train t JOIN bench b ON t.gram = b.gram
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val grams = graft.operators.Dedup.shingleRows(Tables.documents(s, d), 8)
+      .select(col("doc_id"), col("shingle").as("gram")).distinct()
+    val bench = grams.filter(col("doc_id") % 10 === 0)
+      .select(col("gram"), col("doc_id").as("bench_doc"))
+    val train = grams.filter(col("doc_id") % 10 =!= 0)
+    train.join(bench, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("bench_doc")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     piiRedact, topNgramFraction, hashSplit, packSequences, incrementalDedup,
-    corpusFunnel)
+    corpusFunnel, decontaminate)
 }
