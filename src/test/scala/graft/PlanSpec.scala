@@ -171,6 +171,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("per-group top-k plans the WindowGroupLimit rank pushdown") {
+    // Spark's InferWindowGroupLimit turns filter(row_number <= k) into
+    // partial+final per-group limits — rows beyond k never reach the
+    // sort. The windowed top-k shapes must keep qualifying for it.
+    for (name <- Seq("q_top_types_per_user", "q_cosine_topk")) {
+      val p = planOf(name)
+      assert(p.contains("WindowGroupLimit"), s"$name lost the pushdown:\n$p")
+    }
+  }
+
   test("no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed (bounded theta joins against
     // a broadcast side); an unbounded CartesianProduct never is.
