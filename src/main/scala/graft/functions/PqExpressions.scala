@@ -27,7 +27,7 @@ final case class PqModel(
     * ranking the same way NULL embeddings do.
     */
   def encode(v: ArrayData): Array[Byte] = {
-    if (v.numElements() != m * dsub) return null
+    if (badVector(v)) return null
     val out = new Array[Byte](m)
     var s = 0
     while (s < m) {
@@ -59,8 +59,20 @@ final case class PqModel(
     * [[encode]]'s dirty-data posture.
     */
   def adcOrNull(codes: Array[Byte], q: ArrayData): java.lang.Double =
-    if (codes.length != m || q.numElements() != m * dsub) null
+    if (codes.length != m || badVector(q)) null
     else java.lang.Double.valueOf(adc(codes, q))
+
+  /** Malformed = wrong dimension OR any NULL element (getFloat on a
+    * null slot would silently read 0.0 — parquet list elements are
+    * nullable, so a dirty row must map to NULL, not a wrong code).
+    */
+  private def badVector(v: ArrayData): Boolean = {
+    if (v.numElements() != m * dsub) return true
+    var i = 0
+    val n = v.numElements()
+    while (i < n) { if (v.isNullAt(i)) return true; i += 1 }
+    false
+  }
 
   private def adc(codes: Array[Byte], q: ArrayData): Double = {
     var d = 0.0
@@ -102,7 +114,11 @@ final case class PqEncode(child: Expression, model: PqModel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqModel", model, classOf[PqModel].getName)
-    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.encode($v);")
+    // encode() returns null for malformed vectors — propagate it into
+    // ev.isNull, or codegen would hand a null byte[] to the row writer
+    // with isNull=false (the interpreted path nulls correctly)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $ref.encode($v); ${ev.isNull} = (${ev.value} == null);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =

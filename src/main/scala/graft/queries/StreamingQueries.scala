@@ -89,43 +89,34 @@ object StreamingQueries {
     * expressible in the oracle's SQL.
     */
   val streamNearDups = DeclaredQuery.noOracle("q_stream_near_dups") { (s, d) =>
-    import org.apache.spark.sql.types._
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val partKey = "spark.sql.shuffle.partitions"
-    val prev = s.conf.getOption(key)
-    val prevParts = s.conf.get(partKey)
-    // transformWithState requires the RocksDB provider
-    s.conf.set(key,
+    // footer-authoritative schema (Tables policy: never re-declare a
+    // StructType in code — a drifted copy would read all-NULL columns
+    // silently); one batch footer read feeds the streaming source
+    val docSchema = graft.Tables.documents(s, d).schema
+    // run the stateful stream on a CLONED session: transformWithState
+    // needs the RocksDB provider, and the state partition count (one
+    // RocksDB instance each, fixed at first checkpoint) is sized to
+    // the stream, not the CPU count — same pattern and env knob as
+    // Serving.stateSession, and the caller's session is untouched
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // state partition count is fixed at query start: each one is a
-    // RocksDB instance, so right-size to the stream rather than the
-    // session's CPU count (at scale this is sized to state VOLUME;
-    // the checkpoint is fresh per run, so the choice is free here)
-    s.conf.set(partKey, "8")
     val qname = "stream_near_dups_cand"
-    try {
-      val docsStream = s.readStream.schema(docSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
-        .select(col("doc_id"), col("text"))
-      val q = graft.streaming.StreamDedup.candidates(docsStream)
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", graft.SparkEnv.scratchDir("graft-stream-dedup-ckpt"))
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
-      s.conf.set(partKey, prevParts)
-      prev match {
-        case Some(p) => s.conf.set(key, p)
-        case None => s.conf.unset(key)
-      }
-    }
-    val cand = s.table(qname)
+    val docsStream = s2.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select(col("doc_id"), col("text"))
+    val q = graft.streaming.StreamDedup.candidates(docsStream)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation", graft.SparkEnv.scratchDir("graft-stream-dedup-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the memory sink registers its table in the session that ran the
+    // stream — read it back from there
+    val cand = s2.table(qname)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
