@@ -38,7 +38,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokens → the whole text once at pos 0; otherwise numToks-n+1
   * shingles. Duplicates are emitted (callers needing set semantics
   * aggregate downstream — the minhash `min` is duplicate-idempotent
-  * and never needs to).
+  * and never needs to). `n ≤ 0` emits no rows rather than throwing —
+  * DELIBERATE, matching `char_ngrams` (VectorExprSpec pins it); the
+  * sketch expressions, which have no empty-output escape hatch, are
+  * the ones that `require(n > 0)`.
   */
 final case class TokenNGrams(text: Expression, n: Expression)
     extends Generator {
