@@ -61,6 +61,49 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("restart from checkpoint: bucket state survives, candidates stay exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.select(col("doc_id"), col("text")).as[Doc].collect()
+    val expected = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    withRocksDb {
+      val ckpt = SparkEnv.scratchDir("stream-dedup-restart")
+      val (b1, b2) = rows.partition(_.doc_id % 2 == 0)
+      // foreachBatch sink: the memory sink rejects checkpoint
+      // recovery ("does not support recovering"), foreachBatch is the
+      // fault-tolerant path
+      val collected = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      def sink(df: org.apache.spark.sql.Dataset[StreamDedup.CandPair], id: Long): Unit =
+        df.collect().foreach(p => collected.add(
+          (math.min(p.id_a, p.id_b), math.max(p.id_a, p.id_b))))
+      // one source across both query incarnations (offset log must
+      // match on recovery); first incarnation: half the corpus, STOP
+      val mem = MemoryStream[Doc]
+      val q1 = StreamDedup.candidates(mem.toDF())
+        .writeStream.foreachBatch(sink _)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      mem.addData(b1.toSeq)
+      q1.processAllAvailable()
+      q1.stop()
+      // second incarnation, SAME checkpoint: the ListState bucket
+      // index must come back from RocksDB — batch-1 docs are never
+      // offered again, yet cross-half pairs appear
+      val q2 = StreamDedup.candidates(mem.toDF())
+        .writeStream.foreachBatch(sink _)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      mem.addData(b2.toSeq)
+      q2.processAllAvailable()
+      q2.stop()
+      import scala.jdk.CollectionConverters._
+      val got = collected.asScala.toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
   test("q_stream_near_dups equals q_minhash_near_dups end-to-end") {
     val stream = SparkEntry.queries("q_stream_near_dups")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
