@@ -63,16 +63,33 @@ final case class CharNGrams(text: Expression, n: Expression)
     * split surrogate pairs, emitting malformed lone-surrogate "grams"
     * for any non-BMP character (emoji, CJK-B) and diverging from
     * codepoint-counting engines like the oracle.
+    *
+    * Round-4 rewrite: one byte scan records each code point's start
+    * offset (UTF-8 first-byte lengths), and every gram is then a
+    * ZERO-COPY byte-range view — no full `String` decode, no int[]
+    * codepoint array, no per-gram re-encode (the old round-trip
+    * tripled the per-row footprint on large docs; same
+    * round-trip-free shape as TokenNGrams' ShingleCursor).
     */
   def grams(t: UTF8String): Iterator[InternalRow] = {
     if (t == null || kVal <= 0) Iterator.empty
     else {
-      val s = t.toString
-      val cps = s.codePoints().toArray
-      if (cps.length < kVal)
-        Iterator.single(InternalRow(UTF8String.fromString(s)))
-      else (0 to cps.length - kVal).iterator.map { i =>
-        InternalRow(UTF8String.fromString(new String(cps, i, kVal)))
+      val bytes = t.getBytes
+      val nb = bytes.length
+      val offs = new scala.collection.mutable.ArrayBuilder.ofInt
+      var i = 0
+      while (i < nb) {
+        offs += i
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+      }
+      val o = offs.result()
+      val n = o.length // numChars
+      if (n < kVal)
+        Iterator.single(InternalRow(UTF8String.fromBytes(bytes, 0, nb)))
+      else (0 to n - kVal).iterator.map { p =>
+        val start = o(p)
+        val end = if (p + kVal < n) o(p + kVal) else nb
+        InternalRow(UTF8String.fromBytes(bytes, start, end - start))
       }
     }
   }

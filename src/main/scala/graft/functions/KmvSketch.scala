@@ -23,14 +23,20 @@ import org.apache.spark.sql.functions.{udaf, xxhash64}
   * doesn't expose in Spark.
   */
 class KmvSketchAggregator(k: Int)
-    extends Aggregator[Long, Array[Long], Long] {
+    extends Aggregator[java.lang.Long, Array[Long], Long] {
+
+  require(k > 0, s"kmv_distinct: k must be positive, got $k")
 
   override def zero: Array[Long] = Array.empty
 
-  /** Input is a pre-hashed value (xxhash64, shifted to unsigned order). */
-  override def reduce(buf: Array[Long], hashed: Long): Array[Long] = {
+  /** Input is a pre-hashed value (xxhash64, shifted to unsigned
+    * order); NULL input rows are skipped, matching COUNT(DISTINCT)
+    * semantics (the column builder maps them to a null hash).
+    */
+  override def reduce(buf: Array[Long], hashed: java.lang.Long): Array[Long] = {
+    if (hashed == null) return buf
     // flip sign bit: treats Long as unsigned for ordering
-    val h = hashed ^ Long.MinValue
+    val h = hashed.longValue() ^ Long.MinValue
     if (buf.length < k) {
       if (java.util.Arrays.binarySearch(buf, h) < 0) insertSorted(buf, h) else buf
     } else if (h < buf.last) {
@@ -78,8 +84,15 @@ class KmvSketchAggregator(k: Int)
 }
 
 object KmvSketch {
-  /** Approximate COUNT(DISTINCT c) via a k-minimum-values sketch. */
-  def kmv_distinct(c: Column, k: Int = 1024): Column =
-    udaf(new KmvSketchAggregator(k), Encoders.scalaLong)
-      .apply(xxhash64(c))
+  /** Approximate COUNT(DISTINCT c) via a k-minimum-values sketch.
+    * NULL rows do not count: Spark's xxhash64 maps a NULL argument to
+    * the seed (42), which would enter the sketch as one phantom
+    * distinct value — guard the hash behind isNotNull so NULL rows
+    * carry a null hash, which the aggregator skips.
+    */
+  def kmv_distinct(c: Column, k: Int = 1024): Column = {
+    import org.apache.spark.sql.functions.when
+    udaf(new KmvSketchAggregator(k), Encoders.LONG)
+      .apply(when(c.isNotNull, xxhash64(c)))
+  }
 }

@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions.udaf
   */
 class TopKAggregator(k: Int) extends Aggregator[Double, Array[Double], Array[Double]] {
 
+  require(k > 0, s"top_k: k must be positive, got $k")
+
   override def zero: Array[Double] = Array.empty
 
   override def reduce(buf: Array[Double], v: Double): Array[Double] =
@@ -24,10 +26,29 @@ class TopKAggregator(k: Int) extends Aggregator[Double, Array[Double], Array[Dou
 
   override def finish(buf: Array[Double]): Array[Double] = buf
 
+  /** Binary-search insertion into the descending buffer — O(k) per
+    * accepted row, no re-sort (the KmvSketch insertSorted shape). NaN
+    * is skipped entirely: total-order sorting would park it at the
+    * tail where `v > buf.last` is false forever, freezing a full
+    * buffer and breaking the merge law.
+    */
   private def insert(buf: Array[Double], v: Double): Array[Double] = {
-    if (buf.length < k) (buf :+ v).sortBy(-_)
-    else if (v > buf.last) (buf.dropRight(1) :+ v).sortBy(-_)
-    else buf
+    if (v.isNaN) return buf
+    if (buf.length >= k && !(v > buf.last)) return buf
+    // first index with buf(i) < v (buffer is descending)
+    var lo = 0; var hi = buf.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (buf(mid) < v) hi = mid else lo = mid + 1
+    }
+    val keep = if (buf.length < k) buf.length else k - 1
+    val out = new Array[Double](keep + 1)
+    System.arraycopy(buf, 0, out, 0, math.min(lo, keep))
+    if (lo <= keep) {
+      out(lo) = v
+      System.arraycopy(buf, lo, out, lo + 1, keep - lo)
+    }
+    out
   }
 
   override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder()
@@ -35,7 +56,13 @@ class TopKAggregator(k: Int) extends Aggregator[Double, Array[Double], Array[Dou
 }
 
 object TopKAggregator {
-  /** Column aggregate: array of the k largest values, descending. */
+  /** Column aggregate: array of the k largest values, descending.
+    * NULL rows are skipped like every SQL aggregate (the primitive
+    * input encoder would otherwise throw on a null): they map to NaN
+    * before the aggregator, which `insert` ignores.
+    */
   def top_k(c: Column, k: Int): Column =
-    udaf(new TopKAggregator(k), Encoders.scalaDouble).apply(c)
+    udaf(new TopKAggregator(k), Encoders.scalaDouble)
+      .apply(org.apache.spark.sql.functions.coalesce(
+        c, org.apache.spark.sql.functions.lit(Double.NaN)))
 }

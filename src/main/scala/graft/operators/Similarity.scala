@@ -163,15 +163,23 @@ object Similarity {
   def cachedIvfIndex(spark: org.apache.spark.sql.SparkSession,
       candidates: DataFrame, cacheKey: String,
       nCells: Int = 16, seed: Long = 42L): Option[IvfIndex] = {
-    val entry = indexCache.computeIfAbsent(cacheKey, _ =>
-      buildIvfIndex(candidates, nCells, seed) match {
-        case None => null // not cached: computeIfAbsent drops null mappings
+    // build OUTSIDE the map (computeIfAbsent would hold the bin lock
+    // for a whole KMeans fit + parquet write); racing builds are
+    // idempotent (seeded), first put wins
+    val entry = {
+      val cached = indexCache.get(cacheKey)
+      if (cached != null) cached
+      else buildIvfIndex(candidates, nCells, seed) match {
+        case None => null // empty corpus: not cached, retried next call
         case Some(idx) =>
           val path = graft.SparkEnv.scratchDir(
             s"ivf-index-${java.lang.Integer.toHexString(cacheKey.hashCode)}")
           idx.indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
-          (idx.centroids, path)
-      })
+          val v = (idx.centroids, path)
+          val prev = indexCache.putIfAbsent(cacheKey, v)
+          if (prev != null) prev else v
+      }
+    }
     Option(entry).map { case (centroids, path) =>
       IvfIndex(centroids, spark.read.parquet(path)) }
   }
@@ -264,9 +272,17 @@ object Similarity {
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
     String, graft.functions.PqModel]()
 
-  def cachedPqModel(candidates: DataFrame, cacheKey: String): Option[graft.functions.PqModel] =
-    Option(pqCache.computeIfAbsent(cacheKey,
-      _ => trainPq(candidates).orNull))
+  def cachedPqModel(candidates: DataFrame, cacheKey: String): Option[graft.functions.PqModel] = {
+    // same pattern as cachedIvfIndex: train outside the bin lock
+    val cached = pqCache.get(cacheKey)
+    if (cached != null) Some(cached)
+    else trainPq(candidates) match {
+      case None => None
+      case Some(m) =>
+        val prev = pqCache.putIfAbsent(cacheKey, m)
+        Some(if (prev != null) prev else m)
+    }
+  }
 
   // ---- declared queries ----
 

@@ -25,6 +25,9 @@ object Skew {
     // recomputed after a fetch failure, double-counting or dropping
     // rows whose reducers already committed. Hashing the row's own
     // columns is stable under any retry/speculation.
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin: a __salt column already exists on an input — it would be " +
+        "silently overwritten and dropped; rename it first")
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*), lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("__salt",

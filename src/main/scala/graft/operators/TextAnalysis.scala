@@ -80,9 +80,20 @@ object TextAnalysis {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.functions.TrigramProfiles]()
 
-  def cachedTrigramModel(docs: DataFrame, cacheKey: String): graft.functions.TrigramProfiles =
-    modelCache.computeIfAbsent(cacheKey,
-      _ => trigramModel(langProfilesFromDocs(docs)))
+  def cachedTrigramModel(docs: DataFrame, cacheKey: String): graft.functions.TrigramProfiles = {
+    // compute OUTSIDE the map: computeIfAbsent holds the bin lock for
+    // the mapping function's whole duration — here a multi-second
+    // Spark job — stalling concurrent lookups (and risking the
+    // documented CHM re-entrancy deadlock). Racing computes are
+    // idempotent (deterministic pipeline); first put wins.
+    val cached = modelCache.get(cacheKey)
+    if (cached != null) cached
+    else {
+      val m = trigramModel(langProfilesFromDocs(docs))
+      val prev = modelCache.putIfAbsent(cacheKey, m)
+      if (prev != null) prev else m
+    }
+  }
 
   /** Broadcast-scoring language ID — the serving form: profiles are
     * MODEL PARAMETERS (langs × profileSize trigrams ≈ 150 rows, like
@@ -271,6 +282,7 @@ object TextAnalysis {
       |  CAST(count(*) AS BIGINT) AS n_grams
       |FROM documents, LATERAL (
       |  SELECT unnest(generate_series(1, greatest(len(text) - 2, 1))) AS i) g
+      |WHERE text IS NOT NULL
       |GROUP BY lang
       |ORDER BY lang""".stripMargin) { (s, d) =>
     Tables.documents(s, d)

@@ -38,6 +38,28 @@ class AggregatorSpec extends AnyFunSuite {
     }
   }
 
+  test("top-k skips NaN and NULL rows like a SQL aggregate") {
+    // NaN would otherwise park at the buffer tail (total order) and
+    // freeze a full buffer against all future insertions
+    val withNaN = List(Double.NaN, 5.0, 9.0, 7.0).foldLeft(agg.zero)(agg.reduce)
+    assert(withNaN.toSeq == Seq(9.0, 7.0, 5.0), withNaN.toSeq)
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val df = Seq(Some(3.0), None, Some(8.0), None, Some(1.0)).toDF("v")
+    val got = df.agg(TopKAggregator.top_k(col("v"), 2)).as[Seq[Double]]
+      .collect().head
+    assert(got == Seq(8.0, 3.0), got)
+  }
+
+  test("kmv_distinct does not count NULL rows") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import graft.functions.KmvSketch
+    val df = Seq(Some("a"), None, Some("b"), Some("a"), None).toDF("v")
+    val n = df.agg(KmvSketch.kmv_distinct(col("v"), 64)).as[Long].collect().head
+    assert(n == 2L, s"expected 2 distinct non-null values, got $n")
+  }
+
   test("top-k equals sort-take on a real column across partitions") {
     val spark = SparkSpec.spark
     import spark.implicits._

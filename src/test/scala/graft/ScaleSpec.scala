@@ -36,9 +36,10 @@ class ScaleSpec extends SparkSpec {
     (1 to 200).foreach { _ =>
       val a = List.fill(rnd.nextInt(300))(rnd.nextLong())
       val b = List.fill(rnd.nextInt(300))(rnd.nextLong())
-      val direct = (a ++ b).foldLeft(agg.zero)(agg.reduce)
+      def red(buf: Array[Long], v: Long) = agg.reduce(buf, v)
+      val direct = (a ++ b).foldLeft(agg.zero)(red)
       val merged = agg.merge(
-        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+        a.foldLeft(agg.zero)(red), b.foldLeft(agg.zero)(red))
       assert(direct.toSeq == merged.toSeq)
     }
   }
