@@ -42,7 +42,13 @@ object Bench {
         // reported min would time cached data, not query cost.
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        // execute the DECLARED plan via toRdd: a bare .count() lets
+        // Catalyst prune the query's own aggregates/projections/sorts
+        // (measured: q_pricing_summary's decimal sums vanish entirely
+        // under count — 0.5 s vs 1.7 s full), so it times a cheaper
+        // plan than the one the oracle checks (tools/BenchCmp.scala
+        // holds the measurement)
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
           catch { case _: Throwable => false }
         name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
@@ -55,7 +61,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"per-query min","failed":${failed.mkString("[", ",", "]")}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"per-query min","action":"toRdd.count (full declared plan)","failed":${failed.mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }

@@ -46,8 +46,9 @@ object SparkEnv {
     * parallelism from SPARK_GRAFT_CPUS (default = all cores), shuffle
     * partitions matched to cores (not 200 — right-sized for the data
     * scale; at 100 TB this knob is AQE + initialPartitionNum instead),
-    * UTC, tmpfs local dir, and the ns-parquet read mode that
-    * Tables.events relies on.
+    * UTC, tmpfs local dir, and (belt-and-braces only) the legacy
+    * ns-parquet read mode — Tables.events does NOT rely on it, its
+    * explicit LongType schema works on any session.
     */
   def builder(): SparkSession.Builder = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -58,6 +59,9 @@ object SparkEnv {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", scratchRoot)
+      // belt-and-braces for ad-hoc reads of the ns-timestamp events
+      // parquet; Tables.events does NOT rely on it (explicit LongType
+      // schema works on any session)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new GraftExtensions)
   }

@@ -6,8 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    // events.ts is parquet timestamp[ns]; SparkEnv sets nanosAsLong
-    // (Tables.events converts to µs TimestampType with exact math).
+    // events.ts is parquet timestamp[ns]; Tables.events reads it with
+    // an explicit LongType schema (works on ANY session — no legacy
+    // config needed) and converts to µs TimestampType with exact math.
     val spark = SparkEnv.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -32,6 +33,12 @@ object Verify {
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
+    // NB: no clearCache during the run — queries execute concurrently,
+    // and clearing would thrash a sibling's in-flight persisted
+    // relation. The persisted intermediates (candidate-pair scale) are
+    // bounded and MEMORY_AND_DISK, so accumulation degrades to disk
+    // rather than OOM; Bench, which runs serially, clears per query.
+    spark.catalog.clearCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

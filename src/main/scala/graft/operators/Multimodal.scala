@@ -65,18 +65,24 @@ object Multimodal {
   }
 
   /** Frame sampling for "video" payloads: every `stride`-th byte block
-    * — the partition-local slicing pattern real frame extraction uses.
+    * OF THE BODY — the 8-byte container header is metadata, not frame
+    * data, so sampling starts past it (a real extractor samples the
+    * elementary stream, not the container header), and only FULL
+    * frames are emitted (payloads whose body is shorter than one
+    * frame produce no rows rather than a truncated header-fragment).
     */
   def sampleFrames(withPayload: DataFrame, frameSize: Int = 16, stride: Int = 4): DataFrame = {
     // stride/frameSize = 0 would make the non-ANSI division NULL out
     // the sequence and silently drop every row — reject loudly
     require(frameSize > 0 && stride > 0,
       s"sampleFrames: frameSize=$frameSize and stride=$stride must be positive")
-    withPayload.select(
-      col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, CAST((octet_length(payload) - $frameSize) / ($frameSize * $stride) AS INT)), " +
-          s"i -> substring(payload, i * $frameSize * $stride + 1, $frameSize))")).as(Seq("frame_no", "frame")))
+    withPayload
+      .filter(expr(s"octet_length(payload) >= ${8 + frameSize}"))
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST((octet_length(payload) - 8 - $frameSize) / ($frameSize * $stride) AS INT)), " +
+            s"i -> substring(payload, 9 + i * $frameSize * $stride, $frameSize))")).as(Seq("frame_no", "frame")))
   }
 
   /** Resize for the fake format: keep the header, rewrite the dims to

@@ -217,9 +217,6 @@ object TimeSeries {
       .orderBy("type_a", "type_b")
   }
 
-  /** A5/H6: JSON event payload decode — get_json_object on the props
-    * column, bucketed counts.
-    */
   /** D9/D5: custom KMV distinct sketch beside the built-in HLL —
     * mergeable sketch state with inspectable buffers (rows-only;
     * ScaleSpec asserts exactness below k and the merge law).
@@ -252,6 +249,9 @@ object TimeSeries {
       .orderBy("bucket")
   }
 
+  /** A5/H6: JSON event payload decode — get_json_object on the props
+    * column, bucketed counts.
+    */
   val jsonExtract = DeclaredQuery(
     "q_json_extract",
     """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,

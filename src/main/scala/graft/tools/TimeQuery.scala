@@ -30,7 +30,7 @@ object TimeQuery {
         case Some(fn) =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
+          val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } // full declared plan (see Bench)
             catch { case e: Throwable => println(s"FAIL $name: $e"); false }
           val t = (System.nanoTime() - t0) / 1e9
           if (ok) acc(name) = math.min(acc(name), t) else failed += name
