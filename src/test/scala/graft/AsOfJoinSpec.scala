@@ -36,6 +36,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!p.contains("Expand"), p)
   }
 
+  test("downstream groupBy on the join key reuses the as-of join's exchange") {
+    import graft.operators.AsOf
+    import spark.implicits._
+    val left = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 10L, 3.0))
+      .toDF("lk", "lt", "lv")
+    val right = Seq((1L, 5L, 100L), (2L, 5L, 200L))
+      .toDF("rk", "rt", "rpayload")
+    val joined = AsOf.join(left, right,
+      Seq(left("lk")), Seq(right("rk")), left("lt"), right("rt"))
+    val plainExchanges = "Exchange".r
+      .findAllIn(joined.queryExecution.executedPlan.toString).size
+    val grouped = joined.groupBy("lk").count()
+    val groupedExchanges = "Exchange".r
+      .findAllIn(grouped.queryExecution.executedPlan.toString).size
+    // outputPartitioning advertises the children's hash partitioning,
+    // so the same-key aggregate must NOT add a shuffle (partial+final
+    // collapse onto the join's own exchanges)
+    assert(groupedExchanges == plainExchanges,
+      s"groupBy added ${groupedExchanges - plainExchanges} exchange(s):\n" +
+        grouped.queryExecution.executedPlan)
+  }
+
   test("Spark's own joinAsOf API routes to the native merge exec (RewriteSparkAsOfJoin)") {
     import spark.implicits._
     val left = Seq((1L, 10L, "l_a"), (1L, 3L, "l_early"), (2L, 10L, "l_nofuture"))
