@@ -61,7 +61,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"per-query min","action":"toRdd.count (full declared plan)","failed":${failed.mkString("[", ",", "]")}}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"per-query min","action":"toRdd.count (full declared plan)","failed":${failed.mkString("[", ",", "]")}}"""
+    println(fullJson)
+    // The harness captures only the TAIL of stdout: with 100+ queries the
+    // single line above is long enough that its head — the suite total —
+    // was truncated away in every prior round's BENCH_r*.json. Persist the
+    // full JSON to a file and print a short total-only line LAST, so the
+    // tail always retains a parseable suite total (round-4 verdict #8).
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","passes":2,"agg":"per-query min","action":"toRdd.count (full declared plan)","failed":${failed.mkString("[", ",", "]")},"queries_file":"BENCH_full.json"}""")
     spark.stop()
   }
 }

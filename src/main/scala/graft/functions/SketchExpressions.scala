@@ -166,7 +166,7 @@ final case class BloomMightContain(
     copy(child = newChild)
 }
 
-/** `token_ngram_stats(text, n)` → STRUCT<n_trigrams: BIGINT, n_top:
+/** `token_ngram_stats(text, n)` → STRUCT<n_grams: BIGINT, n_top:
   * BIGINT>: total and most-frequent n-token-shingle counts of one
   * doc, in one pass — the per-doc aggregate the Gopher repetition
   * filter needs, without shuffling an exploded (doc, shingle) row per
@@ -219,7 +219,7 @@ final case class TokenNGramStats(child: Expression, n: Int)
 object TokenNGramStats {
   val schema: org.apache.spark.sql.types.StructType =
     new org.apache.spark.sql.types.StructType()
-      .add("n_trigrams", LongType, nullable = false)
+      .add("n_grams", LongType, nullable = false)
       .add("n_top", LongType, nullable = false)
 }
 

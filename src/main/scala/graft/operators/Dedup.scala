@@ -82,8 +82,14 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
     // whole-signature expression: one codegen'd pass per doc, NO
     // explode/groupBy shuffle (bit-identical to minhashSignatures —
-    // SketchExprSpec asserts it)
-    val sigs = docs.select(col("doc_id"), expr(s"minhash_sig(text, 3, $k)").as("sig"))
+    // SketchExprSpec asserts it). NULL texts are dropped BEFORE the
+    // projection (matching simhash): a NULL sig would band to the
+    // constant xxhash64 seed, so every NULL-text doc would share every
+    // bucket — O(M²) spurious pairs. The old explode form dropped them
+    // implicitly (no shingle rows); the expression form must do it
+    // explicitly.
+    val sigs = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr(s"minhash_sig(text, 3, $k)").as("sig"))
     val bucketed = sigs.select(col("doc_id"),
       explode(array(bandStructs(k, bands): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.band_sig"))

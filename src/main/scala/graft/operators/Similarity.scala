@@ -177,7 +177,19 @@ object Similarity {
           idx.indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
           val v = (idx.centroids, path)
           val prev = indexCache.putIfAbsent(cacheKey, v)
-          if (prev != null) prev else v
+          if (prev != null) {
+            // lost the race: the winner's path serves all probes, so
+            // delete this build's just-written index dir — scratch is
+            // tmpfs (/dev/shm), a leak here is leaked RAM
+            try {
+              import scala.jdk.CollectionConverters._
+              val root = java.nio.file.Paths.get(path)
+              java.nio.file.Files.walk(root).iterator().asScala.toSeq
+                .sortBy(-_.getNameCount)
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+            } catch { case _: Throwable => () }
+            prev
+          } else v
       }
     }
     Option(entry).map { case (centroids, path) =>

@@ -77,6 +77,11 @@ object StreamDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
+      // NULL texts band to the constant xxhash64 seed: without this
+      // filter they all share one bucket whose keyed ListState grows
+      // forever, emitting a pair per prior member on each arrival
+      // (mirrors Dedup.minhashCandidates / Dedup.simhash).
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), expr(s"minhash_sig(text, 3, $k)").as("sig"))
       .select(col("doc_id"), explode(array(Dedup.bandStructs(k, bands): _*)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.band_sig").as("band_sig"),

