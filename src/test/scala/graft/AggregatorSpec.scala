@@ -60,6 +60,39 @@ class AggregatorSpec extends AnyFunSuite {
     assert(n == 2L, s"expected 2 distinct non-null values, got $n")
   }
 
+  test("vec_decimal_sum equals the 64-slot decimal SUM form bit-for-bit") {
+    // the typed vector-sum must reproduce sum(cast(x as decimal(18,8)))
+    // cast back to double EXACTLY — unscaled-long addition is the same
+    // integer arithmetic a decimal SUM performs — across partitions
+    // (exercises partial/final merge) and with NULL vectors skipped
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import graft.functions.VecDecimalSumAggregator
+    val dims = 64
+    val e = Tables.embeddings(spark, SparkSpec.sf).repartition(7)
+    val vecSum = udaf(new VecDecimalSumAggregator(dims, 8),
+      ExpressionEncoder[Seq[Double]]())
+    val viaAgg = e.groupBy("label")
+      .agg(vecSum(col("embedding").cast("array<double>")).as("s"))
+      .collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
+    val decSums = (0 until dims).map(i =>
+      sum(element_at(col("embedding"), i + 1).cast("decimal(18,8)"))
+        .cast("double").as(s"s$i"))
+    val viaDecimal = e.groupBy("label").agg(decSums.head, decSums.tail: _*)
+      .collect().map(r => r.get(0) ->
+        (1 to dims).map(r.getDouble).toSeq).toMap
+    assert(viaAgg == viaDecimal)
+    // merge law: reduce-then-merge in any split equals one-shot reduce
+    val a = new VecDecimalSumAggregator(3, 8)
+    val rows = Seq(Seq(0.1, -2.5, 3.00000001), Seq(1.1, 2.2, -3.3),
+      null, Seq(0.055555555, 1e9, -1e-9))
+    val oneShot = rows.foldLeft(a.zero)(a.reduce).toSeq
+    val split = a.merge(
+      rows.take(2).foldLeft(a.zero)(a.reduce),
+      rows.drop(2).foldLeft(a.zero)(a.reduce)).toSeq
+    assert(oneShot == split)
+  }
+
   test("top-k equals sort-take on a real column across partitions") {
     val spark = SparkSpec.spark
     import spark.implicits._
