@@ -64,16 +64,36 @@ object Similarity {
   /** LSH-bucketed approximate top-k: score only same-bucket pairs.
     * nPlanes controls recall/cost: fewer planes → bigger buckets →
     * higher recall, more work.
+    *
+    * Multi-probe (`maxFlips` > 0): each query additionally probes
+    * every bucket within Hamming distance `maxFlips` in sign-bit
+    * space — the standard recall/cost knob (a near neighbor that
+    * landed on the far side of 1–2 hyperplanes is recovered without
+    * rebuilding with fewer planes). The expansion is QUERY-side only:
+    * the tiny broadcast set fans out ×Σ C(nPlanes, f), the corpus is
+    * still hashed once and joined by bucket equi-join; dedup of a
+    * candidate reachable through several probed buckets happens
+    * before scoring, so each (query, candidate) pays one dot product.
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      nPlanes: Int = 8): DataFrame = {
+      nPlanes: Int = 8, maxFlips: Int = 0): DataFrame = {
+    require(maxFlips >= 0 && maxFlips <= nPlanes, s"lshTopK: bad maxFlips=$maxFlips")
     val planes = hyperplanes(nPlanes)
+    val masks = (0L until (1L << nPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= maxFlips)
     val qb = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("bucket", bucketCol("q_emb", planes))
+      .withColumn("b0", bucketCol("q_emb", planes))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("b0").bitwiseXOR(lit(m))): _*)))
+      .drop("b0")
     val cb = candidates
       .withColumn("bucket", bucketCol("embedding", planes))
     val sims = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
+      // a candidate may share several probed buckets with a query —
+      // score each pair once
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .dropDuplicates("q_id", "vec_id")
       .select(col("q_id"), col("vec_id"), vec_dot(col("q_emb"), col("embedding")).as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -127,19 +147,25 @@ object Similarity {
     * within the probed fraction. Works identically against a freshly
     * built index or one reloaded from a cell-partitioned table.
     */
-  def probeIvf(index: IvfIndex, queries: DataFrame, k: Int,
-      nProbe: Int = 2): DataFrame = {
-    val centroids = index.centroids
-    val probeCells = udf { (q: Seq[Float]) =>
+  /** nProbe-nearest-centroid cell list per query vector (MLlib
+    * training interop — the model is driver-resident, the udf closure
+    * carries only nCells×64 floats).
+    */
+  private def probeCellsUdf(
+      centroids: Array[(org.apache.spark.ml.linalg.Vector, Int)], nProbe: Int) =
+    udf { (q: Seq[Float]) =>
       centroids.map { case (c, i) =>
         var d = 0.0; var j = 0
         while (j < q.length) { val t = q(j) - c(j); d += t * t; j += 1 }
         (i, d)
       }.sortBy(_._2).take(nProbe).map(_._1)
     }
+
+  def probeIvf(index: IvfIndex, queries: DataFrame, k: Int,
+      nProbe: Int = 2): DataFrame = {
     val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("cell", explode(probeCells(col("q_emb"))))
+      .withColumn("cell", explode(probeCellsUdf(index.centroids, nProbe)(col("q_emb"))))
     val sims = index.indexed.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -280,6 +306,48 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** IVF-PQ: the production 100 TB ANN shape — both prunings composed.
+    * IVF prunes WHICH vectors are scanned (only the `nProbe` probed
+    * cells' members); PQ prunes WHAT is scanned (one m-byte code per
+    * member instead of the raw vector); exact re-rank of the top-R
+    * restores precision. The persisted artifact is the cell-partitioned
+    * `(cell, vec_id, codes)` relation — at Dim=64/m=8 it is 32× smaller
+    * than the raw corpus AND each query batch touches only
+    * nProbe/nCells of it, so the scan cost drops multiplicatively.
+    * ADC distances are computed strictly AFTER the cell equi-join
+    * (SimilaritySpec asserts the plan), never over the full corpus.
+    */
+  def ivfPqTopK(index: IvfIndex, model: graft.functions.PqModel,
+      queries: DataFrame, k: Int, nProbe: Int = 2, rerank: Int = 32): DataFrame = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    // the stored index at scale: encode each cell member once
+    val coded = index.indexed.select(col("cell"), col("vec_id"),
+        toColumn(graft.functions.PqEncode(toExpression(col("embedding")), model))
+          .as("codes"))
+      .filter(col("codes").isNotNull)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("cell", explode(probeCellsUdf(index.centroids, nProbe)(col("q_emb"))))
+    // cells are disjoint, so each (query, member) pair appears once
+    val approx = coded.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"),
+        toColumn(graft.functions.PqAdcDist(
+          toExpression(col("codes")), toExpression(col("q_emb")), model))
+          .as("adc"))
+      .filter(col("adc").isNotNull)
+    val wApprox = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+    val shortlist = approx.withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= rerank)
+      .select("q_id", "q_emb", "vec_id")
+    // exact re-rank touches only R raw vectors per query
+    val sims = shortlist
+      .join(index.indexed.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        vec_dot(col("q_emb"), col("embedding")).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Train-once cache per corpus dir, like [[cachedIvfIndex]]. */
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
     String, graft.functions.PqModel]()
@@ -305,7 +373,9 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     // 4 planes = 16 buckets: fixture vectors are near-uniform on the
     // sphere (measured), so coarse buckets keep candidate sets non-empty
-    lshTopK(emb.filter(col("vec_id") < 5), emb, k = 3, nPlanes = 4)
+    // 1-flip multi-probe: 5 buckets probed of 16 — recovers neighbors
+    // split by a single hyperplane at ~1.6× the single-probe cost
+    lshTopK(emb.filter(col("vec_id") < 5), emb, k = 3, nPlanes = 4, maxFlips = 1)
       .select("q_id", "vec_id", "cos_sim", "rn")
       .orderBy("q_id", "rn")
   }
@@ -347,5 +417,22 @@ object Similarity {
     }
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qAnnLsh, qAnnIvf, qAnnPq)
+  /** IVF-PQ ANN (both cached artifacts composed — rows-only; ScalaTest
+    * asserts re-ranked recall ≥ 0.9 vs brute force and that ADC runs
+    * only on probed cells).
+    */
+  val qAnnIvfPq = DeclaredQuery.noOracle("q_ann_ivfpq") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    (cachedIvfIndex(s, emb, d), cachedPqModel(emb, d)) match {
+      case (Some(index), Some(model)) =>
+        ivfPqTopK(index, model, emb.filter(col("vec_id") < 5), k = 3)
+          .select("q_id", "vec_id", "cos_sim", "rn")
+          .orderBy("q_id", "rn")
+      case _ =>
+        emb.select(col("vec_id").as("q_id"), col("vec_id"),
+          lit(0.0).as("cos_sim"), lit(1).as("rn")).limit(0)
+    }
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq)
 }

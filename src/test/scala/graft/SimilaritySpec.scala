@@ -108,6 +108,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"twin recall $recall")
   }
 
+  test("IVF-PQ composes both prunings: recall >= 0.9, ADC only after the cell join") {
+    val corpus = emb.select("vec_id", "embedding").union(planted)
+    val queries = emb.filter(col("vec_id") < 20)
+    val index = Similarity.buildIvfIndex(corpus).get
+    val model = Similarity.trainPq(corpus).get
+    val df = Similarity.ivfPqTopK(index, model, queries, k = 3)
+    val found = topkSet(df)
+    val recall = (0L until 20L).count(id => found.contains((id, id + 10000L))) / 20.0
+    assert(recall >= 0.9, s"twin recall $recall")
+    // the composition's point: ADC distances are evaluated above the
+    // broadcast cell equi-join (probed members only) — a pq_adc_dist
+    // below the join would mean a full-corpus ADC scan. Parents print
+    // before children in the plan tree, so the project carrying the
+    // ADC must appear before the join node.
+    val plan = df.queryExecution.executedPlan.toString
+    val adcAt = plan.indexOf("pq_adc_dist")
+    // two BHJs exist (re-rank join prints first); anchor on the one
+    // keyed by cell
+    val joinAt = plan.indexOf("BroadcastHashJoin [cell")
+    assert(adcAt >= 0 && joinAt >= 0 && adcAt < joinAt,
+      s"pq_adc_dist must sit above the cell join:\n$plan")
+  }
+
   test("PQ codes are m bytes (32x compression) and encoding is codegen-stable") {
     import org.apache.spark.sql.graftshim.{toColumn, toExpression}
     val model = Similarity.trainPq(emb).get
@@ -163,5 +186,22 @@ class SimilaritySpec extends SparkSpec {
     // cos 0.995 => angle ~5.7 deg => P(all 8 planes agree) ~ 0.77;
     // deterministic seeds make the realized value stable run-to-run.
     assert(recall >= 0.6, s"twin recall $recall")
+  }
+
+  test("multi-probe LSH lifts twin recall to >= 0.8 at the same 8 planes") {
+    // probing Hamming-distance-≤2 buckets recovers twins split by one
+    // or two hyperplanes: P(≤2 planes disagree) ≈ 0.998 at cos 0.995 —
+    // the recall/cost knob that needs no index rebuild
+    val corpus = emb.select("vec_id", "embedding").union(planted)
+    val queries = emb.filter(col("vec_id") < 20)
+    val single = topkSet(Similarity.lshTopK(queries, corpus, k = 3, nPlanes = 8))
+    val multi = topkSet(
+      Similarity.lshTopK(queries, corpus, k = 3, nPlanes = 8, maxFlips = 2))
+    val recall = (0L until 20L).count(id => multi.contains((id, id + 10000L))) / 20.0
+    assert(recall >= 0.8, s"twin recall $recall")
+    val singleRecall =
+      (0L until 20L).count(id => single.contains((id, id + 10000L))) / 20.0
+    assert(recall >= singleRecall,
+      s"multi-probe ($recall) must not lose recall vs single-probe ($singleRecall)")
   }
 }
