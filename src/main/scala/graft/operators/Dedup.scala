@@ -295,6 +295,115 @@ object Dedup {
     labels
   }
 
+  /** Alternating large-star / small-star connected components (the
+    * MapReduce-and-beyond formulation) — the extreme-scale form that
+    * [[components]]' scaladoc promises. Converges in O(log n)
+    * alternations vs O(diameter) propagation rounds: a k-link chain
+    * family needs ~log₂ k alternations instead of k rounds, and at
+    * 100 TB the per-round job count IS the cost. Each alternation is
+    * two (groupBy-min + equi-join) passes over the edge relation —
+    * bounded shuffles, no driver-side graph state, no collect.
+    *
+    *  - large-star: every node connects its strictly-larger neighbors
+    *    to the smallest node it can see (drags chain tails toward the
+    *    minimum in one hop);
+    *  - small-star: every node re-points itself and its smaller
+    *    neighbors at their collective minimum (flattens the result
+    *    into stars).
+    *
+    * Fixpoint = the edge set is stable = every node points directly at
+    * its component minimum; labels fall straight out of the final
+    * star edges. DedupSpec asserts equivalence with [[components]] on
+    * planted families and the logarithmic round count on a long chain.
+    *
+    * `checkpointDir`: each round's edge relation must cut lineage
+    * (iterative joins otherwise stack analysis cost per round).
+    * None → eager `localCheckpoint` — executor-local blocks, fast, but
+    * an executor death aborts the job. Some(dir) → parquet round-trip
+    * to reliable storage, the 1000-executor deployment choice: a lost
+    * executor replays the round from files, not from a dead peer's
+    * memory.
+    */
+  def componentsStar(edges: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame =
+    componentsStarCounted(edges, checkpointDir)._1
+
+  private[graft] def componentsStarCounted(edges: DataFrame,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    var round = 0
+    def ckpt(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val path = s"$dir/cc-round-$round"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      // LAZY: the convergence aggregate below materializes the
+      // cut-lineage blocks AND computes the round signature in the
+      // same job — one job per round (the [[components]] pattern)
+      case None => df.localCheckpoint(false)
+    }
+    // canonical orientation: larger endpoint first, self-loops dropped
+    var e = ckpt(edges
+      .select(greatest(col("id_a"), col("id_b")).cast("long").as("u"),
+        least(col("id_a"), col("id_b")).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    // Round signature (cardinality, order-independent 64-bit hash sum):
+    // equal signatures ⇔ identical edge set up to a 2⁻⁶⁴ xxhash64
+    // collision — deterministic for a given input, and one aggregate
+    // job instead of a count + a full set-difference per round.
+    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    // node set for labeling the star centers themselves — derived from
+    // the CHECKPOINTED canonical edges, not the raw input (the input
+    // relation is typically an expensive near-dup pipeline; reading it
+    // twice would recompute it). Nodes appearing only in self-loops
+    // are dropped with their loops — a self-pair carries no dedup
+    // information.
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+
+    def largeStar(ed: DataFrame): DataFrame = {
+      val sym = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(ed: DataFrame): DataFrame = {
+      // input is oriented u > v, so every neighbor here is smaller
+      val mins = ed.groupBy("u").agg(min("v").as("m"))
+      ed.join(mins, Seq("u"))
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var prevSig = signature(e)
+    var converged = prevSig._1 == 0L
+    while (!converged) {
+      round += 1
+      val next = ckpt(smallStar(largeStar(e)))
+      val sig = signature(next)
+      converged = sig == prevSig
+      prevSig = sig
+      e = next
+    }
+    val labels = nodes
+      .join(e.select(col("u").as("node"), col("v").as("star_min")), Seq("node"), "left")
+      .groupBy("node").agg(min("star_min").as("sm"))
+      .select(col("node"), coalesce(col("sm"), col("node")).as("label"))
+    (labels, round)
+  }
+
   /** Incremental exact dedup — the ingest gate of a continuously-fed
     * corpus: which new-batch docs are byte-identical to something in
     * the historical corpus? Two phases, the standard scale shape:

@@ -360,9 +360,11 @@ object LlmOps {
 
   /** The dedup endgame: near-dup pairs → connected components →
     * canonical doc per family (minimum doc_id survives). Spark runs
-    * iterative min-label propagation (Dedup.components); the oracle
-    * computes the same transitive closure with a recursive CTE. Every
-    * document appears: isolated docs are their own cluster.
+    * alternating large-star/small-star (Dedup.componentsStar — the
+    * O(log n)-round scale form; min-label propagation remains as
+    * Dedup.components, equivalence spec-gated); the oracle computes
+    * the same transitive closure with a recursive CTE. Every document
+    * appears: isolated docs are their own cluster.
     */
   val dedupClusters = DeclaredQuery(
     "q_dedup_clusters",
@@ -403,7 +405,7 @@ object LlmOps {
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val edges = exactNearDupStats(docs).select("id_a", "id_b")
-    val labels = graft.operators.Dedup.components(edges)
+    val labels = graft.operators.Dedup.componentsStar(edges)
     docs.select("doc_id")
       .join(labels.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))

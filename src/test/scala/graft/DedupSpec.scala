@@ -96,6 +96,46 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("large-star/small-star equals min-label propagation on planted families") {
+    import spark.implicits._
+    // chains, a triangle-with-tail, two isolated pairs, high ids
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L),
+      (50L, 51L), (60L, 61L),
+      (100L, 7L)).toDF("id_a", "id_b")
+    val viaProp = Dedup.components(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = Dedup.componentsStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaProp, s"star=$viaStar prop=$viaProp")
+    assert(viaStar(4L) == 1L && viaStar(23L) == 20L && viaStar(100L) == 7L)
+  }
+
+  test("large-star/small-star round count is logarithmic on a long chain") {
+    import spark.implicits._
+    // a 64-link chain: min-label propagation needs ~diameter rounds to
+    // carry node 0's label to node 64; star alternations collapse it
+    // exponentially
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.componentsStarCounted(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 64L).map(_ -> 0L).toMap)
+    assert(rounds <= 8, s"expected O(log n) alternations on a 64-chain, got $rounds")
+  }
+
+  test("componentsStar with a reliable checkpoint dir matches and writes rounds") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val dir = SparkEnv.scratchDir("cc-ckpt-spec")
+    val got = Dedup.componentsStar(edges, Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val rounds = new java.io.File(dir).listFiles()
+    assert(rounds != null && rounds.exists(_.getName.startsWith("cc-round-")),
+      s"expected checkpointed round dirs under $dir")
+  }
+
   test("incremental exact dedup flags exactly the planted historical copies") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
