@@ -208,7 +208,16 @@ object Serving {
     * never bottlenecks on the driver.
     */
   def runPipeline(spark: SparkSession, sfDir: String, store: ServingStore,
-      checkpoint: String): ServingStore = {
+      checkpoint: String): ServingStore =
+    runPipelineMetered(spark, sfDir, store, checkpoint)._1
+
+  /** Same pipeline, returning the per-batch [[StreamMetrics]] the
+    * operator watches (rows/s, state rows, watermark lag) alongside
+    * the store — the runner contract every long-running deployment
+    * wants (StreamMetricsSpec asserts the state-operator metrics).
+    */
+  def runPipelineMetered(spark: SparkSession, sfDir: String, store: ServingStore,
+      checkpoint: String): (ServingStore, Seq[StreamMetrics.BatchMetrics]) = {
     val agg = hourlyCounters(Ingest.eventStream(stateSession(spark), sfDir))
     val q = agg.writeStream
       .outputMode("update")
@@ -219,7 +228,7 @@ object Serving {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    store
+    (store, StreamMetrics.history(q))
   }
 
   /** Account-scoped daily counters — the reference's full key scheme
@@ -248,7 +257,17 @@ object Serving {
       col("n_events"), col("sum_value"))
 
   def runAccountPipeline(spark: SparkSession, sfDir: String, store: ServingStore,
-      checkpoint: String): ServingStore = {
+      checkpoint: String): ServingStore =
+    runAccountPipelineMetered(spark, sfDir, store, checkpoint)._1
+
+  /** [[runAccountPipeline]] + per-batch metrics (see
+    * [[runPipelineMetered]]): the account cube's state cardinality is
+    * accounts × metrics × days, exactly the surface whose
+    * numRowsTotal an operator must watch.
+    */
+  def runAccountPipelineMetered(spark: SparkSession, sfDir: String,
+      store: ServingStore, checkpoint: String)
+      : (ServingStore, Seq[StreamMetrics.BatchMetrics]) = {
     val agg = accountDailyCounters(Ingest.eventStream(stateSession(spark), sfDir))
     val q = agg.writeStream
       .outputMode("update")
@@ -259,7 +278,7 @@ object Serving {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    store
+    (store, StreamMetrics.history(q))
   }
 
   /** The reference's eager time-cube as ONE streaming aggregation:

@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.{InMemoryServingStore, Serving, StreamDedup, StreamMetrics}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The streaming observability surface: the metered runners must
+  * return per-batch progress carrying the three operator alarms —
+  * throughput, state-operator rows, watermark lag — for the account
+  * cube and the LSH dedup pipelines (round-4 verdict #9).
+  */
+class StreamMetricsSpec extends SparkSpec {
+
+  test("account-cube runner returns progress with state-operator metrics") {
+    val store = new InMemoryServingStore
+    val (_, metrics) = Serving.runAccountPipelineMetered(
+      spark, sf, store, SparkEnv.scratchDir("metrics-acct-ckpt"))
+    assert(metrics.nonEmpty, "AvailableNow run must report at least one batch")
+    val withData = metrics.filter(_.numInputRows > 0)
+    assert(withData.nonEmpty, "some batch must have ingested the fixture events")
+    // the stateful aggregation reports its state store: rows present,
+    // and the state cardinality equals the served key space
+    val stateOps = withData.flatMap(_.stateOperators)
+    assert(stateOps.nonEmpty, "windowed aggregation must report a state operator")
+    assert(stateOps.map(_.numRowsTotal).max > 0, stateOps.toString)
+    assert(metrics.map(_.stateRowsTotal).max == store.snapshot().size.toLong,
+      "state rows must equal the served (account, metric, day) key count")
+    // throughput + event-time: the processing-rate and watermark
+    // fields an operator graphs
+    assert(withData.forall(_.processedRowsPerSecond > 0.0))
+    val lastWm = metrics.flatMap(_.watermark)
+    assert(lastWm.nonEmpty, "watermarked pipeline must surface its watermark")
+    // watermark lag is computable whenever both watermark and max
+    // event time are present, and is non-negative (watermark trails)
+    val lags = metrics.flatMap(_.watermarkLagMs)
+    assert(lags.nonEmpty && lags.forall(_ >= 0L), lags.toString)
+  }
+
+  test("streaming dedup query surfaces transformWithState store metrics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamDedupSpec.Doc]
+      val q = StreamDedup.candidates(mem.toDF())
+        .writeStream.format("memory").queryName("stream_metrics_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", SparkEnv.scratchDir("metrics-dedup-ckpt"))
+        .start()
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text")).as[StreamDedupSpec.Doc].collect()
+      mem.addData(docs.toSeq)
+      q.processAllAvailable()
+      val metrics = StreamMetrics.history(q)
+      val last = StreamMetrics.latest(q)
+      q.stop()
+      val stateOps = metrics.flatMap(_.stateOperators)
+      assert(stateOps.nonEmpty, "transformWithState must report a state operator")
+      assert(stateOps.map(_.numRowsUpdated).sum > 0,
+        s"bucket index must have written state: $stateOps")
+      assert(last.nonEmpty && metrics.map(_.batchId).contains(last.get.batchId))
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
