@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThanOrEqual}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, If, LessThan, LessThanOrEqual, Literal, Not, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{AsOfJoin, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -14,20 +14,31 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * condition join and then `min_by`s the pairs away — the blow-up
   * [[AsOfJoinPlan]] exists to avoid. The rule runs at analysis time
   * (post-hoc resolution), BEFORE the optimizer's Finish-Analysis batch
-  * can expand the node, and rewrites exactly the shape the merge exec
-  * implements:
+  * can expand the node, and covers the API's full surface:
   *
-  *   - inner join, backward direction, exact matches allowed
-  *     (`asOfCondition` = `leftTime >= rightTime`), no tolerance,
-  *   - a pure equi-conjunction `by` condition with at least one key
-  *     (the merge needs keys to cluster on).
+  *   - every `direction` (backward / forward / nearest), classified
+  *     from the node's order expression (`lt − rt`, `rt − lt`, or the
+  *     `If(lt > rt, …)` absolute-difference form) — the one field
+  *     whose shape is direction-unambiguous;
+  *   - `allowExactMatches` on and off (strict vs inclusive bounds,
+  *     read from the as-of condition's base comparison; nearest reads
+  *     the `NOT (lt = rt)` conjunct);
+  *   - any `tolerance` (the full as-of condition — including its
+  *     tolerance bounds — travels to the exec as an emit predicate;
+  *     the merge candidate is boundary-nearest, so predicate-checking
+  *     it alone is exact). The API's own non-negativity assertion is
+  *     verified foldably here; a non-foldable assertion falls through.
   *
-  * Everything else (outer/forward/nearest, tolerance, non-equi
-  * conditions, key-less joins) falls through untouched to Spark's
-  * rewrite — correct, just not accelerated. Tie-break note: with
-  * duplicate right (key, time) rows Spark's min_by keeps an arbitrary
-  * pair; the merge exec keeps the last row in its total right sort
-  * order — both unspecified by the API, each deterministic per engine.
+  * Still required: inner join type and a pure equi-conjunction `by`
+  * condition with at least one key (the merge needs keys to cluster
+  * on). Anything else (outer joins, non-equi conditions, key-less
+  * joins) falls through untouched to Spark's rewrite — correct, just
+  * not accelerated. Tie-break note: with duplicate right (key, time)
+  * rows Spark's min_by keeps an arbitrary pair; the merge exec's
+  * total right sort order makes its choice deterministic. Same for
+  * equidistant nearest ties (merge picks backward; Spark arbitrary).
+  * AsOfJoinSpec asserts parity with Spark's own rewrite on every
+  * direction × exact × tolerance combination on tie-free data.
   */
 object RewriteSparkAsOfJoin extends Rule[LogicalPlan] {
 
@@ -36,12 +47,65 @@ object RewriteSparkAsOfJoin extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** (direction, leftTime, rightTime) from the node's order
+    * expression — Spark builds `lt − rt` for backward, `rt − lt` for
+    * forward, and `If(lt > rt, lt − rt, rt − lt)` for nearest.
+    */
+  private def classify(orderExpr: Expression, l: LogicalPlan, r: LogicalPlan)
+      : Option[(String, Expression, Expression)] = {
+    def sides(a: Expression, b: Expression): Option[(Expression, Expression)] =
+      if (a.references.nonEmpty && a.references.subsetOf(l.outputSet) &&
+        b.references.nonEmpty && b.references.subsetOf(r.outputSet)) Some((a, b))
+      else None
+    orderExpr match {
+      case If(GreaterThan(_, _), Subtract(x, y, _), Subtract(_, _, _)) =>
+        sides(x, y).map { case (lt, rt) => ("nearest", lt, rt) }
+      case Subtract(a, b, _) =>
+        sides(a, b).map { case (lt, rt) => ("backward", lt, rt) }
+          .orElse(sides(b, a).map { case (lt, rt) => ("forward", lt, rt) })
+      case _ => None
+    }
+  }
+
+  /** allowExactMatches, read from the base comparison conjunct. */
+  private def exactness(asOfCond: Expression, dir: String,
+      lt: Expression, rt: Expression): Option[Boolean] = {
+    val cs = conjuncts(asOfCond)
+    def has(p: Expression => Boolean) = cs.exists(p)
+    dir match {
+      case "backward" =>
+        if (has { case GreaterThanOrEqual(a, b) =>
+          a.semanticEquals(lt) && b.semanticEquals(rt); case _ => false })
+          Some(true)
+        else if (has { case GreaterThan(a, b) =>
+          a.semanticEquals(lt) && b.semanticEquals(rt); case _ => false })
+          Some(false)
+        else None
+      case "forward" =>
+        if (has { case LessThanOrEqual(a, b) =>
+          a.semanticEquals(lt) && b.semanticEquals(rt); case _ => false })
+          Some(true)
+        else if (has { case LessThan(a, b) =>
+          a.semanticEquals(lt) && b.semanticEquals(rt); case _ => false })
+          Some(false)
+        else None
+      case _ => // nearest: exact unless the NOT(lt = rt) conjunct is present
+        val nonExact = has {
+          case Not(EqualTo(a, b)) =>
+            (a.semanticEquals(lt) && b.semanticEquals(rt)) ||
+              (a.semanticEquals(rt) && b.semanticEquals(lt))
+          case _ => false
+        }
+        Some(!nonExact)
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
-      case j @ AsOfJoin(l, r, GreaterThanOrEqual(lt, rt), Some(cond), Inner, _, None)
+      case j @ AsOfJoin(l, r, asOfCond, Some(cond), Inner, orderExpr, tolAssert)
           if j.resolved &&
-            lt.references.subsetOf(l.outputSet) &&
-            rt.references.subsetOf(r.outputSet) =>
+            // the API's tolerance ≥ 0 assertion must hold provably
+            tolAssert.forall(a => a.foldable && a.eval() == true) =>
         val keyPairs = conjuncts(cond).map {
           case EqualTo(a, b) if a.references.subsetOf(l.outputSet) &&
               b.references.subsetOf(r.outputSet) => Some((a, b))
@@ -49,9 +113,23 @@ object RewriteSparkAsOfJoin extends Rule[LogicalPlan] {
               a.references.subsetOf(r.outputSet) => Some((b, a))
           case _ => None
         }
-        if (keyPairs.nonEmpty && keyPairs.forall(_.isDefined)) {
-          val (lk, rk) = keyPairs.flatten.unzip
-          AsOfJoinPlan(l, r, lk, rk, lt, rt)
-        } else j
+        (if (keyPairs.nonEmpty && keyPairs.forall(_.isDefined))
+          classify(orderExpr, l, r).flatMap { case (dir, lt, rt) =>
+            exactness(asOfCond, dir, lt, rt).map { exact =>
+              val (lk, rk) = keyPairs.flatten.unzip
+              // a trivial condition (no tolerance, exact) needs no emit
+              // predicate; keep the fast path predicate-free
+              val needsPred = asOfCond match {
+                case GreaterThanOrEqual(_, _) if dir == "backward" => false
+                case Literal(true, _) if dir == "nearest" => false
+                case LessThanOrEqual(_, _) if dir == "forward" => false
+                case _ => true
+              }
+              AsOfJoinPlan(l, r, lk, rk, lt, rt, dir, exact,
+                if (needsPred) Some(asOfCond) else None,
+                if (dir == "nearest") Some(orderExpr) else None)
+            }
+          }.getOrElse(j)
+        else j): LogicalPlan
     }
 }

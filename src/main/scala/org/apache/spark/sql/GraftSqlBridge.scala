@@ -27,4 +27,16 @@ object GraftSqlBridge {
     left.asInstanceOf[classic.Dataset[Row]].joinAsOf(
       right.asInstanceOf[classic.Dataset[_]], leftAsOf, rightAsOf, condition,
       joinType, null, allowExactMatches = true, "backward")
+
+  /** Full-parameter form: every direction, exact-match flag, and
+    * tolerance the API accepts — for specs driving each shape through
+    * the rewrite.
+    */
+  def joinAsOf(left: DataFrame, right: DataFrame, leftAsOf: Column,
+      rightAsOf: Column, condition: Column, joinType: String,
+      tolerance: Column, allowExactMatches: Boolean,
+      direction: String): DataFrame =
+    left.asInstanceOf[classic.Dataset[Row]].joinAsOf(
+      right.asInstanceOf[classic.Dataset[_]], leftAsOf, rightAsOf, condition,
+      joinType, tolerance, allowExactMatches, direction)
 }

@@ -86,6 +86,85 @@ class AsOfJoinSpec extends SparkSpec {
     assert(outer.count() == 3, "left outer keeps all left rows")
   }
 
+  test("joinAsOf full matrix: every direction x exact x tolerance routes native and matches") {
+    import spark.implicits._
+    // hand-built fixture: multi-key, boundary ties, keys missing on
+    // each side, NULL key and NULL time rows; nearest distances are
+    // tie-free by construction (Spark leaves equidistant ties
+    // unspecified, so parity on them is not defined)
+    val left = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(10L), "a10"),
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(11L), "a11"),
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(20L), "a20"),
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(5L), "b5"),
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(6L), "b6"),
+      (java.lang.Long.valueOf(3L), java.lang.Long.valueOf(100L), "c100"),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(10L), "nullkey"),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long], "nulltime"))
+      .toDF("lk", "lt", "ltag")
+    val right = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(1L), "r1"),
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(10L), "r10"),
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(14L), "r14"),
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(6L), "r6"),
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(40L), "r40"),
+      (java.lang.Long.valueOf(4L), java.lang.Long.valueOf(7L), "r7"),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(2L), "rnullkey"),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long], "rnulltime"))
+      .toDF("rk", "rt", "rtag")
+    val lRows = Seq((1L, 10L, "a10"), (1L, 11L, "a11"), (1L, 20L, "a20"),
+      (2L, 5L, "b5"), (2L, 6L, "b6"), (3L, 100L, "c100"))
+    val rRows = Seq((1L, 1L, "r1"), (1L, 10L, "r10"), (1L, 14L, "r14"),
+      (2L, 6L, "r6"), (2L, 40L, "r40"), (4L, 7L, "r7"))
+
+    // independent driver-side reference of the API contract (strict
+    // tolerance bounds when allowExactMatches is off — probed from
+    // Spark's own condition construction)
+    def reference(dir: String, exact: Boolean, tol: Option[Long]) =
+      lRows.flatMap { case (lk, lt, ltag) =>
+        val inRange = rRows.filter(_._1 == lk).filter { case (_, rt, _) =>
+          val base = dir match {
+            case "backward" => if (exact) rt <= lt else rt < lt
+            case "forward" => if (exact) rt >= lt else rt > lt
+            case _ => if (exact) true else rt != lt
+          }
+          val window = tol.forall { d =>
+            dir match {
+              case "backward" => if (exact) rt >= lt - d else rt > lt - d
+              case "forward" => if (exact) rt <= lt + d else rt < lt + d
+              case _ => if (exact) rt >= lt - d && rt <= lt + d
+                        else rt > lt - d && rt < lt + d
+            }
+          }
+          base && window
+        }
+        val pick = dir match {
+          case "backward" => inRange.sortBy(_._2).lastOption
+          case "forward" => inRange.sortBy(_._2).headOption
+          case _ => inRange.sortBy(r => math.abs(r._2 - lt)).headOption
+        }
+        pick.map(r => (ltag, r._3))
+      }.toSet
+
+    for (dir <- Seq("backward", "forward", "nearest");
+         exact <- Seq(true, false);
+         tol <- Seq(None, Some(5L))) {
+      val joined = org.apache.spark.sql.GraftSqlBridge.joinAsOf(
+        left, right, left("lt"), right("rt"), left("lk") === right("rk"),
+        "inner", tol.map(d => org.apache.spark.sql.functions.lit(d)).orNull,
+        exact, dir)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("AsOfJoin") && !p.contains("HashAggregate") &&
+        !p.contains("SortAggregate"),
+        s"dir=$dir exact=$exact tol=$tol must route to the merge exec:\n$p")
+      val got = joined.select("ltag", "rtag").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val want = reference(dir, exact, tol)
+      assert(got == want,
+        s"dir=$dir exact=$exact tol=$tol: got=$got want=$want")
+    }
+  }
+
   test("randomized: native exec equals the window-form reference on 2k rows") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
