@@ -453,6 +453,45 @@ object Dedup {
       .select("doc_id", "fp").distinct()
   }
 
+  /** Cross-doc repeated-passage detection — the overlap class doc-level
+    * sketches miss: two long documents sharing one lifted paragraph
+    * have tiny whole-doc Jaccard (MinHash never pairs them) but their
+    * winnowing fingerprints collide exactly on the shared passage.
+    * Docs sharing ≥ `minShared` fingerprints pair up, scored by
+    * shared-fingerprint count and overlap fraction vs the smaller doc.
+    *
+    * Scale shape: fingerprints are already the winnowed ~1/w sample of
+    * each doc's shingles; pairing is the LSH bucket pattern (groupBy
+    * fingerprint + in-place ordered-pair expansion — no self-join
+    * double scan), and the `maxDf` ceiling drops fingerprints shared
+    * by more docs than that: a fingerprint in half the corpus is
+    * boilerplate, not passage reuse, and its pair set is quadratic —
+    * the same document-frequency guard every production decon/dedup
+    * gram pipeline applies.
+    */
+  def passageOverlapPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
+      minShared: Int = 2, maxDf: Int = 64): DataFrame = {
+    val fps = winnowFingerprints(docs, n, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = fps.groupBy("fp")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids) - 2), " +
+          "i -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "b -> struct(ids[i] AS id_a, b AS id_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+    val cnt = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pairs
+      .join(cnt.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(cnt.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared_fps"),
+        round(col("n_shared_fps").cast("double") /
+          least(col("n_a"), col("n_b")), 6).as("overlap"))
+  }
+
   // ---- declared queries (rows-only checks; ScalaTest is the gate) ----
 
   val qMinhash = DeclaredQuery.noOracle("q_minhash_near_dups") { (s, d) =>
@@ -471,5 +510,10 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qMinhash, qSimhash, qWinnow)
+  val qPassageOverlap = DeclaredQuery.noOracle("q_passage_overlap") { (s, d) =>
+    passageOverlapPairs(Tables.documents(s, d))
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qMinhash, qSimhash, qWinnow, qPassageOverlap)
 }

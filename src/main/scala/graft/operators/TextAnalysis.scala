@@ -218,6 +218,103 @@ object TextAnalysis {
       .orderBy("lang", "predicted_lang")
   }
 
+  /** Weak-supervision quality classifier — the CCNet/FastText-style
+    * learned quality gate, as train-once/score-many:
+    *
+    *  - features: the [[qualityScores]] surface stats (token count,
+    *    type/token ratio, average token length, punctuation and
+    *    alphanumeric fractions);
+    *  - weak labels: the heuristic score's own top/bottom quartiles
+    *    (no human labels exist at corpus scale — production pipelines
+    *    bootstrap exactly this way, e.g. "wiki-like vs crawl-tail");
+    *  - model: seeded MLlib logistic regression, trained ONCE per
+    *    corpus dir and cached ([[cachedQualityModel]] — same
+    *    index/probe split as language-ID and IVF);
+    *  - scoring: NOT MLlib's transform (a per-row udf) — the learned
+    *    coefficients are lifted into plain Column arithmetic
+    *    (`sigmoid(w·x + b)` as literals), so the score-many path is
+    *    one codegen'd scan at any corpus size.
+    */
+  def qualityFeatures(docs: DataFrame): DataFrame =
+    qualityScores(docs).select(
+      col("doc_id"), col("source"),
+      col("n_tokens").cast("double").as("f_tokens"),
+      col("type_token_ratio").as("f_ttr"),
+      col("avg_token_len").as("f_atl"),
+      (col("n_punct").cast("double") / col("n_chars")).as("f_punct"),
+      (col("n_alnum_tokens").cast("double") / col("n_tokens")).as("f_alnum"))
+      .withColumn("heuristic",
+        col("f_ttr") + col("f_alnum") - col("f_punct"))
+
+  private val featureCols = Seq("f_tokens", "f_ttr", "f_atl", "f_punct", "f_alnum")
+
+  final case class QualityModel(weights: Array[Double], intercept: Double)
+
+  def trainQualityModel(docs: DataFrame, seed: Long = 42L): Option[QualityModel] = {
+    val feats = qualityFeatures(docs)
+    if (feats.isEmpty) return None
+    val Array(q25, q75) =
+      feats.stat.approxQuantile("heuristic", Array(0.25, 0.75), 0.001)
+    val labeled = feats
+      .withColumn("label",
+        when(col("heuristic") >= q75, 1.0)
+          .when(col("heuristic") <= q25, 0.0))
+      .filter(col("label").isNotNull)
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(labeled)
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(assembled)
+    Some(QualityModel(lr.coefficients.toArray, lr.intercept))
+  }
+
+  /** Codegen'd scoring scan: sigmoid of the literal-coefficient dot
+    * product — no MLlib udf in the score-many path.
+    */
+  def scoreQuality(docs: DataFrame, model: QualityModel): DataFrame = {
+    val feats = qualityFeatures(docs)
+    val z = featureCols.zip(model.weights)
+      .map { case (c, w) => col(c) * lit(w) }
+      .foldLeft(lit(model.intercept): org.apache.spark.sql.Column)(_ + _)
+    feats.withColumn("quality_prob", lit(1.0) / (lit(1.0) + exp(-z)))
+  }
+
+  private val qualityCache =
+    new java.util.concurrent.ConcurrentHashMap[String, QualityModel]()
+
+  def cachedQualityModel(docs: DataFrame, cacheKey: String): Option[QualityModel] = {
+    val cached = qualityCache.get(cacheKey)
+    if (cached != null) Some(cached)
+    else trainQualityModel(docs) match {
+      case None => None
+      case Some(m) =>
+        val prev = qualityCache.putIfAbsent(cacheKey, m)
+        Some(if (prev != null) prev else m)
+    }
+  }
+
+  /** Learned quality gate per source (MLlib training is iterative
+    * float → rows-only; TextAnalysisSpec asserts the model separates
+    * its weak extremes and that scoring stays udf-free).
+    */
+  val qQualityClassifier = DeclaredQuery.noOracle("q_quality_classifier") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    cachedQualityModel(docs, d) match {
+      case Some(m) =>
+        scoreQuality(docs, m)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg("quality_prob"), 6).as("avg_quality_prob"),
+            count(when(col("quality_prob") >= 0.5, 1)).as("n_keep"))
+          .orderBy("source")
+      case None =>
+        docs.select(col("source"), lit(0L).as("n_docs"),
+          lit(0.0).as("avg_quality_prob"), lit(0L).as("n_keep")).limit(0)
+    }
+  }
+
   /** Quality-score distribution per source — SQL-expressible, so it
     * carries a full oracle.
     */
@@ -293,5 +390,5 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qLangId, qQuality, qBpeTokens, qCharNgrams)
+  val all: Seq[DeclaredQuery] = Seq(qLangId, qQuality, qBpeTokens, qCharNgrams, qQualityClassifier)
 }

@@ -96,6 +96,41 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("passage overlap finds lifted passages that doc-level minhash misses") {
+    import spark.implicits._
+    // two long, unrelated docs sharing one 14-word passage: whole-doc
+    // Jaccard is tiny (minhash at tau=0.8 must NOT pair them) but the
+    // winnow fingerprints of the shared passage collide exactly
+    val passage = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val docA = words("alpha", 40) + " " + passage + " " + words("omega", 40)
+    val docB = words("beta", 40) + " " + passage + " " + words("gamma", 40)
+    val docC = words("delta", 90) // no shared passage
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val pairs = Dedup.passageOverlapPairs(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs.contains((1L, 2L)), s"lifted passage must pair: $pairs")
+    assert(pairs.keySet == Set((1L, 2L)), s"unrelated docs must not pair: $pairs")
+    val ov = pairs((1L, 2L))
+    assert(ov > 0.0 && ov <= 1.0, s"overlap fraction out of range: $ov")
+    val viaMinhash = Dedup.minhashNearDups(docs, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!viaMinhash.contains((1L, 2L)),
+      "doc-level minhash should miss a single lifted passage — that's the point")
+  }
+
+  test("passage overlap recovers the fixture's planted near-dup families") {
+    // byte-near-identical docs share nearly all fingerprints, so every
+    // planted minhash near-dup pair must also be a passage-overlap pair
+    val planted = Dedup.minhashNearDups(docs, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty, "fixture should plant near-dup families")
+    val viaPassage = Dedup.passageOverlapPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = planted -- viaPassage
+    assert(missed.isEmpty, s"planted near-dups missing passage overlap: $missed")
+  }
+
   test("large-star/small-star equals min-label propagation on planted families") {
     import spark.implicits._
     // chains, a triangle-with-tail, two isolated pairs, high ids
