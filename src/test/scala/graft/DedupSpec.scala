@@ -119,6 +119,12 @@ class DedupSpec extends SparkSpec {
       "doc-level minhash should miss a single lifted passage — that's the point")
   }
 
+  test("passage overlap on an empty corpus is empty, not an error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.passageOverlapPairs(empty).count() == 0L)
+  }
+
   test("passage overlap recovers the fixture's planted near-dup families") {
     // byte-near-identical docs share nearly all fingerprints, so every
     // planted minhash near-dup pair must also be a passage-overlap pair

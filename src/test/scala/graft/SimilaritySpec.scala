@@ -188,6 +188,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"twin recall $recall")
   }
 
+  test("exhaustive multi-probe (maxFlips = nPlanes) degenerates to brute force") {
+    // probing every bucket removes the approximation entirely — the
+    // result must equal the exact broadcast scan, which pins the
+    // probe-expansion + per-pair dedup machinery to exact semantics
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = topkSet(Similarity.bruteForceTopK(queries, emb, k = 3))
+    val allProbes = topkSet(
+      Similarity.lshTopK(queries, emb, k = 3, nPlanes = 4, maxFlips = 4))
+    assert(allProbes == exact,
+      s"missing=${exact -- allProbes} extra=${allProbes -- exact}")
+  }
+
   test("multi-probe LSH lifts twin recall to >= 0.8 at the same 8 planes") {
     // probing Hamming-distance-≤2 buckets recovers twins split by one
     // or two hyperplanes: P(≤2 planes disagree) ≈ 0.998 at cos 0.995 —
