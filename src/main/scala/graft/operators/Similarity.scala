@@ -88,12 +88,14 @@ object Similarity {
       .drop("b0")
     val cb = candidates
       .withColumn("bucket", bucketCol("embedding", planes))
-    val sims = cb.join(broadcast(qb), Seq("bucket"))
+    val hits = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      // a candidate may share several probed buckets with a query —
-      // score each pair once
       .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
-      .dropDuplicates("q_id", "vec_id")
+    // a candidate may share several probed buckets with a query —
+    // score each pair once (single-probe buckets are disjoint, so the
+    // dedup shuffle exists only when probing fans out)
+    val deduped = if (maxFlips == 0) hits else hits.dropDuplicates("q_id", "vec_id")
+    val sims = deduped
       .select(col("q_id"), col("vec_id"), vec_dot(col("q_emb"), col("embedding")).as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
