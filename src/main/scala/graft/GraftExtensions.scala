@@ -62,6 +62,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.ShingleScan.foldedInt(children(2), "minhash_sig k"))
       }))
     e.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[graft.functions.WinnowFps].getName, "winnow_fps"),
+      (children: Seq[Expression]) => {
+        checkArity("winnow_fps", children, 3)
+        graft.functions.WinnowFps(children(0),
+          graft.functions.ShingleScan.foldedInt(children(1), "winnow_fps n"),
+          graft.functions.ShingleScan.foldedInt(children(2), "winnow_fps w"))
+      }))
+    e.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => {

@@ -223,6 +223,68 @@ object TokenNGramStats {
       .add("n_top", LongType, nullable = false)
 }
 
+/** `winnow_fps(text, n, w)` → ARRAY<BIGINT>: the doc's DISTINCT
+  * winnowing fingerprints — for each position p, the minimum
+  * `xxhash64(shingle)` over the trailing window of w shingles ending
+  * at p (partial windows at the doc head included) — sorted ascending
+  * for determinism. Bit-identical to the relational
+  * `min(h) OVER (PARTITION BY doc ORDER BY pos ROWS -(w-1)..CURRENT)`
+  * + distinct form ([[graft.operators.Dedup.winnowFingerprints]], the
+  * parity reference): a doc's fingerprints depend only on that doc,
+  * so the per-doc window sort + distinct exchange — the whole cost of
+  * the relational plan — fuses into one monotonic-deque pass per row.
+  */
+final case class WinnowFps(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+
+  require(n > 0 && w > 0, "winnow_fps: n and w must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  /** Shared by interpreted eval and generated code (addReferenceObj). */
+  def fps(t: UTF8String): GenericArrayData = {
+    val c = new ShingleCursor(t, n)
+    val m = c.size
+    val hs = new Array[Long](m)
+    var p = 0
+    while (p < m) { hs(p) = XXH64.hashUTF8String(c.slice(p), 42L); p += 1 }
+    // sliding-window minimum via monotonic index deque — O(m) total
+    val deque = new Array[Int](m)
+    var head = 0; var tail = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var nOut = 0
+    val out = new Array[Long](m)
+    p = 0
+    while (p < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(p)) tail -= 1
+      deque(tail) = p; tail += 1
+      if (deque(head) <= p - w) head += 1
+      val fp = hs(deque(head))
+      if (seen.add(fp)) { out(nOut) = fp; nOut += 1 }
+      p += 1
+    }
+    val trimmed = java.util.Arrays.copyOf(out, nOut)
+    java.util.Arrays.sort(trimmed)
+    new GenericArrayData(trimmed)
+  }
+
+  override def nullSafeEval(t: Any): Any = fps(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowFps", this, classOf[WinnowFps].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.fps($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
 /** `simhash64(text, n)` → BIGINT: Charikar SimHash over the doc's
   * DISTINCT n-token-shingle fingerprints (per-bit ±1 vote, sign →
   * bit), matching the relational 64-sum-aggregate form bit-for-bit.

@@ -471,22 +471,30 @@ object Dedup {
     */
   def passageOverlapPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
       minShared: Int = 2, maxDf: Int = 64): DataFrame = {
-    val fps = winnowFingerprints(docs, n, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = fps.groupBy("fp")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+    // fused winnowing (one codegen'd pass per doc, no window sort);
+    // each exploded row carries its doc's fingerprint count so the
+    // overlap denominator needs no second scan or join
+    val rows = docs
+      .select(col("doc_id"), expr(s"winnow_fps(text, $n, $w)").as("fps"))
+      .filter(col("fps").isNotNull)
+      .select(col("doc_id"), size(col("fps")).as("nf"),
+        explode(col("fps")).as("fp"))
+    rows.groupBy("fp")
+      // fps are distinct WITHIN a doc, so each doc contributes at most
+      // one row per fp-group: collect_list is set-equivalent and skips
+      // the per-element dedup cost
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("nf")))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
       .select(explode(expr(
         "flatten(transform(sequence(0, size(ids) - 2), " +
           "i -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "b -> struct(ids[i] AS id_a, b AS id_b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared_fps"))
+          "b -> struct(ids[i].doc_id AS id_a, ids[i].nf AS n_a, " +
+          "b.doc_id AS id_b, b.nf AS n_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
       .filter(col("n_shared_fps") >= minShared)
-    val cnt = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    pairs
-      .join(cnt.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(cnt.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("n_shared_fps"),
         round(col("n_shared_fps").cast("double") /
           least(col("n_a"), col("n_b")), 6).as("overlap"))
@@ -505,8 +513,14 @@ object Dedup {
   }
 
   val qWinnow = DeclaredQuery.noOracle("q_winnow_fingerprints") { (s, d) =>
-    winnowFingerprints(Tables.documents(s, d))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"))
+    // fused winnow_fps: per-doc fingerprint count is one codegen'd
+    // scan — no shingle explode, no per-doc window sort, no distinct
+    // exchange (SketchExprSpec asserts bit-parity with the relational
+    // winnowFingerprints form)
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("winnow_fps(text, 3, 4)").as("fps"))
+      .filter(col("fps").isNotNull)
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"))
       .orderBy("doc_id")
   }
 

@@ -59,6 +59,25 @@ class SketchExprSpec extends SparkSpec {
     assert(Dedup.simhash(df).count() == 2)
   }
 
+  test("winnow_fps equals the relational window-min + distinct form") {
+    val viaExpr = docs
+      .select(col("doc_id"), expr("winnow_fps(text, 3, 4)").as("fps"))
+      .filter(col("fps").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val viaRel = Dedup.winnowFingerprints(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(viaExpr == viaRel)
+    // sorted-ascending output (determinism contract) and short texts
+    // still emit the whole-text fingerprint
+    import spark.implicits._
+    val tiny = Seq((1L, "ab"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "winnow_fps(text, 3, 4) AS fps")
+      .orderBy("doc_id").collect()
+    assert(tiny(0).getSeq[Long](1).size == 1)
+    assert(tiny(1).isNullAt(1))
+  }
+
   test("NULL-text docs never become minhash candidates") {
     // A NULL sig bands to the constant xxhash64 seed — unfiltered, every
     // NULL-text doc shares every bucket and the candidate set goes
