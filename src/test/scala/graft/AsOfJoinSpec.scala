@@ -165,6 +165,67 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("randomized full matrix: 12 direction/exact/tolerance combos on 800 rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // single long key, coarse times → heavy per-key duplication, left
+    // time ties, keys missing on either side; right (key, time) unique
+    // so the backward/forward pick is payload-deterministic. Nearest
+    // equidistant ties DO occur here — the reference mirrors the
+    // exec's documented backward tie-break (the API leaves it
+    // unspecified, so pinning our own contract is the point).
+    val lRows = Seq.fill(800)((rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, rnd.nextLong()))
+    val rRows = Seq.fill(600)((rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, rnd.nextLong()))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val left = lRows.toDF("lk", "lt", "lpay")
+    val right = rRows.toDF("rk", "rt", "rpay")
+    def reference(dir: String, exact: Boolean, tol: Option[Long]) =
+      lRows.flatMap { case (lk, lt, lpay) =>
+        val inRange = rRows.filter(_._1 == lk).filter { case (_, rt, _) =>
+          val base = dir match {
+            case "backward" => if (exact) rt <= lt else rt < lt
+            case "forward" => if (exact) rt >= lt else rt > lt
+            case _ => if (exact) true else rt != lt
+          }
+          val window = tol.forall { d =>
+            dir match {
+              case "backward" => if (exact) rt >= lt - d else rt > lt - d
+              case "forward" => if (exact) rt <= lt + d else rt < lt + d
+              case _ => if (exact) rt >= lt - d && rt <= lt + d
+                        else rt > lt - d && rt < lt + d
+            }
+          }
+          base && window
+        }
+        val pick = dir match {
+          case "backward" => inRange.sortBy(_._2).lastOption
+          case "forward" => inRange.sortBy(_._2).headOption
+          // (|Δt|, rt asc) → equidistant tie prefers the smaller rt =
+          // the backward candidate, matching the exec's contract
+          case _ => inRange.sortBy(r => (math.abs(r._2 - lt), r._2)).headOption
+        }
+        pick.map(r => (lpay, r._3))
+      }.groupBy(identity).view.mapValues(_.size).toMap
+    for (dir <- Seq("backward", "forward", "nearest");
+         exact <- Seq(true, false);
+         tol <- Seq(None, Some(7L))) {
+      val joined = org.apache.spark.sql.GraftSqlBridge.joinAsOf(
+        left, right, left("lt"), right("rt"), left("lk") === right("rk"),
+        "inner", tol.map(d => org.apache.spark.sql.functions.lit(d)).orNull,
+        exact, dir)
+      assert(joined.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+        s"dir=$dir exact=$exact tol=$tol must route native")
+      val got = joined.select("lpay", "rpay").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val want = reference(dir, exact, tol)
+      assert(got == want, {
+        val g = got.toSet; val w = want.toSet
+        s"dir=$dir exact=$exact tol=$tol missing=${(w -- g).take(3)} extra=${(g -- w).take(3)}"
+      })
+    }
+  }
+
   test("randomized: native exec equals the window-form reference on 2k rows") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
