@@ -68,10 +68,13 @@ object Bench {
     // was truncated away in every prior round's BENCH_r*.json. Persist the
     // full JSON to a file and print a short total-only line LAST, so the
     // tail always retains a parseable suite total (round-4 verdict #8).
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
-      (fullJson + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","passes":2,"agg":"per-query min","action":"toRdd.count (full declared plan)","failed":${failed.mkString("[", ",", "]")},"queries_file":"BENCH_full.json"}""")
+    val queriesFile =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_full.json").toAbsolutePath
+        java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
+        s""","queries_file":"${p.toString}""""
+      } catch { case _: Throwable => "" } // don't advertise a file that isn't there
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","passes":2,"agg":"per-query min","action":"toRdd.count (full declared plan)","failed":${failed.mkString("[", ",", "]")}$queriesFile}""")
     spark.stop()
   }
 }

@@ -16,32 +16,53 @@ import org.apache.spark.sql.expressions.Aggregator
   * buffer is one primitive array instead of 64 independent decimal
   * SUM slots.
   *
+  * Dirty-data contract — `SUM(TRY_CAST(x AS DECIMAL(18,scale)))`
+  * semantics: a NULL element, NaN, ±Infinity, or a value the decimal
+  * range cannot hold contributes nothing, never throws (ANSI `CAST`
+  * would fail the whole job on one bad embedding — the wrong trade
+  * for a corpus-scale aggregate; AggregatorSpec pins the skip
+  * behavior). On clean data this is bit-identical to the plain
+  * decimal SUM.
+  *
   * This is the centroid/running-mean shape a 100 TB embedding pipeline
   * aggregates constantly (per-label centroids, IVF cell means): one
   * ObjectHashAggregate pass, buffer O(dims), mergeable (partial
   * aggregation works — element-wise long add is associative and
-  * commutative, and overflow is unreachable: |x| ≤ 10^10 · 10^scale
-  * per row leaves ~10^8 rows of headroom per partition at scale=8).
+  * commutative, and overflow is unreachable: the range guard bounds
+  * |unscaled| < 10^18 per element, leaving ~9000 rows of headroom at
+  * Long.MaxValue even if every element sits at the bound; real
+  * embedding values are O(1), giving ~10^10 rows).
   *
   * Output: `array<double>` of the per-dimension decimal sums, each
   * converted via BigDecimal(unscaled, scale).doubleValue — the same
   * conversion `CAST(decimal AS DOUBLE)` performs.
   */
 class VecDecimalSumAggregator(dims: Int, scale: Int)
-    extends Aggregator[Seq[Double], Array[Long], Seq[Double]] {
+    extends Aggregator[Seq[java.lang.Double], Array[Long], Seq[Double]] {
 
   require(dims > 0 && scale >= 0, s"vec_decimal_sum: bad dims=$dims scale=$scale")
 
+  // elements a non-ANSI cast-to-decimal(18,scale) would NULL out —
+  // and a SUM would then skip — are skipped here too: NULL, NaN,
+  // ±Infinity, and values whose integral part exceeds 18−scale digits
+  private val maxAbs = math.pow(10, 18 - scale)
+
   override def zero: Array[Long] = new Array[Long](dims)
 
-  override def reduce(buf: Array[Long], v: Seq[Double]): Array[Long] = {
+  override def reduce(buf: Array[Long], v: Seq[java.lang.Double]): Array[Long] = {
     if (v == null) return buf
     val n = math.min(dims, v.length)
     var i = 0
     while (i < n) {
-      buf(i) += java.math.BigDecimal.valueOf(v(i))
-        .setScale(scale, java.math.RoundingMode.HALF_UP)
-        .unscaledValue().longValueExact()
+      val e = v(i)
+      if (e != null) {
+        val d = e.doubleValue
+        if (!d.isNaN && !d.isInfinite && math.abs(d) < maxAbs) {
+          buf(i) += java.math.BigDecimal.valueOf(d)
+            .setScale(scale, java.math.RoundingMode.HALF_UP)
+            .unscaledValue().longValueExact()
+        }
+      }
       i += 1
     }
     buf

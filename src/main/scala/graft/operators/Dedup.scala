@@ -332,11 +332,34 @@ object Dedup {
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val spark = edges.sparkSession
     var round = 0
+    // each run writes under a unique subdir — concurrent runs sharing
+    // a checkpoint root must not overwrite each other's round files —
+    // and eagerly deletes round N-1 once round N is durably written
+    // (N-1 is the recovery point only while N is in flight); the LAST
+    // round's files back the returned labels frame, so they stay until
+    // the caller is done with it
+    lazy val runDir: java.nio.file.Path = {
+      val root = java.nio.file.Paths.get(checkpointDir.get)
+      java.nio.file.Files.createDirectories(root)
+      java.nio.file.Files.createTempDirectory(root, "cc-run-")
+    }
+    var prevCkptPath: Option[java.nio.file.Path] = None
+    def dropPrevCkpt(): Unit = prevCkptPath.foreach { p =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      } catch { case _: Throwable => () }
+    }
     def ckpt(df: DataFrame): DataFrame = checkpointDir match {
-      case Some(dir) =>
-        val path = s"$dir/cc-round-$round"
-        df.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
+      case Some(_) =>
+        val path = runDir.resolve(s"cc-round-$round")
+        df.write.mode("overwrite").parquet(path.toString)
+        dropPrevCkpt()
+        prevCkptPath = Some(path)
+        spark.read.parquet(path.toString)
       // LAZY: the convergence aggregate below materializes the
       // cut-lineage blocks AND computes the round signature in the
       // same job — one job per round (the [[components]] pattern)
@@ -356,15 +379,6 @@ object Dedup {
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect()(0)
       (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
-    // node set for labeling the star centers themselves — derived from
-    // the CHECKPOINTED canonical edges, not the raw input (the input
-    // relation is typically an expensive near-dup pipeline; reading it
-    // twice would recompute it). Nodes appearing only in self-loops
-    // are dropped with their loops — a self-pair carries no dedup
-    // information.
-    val nodes = e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node"))).distinct()
-
     def largeStar(ed: DataFrame): DataFrame = {
       val sym = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mn"))
@@ -397,6 +411,14 @@ object Dedup {
       prevSig = sig
       e = next
     }
+    // node set from the FINAL star edges — not the raw input (an
+    // expensive near-dup pipeline that must not re-run) and not the
+    // round-0 checkpoint (whose files the eager cleanup already
+    // deleted). Star rounds preserve the node set of every ≥2-node
+    // component, and self-loop-only nodes were dropped at
+    // canonicalization — a self-pair carries no dedup information.
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
     val labels = nodes
       .join(e.select(col("u").as("node"), col("v").as("star_min")), Seq("node"), "left")
       .groupBy("node").agg(min("star_min").as("sm"))

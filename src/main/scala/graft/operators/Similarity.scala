@@ -79,8 +79,14 @@ object Similarity {
       nPlanes: Int = 8, maxFlips: Int = 0): DataFrame = {
     require(maxFlips >= 0 && maxFlips <= nPlanes, s"lshTopK: bad maxFlips=$maxFlips")
     val planes = hyperplanes(nPlanes)
-    val masks = (0L until (1L << nPlanes))
-      .filter(m => java.lang.Long.bitCount(m) <= maxFlips)
+    // enumerate flip masks combinatorially — Σ C(nPlanes, f) masks, not
+    // a 2^nPlanes power-set filter (which would hang the driver at
+    // moderate plane counts and empty out at nPlanes ≥ 63)
+    def masksWithFlips(f: Int): Seq[Long] =
+      if (f == 0) Seq(0L)
+      else (0 until nPlanes).combinations(f)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq
+    val masks = (0 to maxFlips).flatMap(masksWithFlips)
     val qb = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("b0", bucketCol("q_emb", planes))
       .withColumn("bucket",
@@ -211,10 +217,11 @@ object Similarity {
             // tmpfs (/dev/shm), a leak here is leaked RAM
             try {
               import scala.jdk.CollectionConverters._
-              val root = java.nio.file.Paths.get(path)
-              java.nio.file.Files.walk(root).iterator().asScala.toSeq
+              val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+              try walk.iterator().asScala.toSeq
                 .sortBy(-_.getNameCount)
                 .foreach(java.nio.file.Files.deleteIfExists(_))
+              finally walk.close() // walk holds open dir handles
             } catch { case _: Throwable => () }
             prev
           } else v

@@ -241,7 +241,10 @@ object TextAnalysis {
       col("n_tokens").cast("double").as("f_tokens"),
       col("type_token_ratio").as("f_ttr"),
       col("avg_token_len").as("f_atl"),
-      (col("n_punct").cast("double") / col("n_chars")).as("f_punct"),
+      // nullif guard: a zero-char doc would otherwise produce native
+      // 0.0/0.0 = NaN (doubles don't null out on zero division) and
+      // poison every aggregate it reaches; NULL propagates cleanly
+      (col("n_punct").cast("double") / nullif(col("n_chars"), lit(0))).as("f_punct"),
       (col("n_alnum_tokens").cast("double") / col("n_tokens")).as("f_alnum"))
       .withColumn("heuristic",
         col("f_ttr") + col("f_alnum") - col("f_punct"))
@@ -253,8 +256,12 @@ object TextAnalysis {
   def trainQualityModel(docs: DataFrame, seed: Long = 42L): Option[QualityModel] = {
     val feats = qualityFeatures(docs)
     if (feats.isEmpty) return None
-    val Array(q25, q75) =
-      feats.stat.approxQuantile("heuristic", Array(0.25, 0.75), 0.001)
+    // approxQuantile ignores NULLs and returns an EMPTY array when no
+    // non-null heuristic values exist (e.g. all-NULL-text corpus) —
+    // that corpus trains no model, same as the empty case
+    val qs = feats.stat.approxQuantile("heuristic", Array(0.25, 0.75), 0.001)
+    if (qs.length < 2) return None
+    val Array(q25, q75) = qs
     val labeled = feats
       .withColumn("label",
         when(col("heuristic") >= q75, 1.0)

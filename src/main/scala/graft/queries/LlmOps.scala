@@ -319,7 +319,7 @@ object LlmOps {
     // (order-independent), same oracle, one aggregate pass, and the
     // shuffle moves one 64-long buffer per (label, partition).
     val vecSum = udaf(new graft.functions.VecDecimalSumAggregator(64, 8),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[java.lang.Double]]())
     val mean = (x: Column) => x / col("n_vecs")
     Tables.embeddings(s, d)
       .groupBy("label")

@@ -71,7 +71,7 @@ class AggregatorSpec extends AnyFunSuite {
     val dims = 64
     val e = Tables.embeddings(spark, SparkSpec.sf).repartition(7)
     val vecSum = udaf(new VecDecimalSumAggregator(dims, 8),
-      ExpressionEncoder[Seq[Double]]())
+      ExpressionEncoder[Seq[java.lang.Double]]())
     val viaAgg = e.groupBy("label")
       .agg(vecSum(col("embedding").cast("array<double>")).as("s"))
       .collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
@@ -84,13 +84,25 @@ class AggregatorSpec extends AnyFunSuite {
     assert(viaAgg == viaDecimal)
     // merge law: reduce-then-merge in any split equals one-shot reduce
     val a = new VecDecimalSumAggregator(3, 8)
-    val rows = Seq(Seq(0.1, -2.5, 3.00000001), Seq(1.1, 2.2, -3.3),
-      null, Seq(0.055555555, 1e9, -1e-9))
+    def row(xs: java.lang.Double*): Seq[java.lang.Double] = xs
+    val rows = Seq(row(0.1, -2.5, 3.00000001), row(1.1, 2.2, -3.3),
+      null, row(0.055555555, 1e9, -1e-9))
     val oneShot = rows.foldLeft(a.zero)(a.reduce).toSeq
     val split = a.merge(
       rows.take(2).foldLeft(a.zero)(a.reduce),
       rows.drop(2).foldLeft(a.zero)(a.reduce)).toSeq
     assert(oneShot == split)
+    // dirty-data contract: NULL / NaN / Infinity / out-of-range
+    // elements contribute nothing (SUM-over-TRY_CAST semantics) —
+    // never thrown
+    val dirty = Seq(
+      row(1.0, 2.0, 3.0),
+      Seq[java.lang.Double](null, Double.NaN, Double.PositiveInfinity),
+      row(1e11, -1e11, 0.5), // |x| >= 1e10: decimal(18,8) overflow -> NULL
+      row(0.25, null, Double.NegativeInfinity))
+    val got = dirty.foldLeft(a.zero)(a.reduce)
+      .map(l => java.math.BigDecimal.valueOf(l, 8).doubleValue()).toSeq
+    assert(got == Seq(1.25, 2.0, 3.5), got)
   }
 
   test("top-k equals sort-take on a real column across partitions") {

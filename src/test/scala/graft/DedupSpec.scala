@@ -172,9 +172,13 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.componentsStar(edges, Some(dir)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-    val rounds = new java.io.File(dir).listFiles()
-    assert(rounds != null && rounds.exists(_.getName.startsWith("cc-round-")),
-      s"expected checkpointed round dirs under $dir")
+    // each run checkpoints under its own cc-run-* subdir; earlier
+    // rounds are cleaned eagerly, the final round's files back the
+    // returned labels frame
+    val runs = new java.io.File(dir).listFiles()
+    assert(runs != null && runs.exists(f => f.getName.startsWith("cc-run-") &&
+      Option(f.listFiles()).exists(_.exists(_.getName.startsWith("cc-round-")))),
+      s"expected a cc-run-*/cc-round-* checkpoint under $dir")
   }
 
   test("incremental exact dedup flags exactly the planted historical copies") {
