@@ -113,6 +113,16 @@ object Functions {
 
   /** E2 window analytics breadth: ntile, percent_rank, cume_dist,
     * nth_value, first/last over deterministic frames.
+    *
+    * Scale note — the partition key (o_orderpriority, 5 values) is
+    * low-cardinality BY SEMANTICS, not oversight: percent_rank /
+    * cume_dist / ntile over a whole category are defined against the
+    * category's total order, so one reducer per category is what the
+    * query MEANS (unlike q_pack_sequences, whose packing semantics
+    * were freely shardable and round 5 sharded them). When only the
+    * rank filter is needed, drop the distribution functions and the
+    * rn <= 5 predicate plans a WindowGroupLimit that prunes before
+    * the sort (PlanSpec pins that pushdown on the rank-only shapes).
     */
   val windowMisc = DeclaredQuery(
     "q_window_misc",
