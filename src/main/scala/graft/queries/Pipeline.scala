@@ -355,7 +355,77 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Data-mixture downsampling — the per-slice keep-fraction knob every
+    * training mix applies (e.g. keep 100 % of wiki-like sources, 25 %
+    * of crawl tail). Deterministic by CONTENT HASH, not RNG: the same
+    * doc keeps or drops identically across re-runs, re-partitions, and
+    * engines — which is what makes the assignment itself (not just the
+    * realized fractions) oracle-checkable, and what lets an incremental
+    * pipeline re-derive the mix without storing a sample membership
+    * table. One codegen'd scan + a per-lang rollup; no shuffle beyond
+    * the final aggregate. (The same first-2-hex-digit hash bucketing as
+    * q_hash_split: 256 buckets give ~0.4 % fraction granularity —
+    * plenty for mixture weights.)
+    */
+  val mixtureSample = DeclaredQuery(
+    "q_mixture_sample",
+    """WITH kept AS (
+      |  SELECT lang, n_chars
+      |  FROM documents
+      |  WHERE substring(md5(text), 1, 2) <
+      |    CASE lang WHEN 'en' THEN 'ff' WHEN 'de' THEN 'c0'
+      |              WHEN 'es' THEN '80' WHEN 'fr' THEN '40'
+      |              ELSE '20' END)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM kept GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val ceiling = when(col("lang") === "en", "ff")
+      .when(col("lang") === "de", "c0")
+      .when(col("lang") === "es", "80")
+      .when(col("lang") === "fr", "40")
+      .otherwise("20")
+    Tables.documents(s, d)
+      .filter(substring(md5(col("text")), 1, 2) < ceiling)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  /** Data-mixture upsampling — integer epoch replication (train on
+    * wiki-like sources 3×, crawl 1×): each doc explodes into its
+    * slice's epoch count of rows with an epoch index, the exact input
+    * shape sequence packing consumes. Deterministic, linear, and the
+    * row multiplication happens AFTER any filtering — at 100 TB you
+    * replicate the cleaned tokens, never the raw crawl. The oracle
+    * replays the same generate_series expansion.
+    */
+  val mixtureEpochs = DeclaredQuery(
+    "q_mixture_epochs",
+    """WITH e AS (
+      |  SELECT source, CASE WHEN source IN ('src0', 'src1') THEN 3
+      |                      WHEN source IN ('src2', 'src3') THEN 2
+      |                      ELSE 1 END AS n_epochs, n_chars
+      |  FROM documents),
+      |r AS (SELECT source, n_chars, unnest(generate_series(1, n_epochs)) AS epoch FROM e)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(max(epoch) AS BIGINT) AS n_epochs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val nEpochs = when(col("source").isin("src0", "src1"), 3)
+      .when(col("source").isin("src2", "src3"), 2)
+      .otherwise(1)
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"), nEpochs.as("n_epochs"))
+      .select(col("source"), col("n_chars"),
+        explode(sequence(lit(1), col("n_epochs"))).as("epoch"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        max("epoch").cast("long").as("n_epochs"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     piiRedact, topNgramFraction, hashSplit, packSequences, incrementalDedup,
-    corpusFunnel, decontaminate)
+    corpusFunnel, decontaminate, mixtureSample, mixtureEpochs)
 }
