@@ -425,7 +425,42 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Corpus profiling — the ANALYZE-style pass a pipeline runs before
+    * trusting a new drop: per-column non-null and exact distinct
+    * counts in ONE scan (multiple COUNT(DISTINCT)s share a single
+    * Expand + two-phase aggregate; at 100 TB swap the exact distincts
+    * for approx_count_distinct / the KMV sketch — same plan shape,
+    * mergeable state — which is why the exact twin is the oracle-gated
+    * form here).
+    */
+  val profileDocuments = DeclaredQuery(
+    "q_profile_documents",
+    """SELECT col_name,
+      |       CAST(n_rows AS BIGINT) AS n_rows,
+      |       CAST(n_nonnull AS BIGINT) AS n_nonnull,
+      |       CAST(n_distinct AS BIGINT) AS n_distinct
+      |FROM (
+      |  SELECT 'doc_id' AS col_name, count(*) AS n_rows, count(doc_id) AS n_nonnull,
+      |         count(DISTINCT doc_id) AS n_distinct FROM documents
+      |  UNION ALL SELECT 'text', count(*), count(text), count(DISTINCT text) FROM documents
+      |  UNION ALL SELECT 'lang', count(*), count(lang), count(DISTINCT lang) FROM documents
+      |  UNION ALL SELECT 'source', count(*), count(source), count(DISTINCT source) FROM documents
+      |  UNION ALL SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars) FROM documents)
+      |ORDER BY col_name""".stripMargin) { (s, d) =>
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      cols.flatMap(c => Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+    val stacked = cols.map(c => s"'$c', n_rows, nn_$c, nd_$c").mkString(", ")
+    Tables.documents(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stacked) AS " +
+        "(col_name, n_rows, n_nonnull, n_distinct)")
+      .orderBy("col_name")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     piiRedact, topNgramFraction, hashSplit, packSequences, incrementalDedup,
-    corpusFunnel, decontaminate, mixtureSample, mixtureEpochs)
+    corpusFunnel, decontaminate, mixtureSample, mixtureEpochs,
+    profileDocuments)
 }
