@@ -125,6 +125,51 @@ object StreamingQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The cleaning funnel's streaming twin, judged through the batch
+    * gate: run the ACTUAL stream (file source → stateless gate flags →
+    * complete-mode counter aggregate) to completion, return the final
+    * counters; the oracle recomputes the batch funnel (minus the
+    * near-dup stage, whose streaming form is [[graft.streaming.StreamDedup]]
+    * — composed separately). Stream ≡ batch by construction, checked
+    * by hash.
+    */
+  val streamCorpusGate = DeclaredQuery(
+    "q_stream_corpus_gate",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tri AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) s),
+      |tc AS (SELECT doc_id, g, count(*) AS n FROM tri GROUP BY doc_id, g),
+      |rep AS (SELECT doc_id, sum(n) AS n_trigrams, max(n) AS n_top FROM tc GROUP BY doc_id),
+      |f AS (
+      |  SELECT (d.lang IN ('en','de','es','fr')) AS lang_ok,
+      |         (d.n_chars >= 100) AS len_ok,
+      |         (CAST(r.n_top AS DOUBLE) / r.n_trigrams < 0.1) AS rep_ok
+      |  FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id)
+      |SELECT stage, n_docs FROM (
+      |  SELECT '0_total' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM f
+      |  UNION ALL SELECT '1_lang', CAST(count(*) FILTER (WHERE lang_ok) AS BIGINT) FROM f
+      |  UNION ALL SELECT '2_length', CAST(count(*) FILTER (WHERE lang_ok AND len_ok) AS BIGINT) FROM f
+      |  UNION ALL SELECT '3_repetition', CAST(count(*) FILTER (WHERE lang_ok AND len_ok AND rep_ok) AS BIGINT) FROM f)
+      |ORDER BY stage""".stripMargin) { (s, d) =>
+    val docSchema = graft.Tables.documents(s, d).schema
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+    val qname = "stream_corpus_gate"
+    val docsStream = s2.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val q = graft.streaming.CorpusGate.stageCounters(docsStream)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .option("checkpointLocation", graft.SparkEnv.scratchDir("graft-stream-gate-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(qname).orderBy("stage")
+  }
+
   val all: Seq[DeclaredQuery] =
-    Seq(streamHourly, streamMultiGran, streamAccountDaily, streamNearDups)
+    Seq(streamHourly, streamMultiGran, streamAccountDaily, streamNearDups,
+      streamCorpusGate)
 }

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Continuous ingest quality gate — the cleaning funnel's streaming
+  * twin (SURVEY.md §2 K8 × I-family): language keep-list → length →
+  * repetition, evaluated per arriving micro-batch with running
+  * cumulative-survival counters. Every flag is a STATELESS codegen'd
+  * projection (the fused `token_ngram_stats` expression included), so
+  * the only stateful operator is the single global counter aggregate —
+  * tiny state, no watermark needed, and the stream's counters equal
+  * the batch funnel's by construction (the declared query is gated on
+  * exactly that: the DuckDB oracle recomputes the batch form).
+  *
+  * The near-dup stage is deliberately absent here: it needs the
+  * cross-doc pair relation, whose streaming form is the LSH bucket
+  * index ([[StreamDedup]]) — compose the two gates in sequence, not
+  * one operator.
+  */
+object CorpusGate {
+
+  /** Per-doc gate flags — shared by the streaming and batch forms. */
+  def flags(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    docs
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        toColumn(graft.functions.TokenNGramStats(toExpression(col("text")), 3))
+          .as("st"))
+      .select(
+        col("lang").isin("en", "de", "es", "fr").as("lang_ok"),
+        (col("n_chars") >= 100).as("len_ok"),
+        (col("st.n_top").cast("double") / col("st.n_grams") < 0.1).as("rep_ok"))
+  }
+
+  /** Cumulative-survival counters over a (streaming or batch) doc
+    * frame; complete-mode friendly (one global aggregate row, stacked
+    * into per-stage rows).
+    */
+  def stageCounters(docs: DataFrame): DataFrame =
+    flags(docs).agg(
+        count(lit(1)).as("c0"),
+        count(when(col("lang_ok"), 1)).as("c1"),
+        count(when(col("lang_ok") && col("len_ok"), 1)).as("c2"),
+        count(when(col("lang_ok") && col("len_ok") && col("rep_ok"), 1)).as("c3"))
+      .selectExpr("stack(4, '0_total', c0, '1_lang', c1, '2_length', c2, " +
+        "'3_repetition', c3) AS (stage, n_docs)")
+}
