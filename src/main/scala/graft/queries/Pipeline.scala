@@ -115,12 +115,11 @@ object Pipeline {
       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
-      .select(
-        when(substring(md5(col("text")), 1, 2) < "05", "validation")
-          .when(substring(md5(col("text")), 1, 2) < "0a", "test")
-          .otherwise("train").as("split"),
-        col("n_chars"))
+    // the split column is the ONE shared definition the training-shard
+    // writer also lays files out by (graft.sources.ShardWriter) — this
+    // hash gate therefore checks the writer's membership too
+    graft.sources.ShardWriter.withSplit(Tables.documents(s, d))
+      .select(col("split"), col("n_chars"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
       .orderBy("split")
@@ -259,20 +258,16 @@ object Pipeline {
       |  UNION ALL SELECT '3_repetition', CAST(count(*) FILTER (WHERE lang_ok AND len_ok AND rep_ok) AS BIGINT) FROM f
       |  UNION ALL SELECT '4_near_dup', CAST(count(*) FILTER (WHERE lang_ok AND len_ok AND rep_ok AND dup_ok) AS BIGINT) FROM f)
       |ORDER BY stage""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
     val docs = Tables.documents(s, d)
     val dups = graft.queries.LlmOps.exactNearDupStats(docs)
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("is_dup", lit(true))
-    val f = docs
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        toColumn(graft.functions.TokenNGramStats(toExpression(col("text")), 3))
-          .as("st"))
+    // the gate flags are the SHARED definition the streaming twin
+    // (q_stream_corpus_gate) also builds on — one keep-list, one
+    // length threshold, one repetition cutoff, in code
+    val f = graft.streaming.CorpusGate.flags(docs)
       .join(dups, Seq("doc_id"), "left")
-      .select(
-        col("lang").isin("en", "de", "es", "fr").as("lang_ok"),
-        (col("n_chars") >= 100).as("len_ok"),
-        (col("st.n_top").cast("double") / col("st.n_grams") < 0.1).as("rep_ok"),
+      .select(col("lang_ok"), col("len_ok"), col("rep_ok"),
         col("is_dup").isNull.as("dup_ok"))
     f.agg(
       count(lit(1)).as("c0"),

@@ -104,8 +104,10 @@ object StreamingQueries {
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val qname = "stream_near_dups_cand"
-    val docsStream = s2.readStream.schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    // layout-robust source (bare file OR part-file directory — see
+    // Ingest.streamTable)
+    val docsStream = graft.streaming.Ingest
+      .streamTable(s2, d, "documents", docSchema)
       .select(col("doc_id"), col("text"))
     val q = graft.streaming.StreamDedup.candidates(docsStream)
       .writeStream.format("memory").queryName(qname)
@@ -157,8 +159,8 @@ object StreamingQueries {
     s2.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
     val qname = "stream_corpus_gate"
-    val docsStream = s2.readStream.schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val docsStream = graft.streaming.Ingest
+      .streamTable(s2, d, "documents", docSchema) // layout-robust source
     val q = graft.streaming.CorpusGate.stageCounters(docsStream)
       .writeStream.format("memory").queryName(qname)
       .outputMode("complete")

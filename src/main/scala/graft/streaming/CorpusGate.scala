@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object CorpusGate {
 
-  /** Per-doc gate flags — shared by the streaming and batch forms. */
+  /** Per-doc gate flags — the ONE definition of the keep-list, length
+    * threshold, and repetition cutoff; the batch funnel
+    * ([[graft.queries.Pipeline.corpusFunnel]]) and the streaming gate
+    * both build on it, so the two can't drift apart in code (their
+    * oracles gate each independently). Keeps `doc_id` so batch callers
+    * can join further per-doc flags (the funnel's near-dup stage).
+    */
   def flags(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftshim.{toColumn, toExpression}
     docs
@@ -28,6 +34,7 @@ object CorpusGate {
         toColumn(graft.functions.TokenNGramStats(toExpression(col("text")), 3))
           .as("st"))
       .select(
+        col("doc_id"),
         col("lang").isin("en", "de", "es", "fr").as("lang_ok"),
         (col("n_chars") >= 100).as("len_ok"),
         (col("st.n_top").cast("double") / col("st.n_grams") < 0.1).as("rep_ok"))

@@ -32,12 +32,25 @@ object Ingest {
   /** File-source event stream over a fixture dir — the streaming twin
     * of Tables.events: same columns, same µs timestamp normalization.
     */
+  /** Stream one parquet table that may be EITHER a bare file (fixture
+    * layout) or a directory of part files (the layout any real writer
+    * produces). Each idiom fails on the other layout — FileStreamSource
+    * requires its basePath to be a DIRECTORY (a file path throws),
+    * while a `pathGlobFilter` over the parent matches LEAF file names
+    * only (a directory table silently ingests ZERO rows) — so pick per
+    * realized layout. StreamingSpec pins the directory case; every
+    * fixture run pins the file case.
+    */
+  private[graft] def streamTable(spark: SparkSession, sfDir: String,
+      table: String, schema: StructType): DataFrame = {
+    val path = new java.io.File(s"$sfDir/$table.parquet")
+    if (path.isDirectory) spark.readStream.schema(schema).parquet(path.getPath)
+    else spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(sfDir)
+  }
+
   def eventStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(eventFileSchema)
-      // file source needs a directory; glob-filter to the events table
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    streamTable(spark, sfDir, "events", eventFileSchema)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Decode a stream of JSON strings (the ZMQ datagram shape) into

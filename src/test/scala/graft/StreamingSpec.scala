@@ -206,6 +206,35 @@ class StreamingSpec extends SparkSpec {
     assert(store.snapshot().head.nEvents == 5)
   }
 
+  test("streaming sources ingest directory-layout tables, not just single files") {
+    // a real writer produces table/part-*.parquet directories; the old
+    // pathGlobFilter idiom matched leaf names only and silently
+    // ingested ZERO rows on that layout — pin the fix by streaming a
+    // directory-layout documents table through the corpus gate
+    import org.apache.spark.sql.functions._
+    val root = SparkEnv.scratchDir("dir-layout-tbl")
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(3).write.mode("overwrite").parquet(s"$root/documents.parquet")
+    val batch = graft.streaming.CorpusGate
+      .stageCounters(spark.read.parquet(s"$root/documents.parquet"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch("0_total") == docs.count(), batch.toString)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = s2.readStream.schema(docs.schema)
+      .parquet(s"$root/documents.parquet")
+    val q = graft.streaming.CorpusGate.stageCounters(stream)
+      .writeStream.format("memory").queryName("dir_layout_gate")
+      .outputMode("complete")
+      .option("checkpointLocation", SparkEnv.scratchDir("dir-layout-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = s2.table("dir_layout_gate")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("JSON wire decode/encode round-trips events") {
     import spark.implicits._
     val events = Tables.events(spark, sf).limit(50)
