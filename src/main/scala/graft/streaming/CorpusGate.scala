@@ -27,29 +27,60 @@ object CorpusGate {
     * oracles gate each independently). Keeps `doc_id` so batch callers
     * can join further per-doc flags (the funnel's near-dup stage).
     */
-  def flags(docs: DataFrame): DataFrame = {
+  def flags(docs: DataFrame): DataFrame =
+    withFlags(docs).select("doc_id", "lang_ok", "len_ok", "rep_ok")
+
+  /** All input columns + the gate flags (the write-path shape: the
+    * payload survives alongside the flags).
+    */
+  def withFlags(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftshim.{toColumn, toExpression}
     docs
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        toColumn(graft.functions.TokenNGramStats(toExpression(col("text")), 3))
-          .as("st"))
-      .select(
-        col("doc_id"),
-        col("lang").isin("en", "de", "es", "fr").as("lang_ok"),
-        (col("n_chars") >= 100).as("len_ok"),
-        (col("st.n_top").cast("double") / col("st.n_grams") < 0.1).as("rep_ok"))
+      .withColumn("st",
+        toColumn(graft.functions.TokenNGramStats(toExpression(col("text")), 3)))
+      .withColumn("lang_ok", col("lang").isin("en", "de", "es", "fr"))
+      .withColumn("len_ok", col("n_chars") >= 100)
+      .withColumn("rep_ok",
+        col("st.n_top").cast("double") / col("st.n_grams") < 0.1)
+      .drop("st")
   }
+
+  private def stageAggs = Seq(
+    count(lit(1)).as("c0"),
+    count(when(col("lang_ok"), 1)).as("c1"),
+    count(when(col("lang_ok") && col("len_ok"), 1)).as("c2"),
+    count(when(col("lang_ok") && col("len_ok") && col("rep_ok"), 1)).as("c3"))
 
   /** Cumulative-survival counters over a (streaming or batch) doc
     * frame; complete-mode friendly (one global aggregate row, stacked
     * into per-stage rows).
     */
   def stageCounters(docs: DataFrame): DataFrame =
-    flags(docs).agg(
-        count(lit(1)).as("c0"),
-        count(when(col("lang_ok"), 1)).as("c1"),
-        count(when(col("lang_ok") && col("len_ok"), 1)).as("c2"),
-        count(when(col("lang_ok") && col("len_ok") && col("rep_ok"), 1)).as("c3"))
+    flags(docs).agg(stageAggs.head, stageAggs.tail: _*)
       .selectExpr("stack(4, '0_total', c0, '1_lang', c1, '2_length', c2, " +
         "'3_repetition', c3) AS (stage, n_docs)")
+
+  /** The cleaned (gate-surviving) corpus WITH its funnel accounting
+    * fused into whatever action the caller runs — `observe()` collects
+    * the per-stage counters as the write's own scan streams by, so the
+    * pipeline books its survival numbers WITHOUT a second pass over
+    * the corpus (at 100 TB a separate counting pass is a second full
+    * read). Usage:
+    *
+    *   val (clean, obs) = CorpusGate.observedClean(docs)
+    *   ShardWriter.writeShards(clean, outDir)   // one action
+    *   val counters = obs.get                   // c0..c3 from that action
+    *
+    * `obs.get` blocks until an action on the returned frame completes;
+    * counters are per-action (re-running the action re-fills them).
+    */
+  def observedClean(docs: DataFrame, name: String = "corpus_gate")
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation(name)
+    val clean = withFlags(docs)
+      .observe(obs, stageAggs.head, stageAggs.tail: _*)
+      .filter(col("lang_ok") && col("len_ok") && col("rep_ok"))
+      .drop("lang_ok", "len_ok", "rep_ok")
+    (clean, obs)
+  }
 }

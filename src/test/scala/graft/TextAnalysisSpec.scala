@@ -45,4 +45,21 @@ class TextAnalysisSpec extends SparkSpec {
   test("empty corpus trains no quality model") {
     assert(TextAnalysis.trainQualityModel(docs.filter(col("doc_id") < -1)).isEmpty)
   }
+
+  test("observedClean books the funnel during the write action - no second scan") {
+    import graft.streaming.CorpusGate
+    val (clean, obs) = CorpusGate.observedClean(docs, "gate_spec")
+    val outDir = SparkEnv.scratchDir("observed-clean")
+    graft.sources.ShardWriter.writeShards(clean, outDir, maxRecordsPerFile = 200)
+    val m = obs.get
+    // counters from the write's own scan equal the standalone funnel
+    val want = CorpusGate.stageCounters(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("c0") == want("0_total") && m("c1") == want("1_lang") &&
+      m("c2") == want("2_length") && m("c3") == want("3_repetition"),
+      s"observed=$m funnel=$want")
+    // and the written corpus is exactly the survivors
+    val written = spark.read.parquet(outDir).count()
+    assert(written == want("3_repetition"), s"wrote $written, kept ${want("3_repetition")}")
+  }
 }
