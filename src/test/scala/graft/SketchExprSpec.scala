@@ -78,6 +78,51 @@ class SketchExprSpec extends SparkSpec {
     assert(tiny(1).isNullAt(1))
   }
 
+  test("winnow_fps randomized parity vs a driver-side reference (edge shapes)") {
+    // seeded random corpora with the shapes the fixture lacks: empty
+    // strings, single tokens, consecutive spaces (empty tokens),
+    // heavy repetition, sub-n docs
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("a", "bb", "ccc", "dd", "e", "")
+    def randText(): String =
+      (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val texts = Seq("", "one", "a  b", " lead", "trail ") ++
+      (1 to 60).map(_ => randText())
+    def ref(t: String, n: Int, w: Int): Seq[Long] = {
+      val toks = t.split(" ", -1)
+      val shingles =
+        if (toks.length < n) Seq(t)
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val hs = shingles.map(s => XXH64.hashUTF8String(UTF8String.fromString(s), 42L))
+      hs.indices.map(i => hs.slice(math.max(0, i - w + 1), i + 1).min)
+        .distinct.sorted
+    }
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for ((n, w) <- Seq((3, 4), (2, 2), (4, 7))) {
+      val got = df.selectExpr("doc_id", s"winnow_fps(text, $n, $w) AS fps")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == ref(t, n, w).toList,
+          s"n=$n w=$w doc=$i text='${t.take(40)}'")
+      }
+    }
+    // the same edge corpus through the OTHER sketch expressions vs
+    // their relational references — the fixture has no empty tokens /
+    // sub-n docs, so the parity claims get their edge coverage here
+    val mhExpr = df.selectExpr("doc_id", "minhash_sig(text, 3, 8) AS sig")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val mhRel = Dedup.minhashSignatures(
+      Dedup.shingleRows(df).select("doc_id", "shingle"), 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)).toVector)
+      .toMap
+    assert(mhRel.keySet.subsetOf(mhExpr.keySet))
+    mhRel.foreach { case (id, sig) => assert(mhExpr(id) == sig, s"doc $id") }
+  }
+
   test("NULL-text docs never become minhash candidates") {
     // A NULL sig bands to the constant xxhash64 seed — unfiltered, every
     // NULL-text doc shares every bucket and the candidate set goes
