@@ -24,6 +24,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * behavior). On clean data this is bit-identical to the plain
   * decimal SUM.
   *
+  * Dimension mismatch (round-5 advice weighed skip-the-row vs clamp):
+  * the clamp is DELIBERATE because it reproduces per-element
+  * list-indexing semantics — the relational form indexes
+  * `embedding[i]` for i ∈ [1, dims], where a short vector yields NULL
+  * past its end (element skipped, row still counted) and a long
+  * vector's tail is simply never indexed. Skipping the whole row
+  * would silently diverge from that oracle-checked form on ragged
+  * data. AggregatorSpec pins both directions explicitly.
+  *
   * This is the centroid/running-mean shape a 100 TB embedding pipeline
   * aggregates constantly (per-label centroids, IVF cell means): one
   * ObjectHashAggregate pass, buffer O(dims), mergeable (partial

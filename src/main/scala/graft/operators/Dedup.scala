@@ -401,13 +401,20 @@ object Dedup {
         .distinct()
     }
 
+    // compareTo, not tuple equality: BigDecimal.equals is
+    // scale-sensitive (0 at scale 0 ≠ 0.00 at scale 2), so `sig ==
+    // prevSig` worked only because both sides always came from the
+    // same decimal(38,0) aggregate — fragile to any change in the
+    // signature expression (round-5 advice)
+    def sameSig(a: (Long, java.math.BigDecimal), b: (Long, java.math.BigDecimal)) =
+      a._1 == b._1 && a._2.compareTo(b._2) == 0
     var prevSig = signature(e)
     var converged = prevSig._1 == 0L
     while (!converged) {
       round += 1
       val next = ckpt(smallStar(largeStar(e)))
       val sig = signature(next)
-      converged = sig == prevSig
+      converged = sameSig(sig, prevSig)
       prevSig = sig
       e = next
     }

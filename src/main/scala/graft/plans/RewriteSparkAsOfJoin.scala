@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, If, LessThan, LessThanOrEqual, Literal, Not, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{And, DateDiff, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, If, LessThan, LessThanOrEqual, Literal, Not, Subtract, SubtractDates, SubtractTimestamps}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{AsOfJoin, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -47,9 +47,30 @@ object RewriteSparkAsOfJoin extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** The two operands of any "a minus b" form the analyzer can leave
+    * in the order expression. `AsOfJoin.apply` builds a raw `Subtract`,
+    * but the analyzer's `ResolveBinaryArithmetic` runs in the same
+    * resolution batch and rewrites it by operand type BEFORE this
+    * post-hoc rule sees the node: timestamp − timestamp →
+    * `SubtractTimestamps`, date − date → `SubtractDates` (legacy
+    * interval mode) or `DateDiff` (default). Matching only raw
+    * `Subtract` silently dropped every timestamp/date-typed as-of join
+    * — the most common shape — back to Spark's pair-expand rewrite
+    * (round-5 advice); AsOfJoinSpec now pins TimestampType and
+    * DateType routing.
+    */
+  private def diffSides(e: Expression): Option[(Expression, Expression)] = e match {
+    case Subtract(a, b, _) => Some((a, b))
+    case SubtractTimestamps(a, b, _, _) => Some((a, b))
+    case SubtractDates(a, b, _) => Some((a, b))
+    case DateDiff(end, start) => Some((end, start))
+    case _ => None
+  }
+
   /** (direction, leftTime, rightTime) from the node's order
     * expression — Spark builds `lt − rt` for backward, `rt − lt` for
-    * forward, and `If(lt > rt, lt − rt, rt − lt)` for nearest.
+    * forward, and `If(lt > rt, lt − rt, rt − lt)` for nearest (each
+    * subtraction in whichever resolved form [[diffSides]] accepts).
     */
   private def classify(orderExpr: Expression, l: LogicalPlan, r: LogicalPlan)
       : Option[(String, Expression, Expression)] = {
@@ -58,12 +79,14 @@ object RewriteSparkAsOfJoin extends Rule[LogicalPlan] {
         b.references.nonEmpty && b.references.subsetOf(r.outputSet)) Some((a, b))
       else None
     orderExpr match {
-      case If(GreaterThan(_, _), Subtract(x, y, _), Subtract(_, _, _)) =>
-        sides(x, y).map { case (lt, rt) => ("nearest", lt, rt) }
-      case Subtract(a, b, _) =>
-        sides(a, b).map { case (lt, rt) => ("backward", lt, rt) }
-          .orElse(sides(b, a).map { case (lt, rt) => ("forward", lt, rt) })
-      case _ => None
+      case If(GreaterThan(_, _), d1, d2) if diffSides(d2).isDefined =>
+        diffSides(d1).flatMap { case (x, y) =>
+          sides(x, y).map { case (lt, rt) => ("nearest", lt, rt) } }
+      case d =>
+        diffSides(d).flatMap { case (a, b) =>
+          sides(a, b).map { case (lt, rt) => ("backward", lt, rt) }
+            .orElse(sides(b, a).map { case (lt, rt) => ("forward", lt, rt) })
+        }
     }
   }
 

@@ -302,7 +302,8 @@ object LlmOps {
     "q_label_stats",
     """WITH dims AS (
       |  SELECT label, i.range AS dim, CAST(embedding[i.range] AS DECIMAL(18,8)) AS v
-      |  FROM embeddings, range(1, 65) i),
+      |  FROM embeddings, range(1, 65) i
+      |  WHERE embedding IS NOT NULL),
       |sums AS (
       |  SELECT label, dim, CAST(sum(v) AS DOUBLE) AS dim_sum, count(*) AS n
       |  FROM dims GROUP BY label, dim)
@@ -327,7 +328,11 @@ object LlmOps {
       // cast goes through toDouble — so the aggregator's
       // BigDecimal.valueOf(double) path reproduces the old
       // cast-to-decimal(18,8) arithmetic bit-for-bit
-      .agg(count(lit(1)).as("n_vecs"),
+      // count(embedding), not count(*): a NULL-embedding row
+      // contributes nothing to the sums (the aggregator skips it), so
+      // it must not inflate the centroid divisor either — the oracle's
+      // dims CTE filters NULL embeddings the same way (round-5 advice)
+      .agg(count(col("embedding")).as("n_vecs"),
         vecSum(col("embedding").cast("array<double>")).as("sums"))
       .select(col("label"), col("n_vecs"),
         round(sqrt(aggregate(transform(col("sums"), x => mean(x) * mean(x)),

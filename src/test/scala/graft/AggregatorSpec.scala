@@ -103,6 +103,17 @@ class AggregatorSpec extends AnyFunSuite {
     val got = dirty.foldLeft(a.zero)(a.reduce)
       .map(l => java.math.BigDecimal.valueOf(l, 8).doubleValue()).toSeq
     assert(got == Seq(1.25, 2.0, 3.5), got)
+    // ragged-vector contract (deliberate, round-5 advice): per-element
+    // list-indexing semantics — a SHORT vector contributes its present
+    // dims only (embedding[i] past the end is NULL -> skipped), a LONG
+    // vector's tail dims are never indexed. NOT skip-the-whole-row.
+    val ragged = Seq(
+      row(1.0, 2.0, 3.0),
+      Seq[java.lang.Double](10.0),                // short: dims 2,3 absent
+      Seq[java.lang.Double](0.5, 0.5, 0.5, 99.0)) // long: dim 4 ignored
+    val rg = ragged.foldLeft(a.zero)(a.reduce)
+      .map(l => java.math.BigDecimal.valueOf(l, 8).doubleValue()).toSeq
+    assert(rg == Seq(11.5, 2.5, 3.5), rg)
   }
 
   test("top-k equals sort-take on a real column across partitions") {

@@ -226,6 +226,50 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("timestamp- and date-typed as-of columns route native (ResolveBinaryArithmetic forms)") {
+    // AsOfJoin.apply builds a raw Subtract order expression, but the
+    // analyzer rewrites it by operand type before RewriteSparkAsOfJoin
+    // runs: timestamp - timestamp -> SubtractTimestamps, date - date ->
+    // DateDiff/SubtractDates. Matching only raw Subtract silently sent
+    // every timestamp as-of join — the most common shape — to Spark's
+    // pair-expand + min_by rewrite (round-5 advice). This pins the
+    // resolved forms for every direction.
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = Seq((1L, ts(100), "a100"), (1L, ts(205), "a205"), (2L, ts(50), "b50"))
+      .toDF("lk", "lt", "ltag")
+    val right = Seq((1L, ts(90), "r90"), (1L, ts(200), "r200"), (2L, ts(60), "r60"))
+      .toDF("rk", "rt", "rtag")
+    val expect = Map(
+      "backward" -> Set(("a100", "r90"), ("a205", "r200")),
+      "forward" -> Set(("a100", "r200"), ("b50", "r60")), // a205: nothing at/after
+      "nearest" -> Set(("a100", "r90"), ("a205", "r200"), ("b50", "r60")))
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val j = org.apache.spark.sql.GraftSqlBridge.joinAsOf(
+        left, right, left("lt"), right("rt"), left("lk") === right("rk"),
+        "inner", null, true, dir)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("AsOfJoin") && !p.contains("HashAggregate") &&
+        !p.contains("SortAggregate"),
+        s"timestamp as-of dir=$dir must route to the merge exec:\n$p")
+      val got = j.select("ltag", "rtag").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == expect(dir), s"dir=$dir: $got")
+    }
+    // DateType: backward direction through the DateDiff/SubtractDates form
+    def dt(d: Int) = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong))
+    val dl = Seq((1L, dt(100), "d100"), (1L, dt(205), "d205")).toDF("lk", "lt", "ltag")
+    val dr = Seq((1L, dt(90), "e90"), (1L, dt(200), "e200")).toDF("rk", "rt", "rtag")
+    val dj = org.apache.spark.sql.GraftSqlBridge.joinAsOf(
+      dl, dr, dl("lt"), dr("rt"), dl("lk") === dr("rk"), "inner", null, true, "backward")
+    val dp = dj.queryExecution.executedPlan.toString
+    assert(dp.contains("AsOfJoin") && !dp.contains("HashAggregate") &&
+      !dp.contains("SortAggregate"), s"date as-of must route native:\n$dp")
+    val dgot = dj.select("ltag", "rtag").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dgot == Set(("d100", "e90"), ("d205", "e200")), dgot.toString)
+  }
+
   test("randomized: native exec equals the window-form reference on 2k rows") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
