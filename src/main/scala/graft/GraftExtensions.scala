@@ -87,6 +87,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.ShingleScan.foldedInt(children(1), "token_ngram_stats n"))
       }))
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+    // AFTER the operator-optimization fixed point (inside it this rule
+    // would fight PushDownPredicates forever): un-derive expensive
+    // scalars that predicate pushdown substituted below their own
+    // projection — each is computed once and referenced by attribute
+    e.injectPreCBORule(_ => graft.plans.SingleEvalExpensive)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // intercept Spark's own logical AsOfJoin (Dataset.joinAsOf /
     // pandas merge_asof) before the optimizer's RewriteAsOfJoin

@@ -502,10 +502,18 @@ object Dedup {
       minShared: Int = 2, maxDf: Int = 64): DataFrame = {
     // fused winnowing (one codegen'd pass per doc, no window sort);
     // each exploded row carries its doc's fingerprint count so the
-    // overlap denominator needs no second scan or join
+    // overlap denominator needs no second scan or join. NULL text is
+    // filtered BEFORE the projection (the only NULL-fps source — for
+    // non-null text the cursor always emits >= 1 fingerprint): a
+    // filter on fps itself would be pushed below the Project by
+    // substituting the expression, paying winnow_fps once per
+    // predicate occurrence on top of the projection's own eval
+    // (round-5 verdict #1; PlanSpec counts occurrences). The filter
+    // InferFiltersFromGenerate derives for the explode is hoisted back
+    // out by [[graft.plans.SingleEvalExpensive]].
     val rows = docs
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), expr(s"winnow_fps(text, $n, $w)").as("fps"))
-      .filter(col("fps").isNotNull)
       .select(col("doc_id"), size(col("fps")).as("nf"),
         explode(col("fps")).as("fp"))
     rows.groupBy("fp")
@@ -545,10 +553,14 @@ object Dedup {
     // fused winnow_fps: per-doc fingerprint count is one codegen'd
     // scan — no shingle explode, no per-doc window sort, no distinct
     // exchange (SketchExprSpec asserts bit-parity with the relational
-    // winnowFingerprints form)
+    // winnowFingerprints form). text.isNotNull replaces the old
+    // fps.isNotNull filter (equivalent: NULL text is the only NULL-fps
+    // source) — filtering on fps pushed the predicate below the
+    // Project by substitution, evaluating winnow_fps twice per row
+    // (round-5 verdict #1; PlanSpec counts occurrences)
     Tables.documents(s, d)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), expr("winnow_fps(text, 3, 4)").as("fps"))
-      .filter(col("fps").isNotNull)
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"))
       .orderBy("doc_id")
   }

@@ -204,6 +204,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("winnow_fps is evaluated exactly once per row in both winnowing plans") {
+    // round-5 verdict #1: predicate pushdown substituted fps filters
+    // below the projection, paying the whole-doc winnow scan 2-3x per
+    // row. Guarded by pre-filtering text IS NOT NULL plus the
+    // SingleEvalExpensive pre-CBO rule (OnceEvalBarrier keeps
+    // SparkOptimizer's late PushDownPredicates batch from
+    // re-substituting). Counting occurrences in the final physical
+    // plan is the regression guard that would have caught it.
+    for (q <- Seq("q_winnow_fingerprints", "q_passage_overlap")) {
+      val p = planOf(q)
+      val n = "winnow_fps".r.findAllIn(p).size
+      assert(n == 1, s"$q: winnow_fps appears $n times (want 1):\n$p")
+    }
+  }
+
+  test("expensive sketch expressions are never re-derived below their projection") {
+    // the same guard for the simhash pipeline (uncached plan — the
+    // minhash pipeline persists its candidate relation, so its plan
+    // TEXT repeats the cached subtree once per InMemoryTableScan site
+    // while evaluating it once; a text count can't gauge it)
+    val p = planOf("q_simhash_near_dups")
+    val n = "simhash64".r.findAllIn(p).size
+    assert(n <= 1, s"q_simhash_near_dups: simhash64 appears $n times (want <= 1):\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed (bounded theta joins against
     // a broadcast side); an unbounded CartesianProduct never is.
