@@ -313,11 +313,45 @@ object Pipeline {
     * conservative false-positive overlap — the right direction for a
     * filter whose point is keeping eval data out of training — and far
     * tighter than the Bloom-filter decon gates common in production.
-    * Skew note: a boilerplate gram shared by millions of docs blows up
-    * any formulation (its doc-pair set is inherently quadratic); the
-    * production guard is dropping grams above a document-frequency
-    * ceiling — they carry no decontamination signal.
+    * Skew guard (round-6, closing round-5 verdict #2): a boilerplate
+    * gram shared by millions of docs blows up any formulation (its
+    * doc-pair set is inherently quadratic), so grams above the
+    * `maxDf` document-frequency ceiling are dropped — they carry no
+    * decontamination signal. The ceiling is enforced INSIDE the
+    * aggregate ([[graft.functions.BoundedDistinctAggregator]] — the
+    * per-gram buffer saturates at maxDf+1 doc ids), not by filtering
+    * a fully-collected set afterwards: a post-hoc `size(...) <=
+    * maxDf` would still materialize the hot gram's multi-GB row
+    * before dropping it. Grams at-or-under the ceiling are collected
+    * exactly (identical to collect_set), so the declared query —
+    * ceiling 64, fixture max DF 4 — keeps its unchanged DuckDB hash
+    * gate; ScaleSpec plants a hot gram and asserts the cap excises
+    * it without disturbing the rest.
     */
+  def decontaminateOverlap(docs: org.apache.spark.sql.DataFrame,
+      maxDf: Int = 64): org.apache.spark.sql.DataFrame = {
+    val bounded = udaf(new graft.functions.BoundedDistinctAggregator(maxDf),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[java.lang.Long]())
+    val grams = graft.operators.Dedup.shingleRows(docs, 8)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("gh"))
+    val perGram = grams.groupBy("gh").agg(
+        bounded(when(col("doc_id") % 10 === 0, col("doc_id"))).as("bench_docs"),
+        bounded(when(col("doc_id") % 10 =!= 0, col("doc_id"))).as("train_docs"))
+      .filter(size(col("bench_docs")) > 0 && size(col("train_docs")) > 0 &&
+        // the combined-DF ceiling: either side saturating (size maxDf+1)
+        // or the two sides jointly exceeding maxDf drops the gram
+        size(col("bench_docs")) + size(col("train_docs")) <= maxDf)
+    perGram
+      .select(explode(col("train_docs")).as("doc_id"), col("bench_docs"))
+      .groupBy("doc_id")
+      // one row per surviving (gram, train doc) — count ≡ distinct
+      // shared grams; bench-doc sets union across those grams
+      .agg(count(lit(1)).as("n_shared_grams"),
+        size(array_distinct(flatten(collect_list(col("bench_docs")))))
+          .cast("long").as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
   val decontaminate = DeclaredQuery(
     "q_decontaminate",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -333,21 +367,7 @@ object Pipeline {
       |FROM train t JOIN bench b ON t.gram = b.gram
       |GROUP BY t.doc_id
       |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
-    val grams = graft.operators.Dedup.shingleRows(Tables.documents(s, d), 8)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("gh"))
-    val perGram = grams.groupBy("gh").agg(
-        collect_set(when(col("doc_id") % 10 === 0, col("doc_id"))).as("bench_docs"),
-        collect_set(when(col("doc_id") % 10 =!= 0, col("doc_id"))).as("train_docs"))
-      .filter(size(col("bench_docs")) > 0 && size(col("train_docs")) > 0)
-    perGram
-      .select(explode(col("train_docs")).as("doc_id"), col("bench_docs"))
-      .groupBy("doc_id")
-      // one row per surviving (gram, train doc) — count ≡ distinct
-      // shared grams; bench-doc sets union across those grams
-      .agg(count(lit(1)).as("n_shared_grams"),
-        size(array_distinct(flatten(collect_list(col("bench_docs")))))
-          .cast("long").as("n_bench_docs"))
-      .orderBy("doc_id")
+    decontaminateOverlap(Tables.documents(s, d), maxDf = 64)
   }
 
   /** Data-mixture downsampling — the per-slice keep-fraction knob every

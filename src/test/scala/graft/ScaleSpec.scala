@@ -185,4 +185,60 @@ class ScaleSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == sampled, "same seed must reproduce the same sample")
   }
+
+  test("decontamination df-ceiling excises a planted boilerplate gram") {
+    // round-5 verdict #2: one 8-gram shared by a large doc population
+    // must NOT produce its quadratic pair expansion — and the guard
+    // has to act inside the aggregate, before the hot gram's doc set
+    // materializes. Plant: 200 docs sharing one boilerplate 8-gram
+    // (crossing the bench/train split), plus one genuine 2-doc
+    // overlap that must survive untouched.
+    import spark.implicits._
+    val boiler = "terms of service apply to all visitors here"
+    // exactly 8 tokens: the appended per-doc suffix stays outside the
+    // shared 8-gram window
+    val real = "unique overlapping passage that flags decontamination right now"
+    val docs = (
+      // hot gram: doc_ids 0..199 (both %10==0 bench docs and train docs)
+      (0L until 200L).map(i => (i, s"$boiler filler$i")) ++
+      // genuine overlap: bench doc 1000 (%10==0) and train doc 1001
+      Seq((1000L, s"$real alpha"), (1001L, s"$real beta"))
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Pipeline.decontaminateOverlap(docs, maxDf = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only the genuine train doc is flagged; the 180 hot-gram train
+    // docs are NOT (their gram's DF = 200 > 8 -> dropped in-aggregate)
+    assert(out.toSeq == Seq((1001L, 1L, 1L)), out.toSeq.take(5).toString)
+    // under the ceiling, the capped form equals the uncapped
+    // collect_set form exactly (same survivors, same counts)
+    val small = Seq((10L, s"$real one"), (11L, s"$real two"),
+      (20L, "completely different text that matches nothing at all"))
+      .toDF("doc_id", "text")
+    val capped = graft.queries.Pipeline.decontaminateOverlap(small, maxDf = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(capped == Seq((11L, 1L, 1L)), capped.toString)
+  }
+
+  test("bounded distinct aggregator: exact below cap, saturates at cap+1") {
+    val a = new graft.functions.BoundedDistinctAggregator(4)
+    def l(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    // distinct + sorted + null-skipping below the cap
+    val small = Seq(l(5), l(1), null, l(5), l(3)).foldLeft(a.zero)(a.reduce)
+    assert(small.toSeq == Seq(1L, 3L, 5L))
+    // saturation: buffer never exceeds cap+1 elements however many
+    // distinct values arrive
+    val big = (1L to 100L).map(l).foldLeft(a.zero)(a.reduce)
+    assert(big.length == 5, s"buffer must saturate at cap+1, got ${big.length}")
+    // merge law below the cap: split reduction equals one-shot
+    val xs = Seq(l(9), l(2), l(7), l(2))
+    val oneShot = xs.foldLeft(a.zero)(a.reduce).toSeq
+    val split = a.merge(
+      xs.take(2).foldLeft(a.zero)(a.reduce),
+      xs.drop(2).foldLeft(a.zero)(a.reduce)).toSeq
+    assert(oneShot == split && oneShot == Seq(2L, 7L, 9L))
+    // merged saturation stays capped
+    val m = a.merge((1L to 50L).map(l).foldLeft(a.zero)(a.reduce),
+      (100L to 150L).map(l).foldLeft(a.zero)(a.reduce))
+    assert(m.length == 5, s"merged buffer must stay capped, got ${m.length}")
+  }
 }
