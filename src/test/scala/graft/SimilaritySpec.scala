@@ -131,6 +131,27 @@ class SimilaritySpec extends SparkSpec {
       s"pq_adc_dist must sit above the cell join:\n$plan")
   }
 
+  test("declared PQ probes read the persisted code relation: no pq_encode in probe plans") {
+    // round-5 verdict #3: both PQ paths re-encoded the raw corpus on
+    // every probe call — the full-corpus scan PQ exists to avoid. The
+    // declared queries now probe the cached parquet code relation
+    // (built once per corpus dir); encode appears only at build time.
+    for (q <- Seq("q_ann_pq", "q_ann_ivfpq")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("pq_encode"), s"$q probe plan re-encodes the corpus:\n$p")
+      assert(df.count() > 0, s"$q returned no rows")
+    }
+    // and the cached relation equals a fresh encode exactly
+    // (deterministic seeded model over a fixed corpus)
+    val model = Similarity.cachedPqModel(emb, SparkSpec.sf).get
+    val cached = Similarity.cachedPqCodes(spark, emb, SparkSpec.sf, model)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val fresh = Similarity.pqCodes(emb, model)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(cached == fresh)
+  }
+
   test("PQ codes are m bytes (32x compression) and encoding is codegen-stable") {
     import org.apache.spark.sql.graftshim.{toColumn, toExpression}
     val model = Similarity.trainPq(emb).get
