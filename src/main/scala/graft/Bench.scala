@@ -27,18 +27,26 @@ object Bench {
       warmCpu(spark)
     } catch { case _: Throwable => }
     // The host's vCPUs stall unpredictably (same query: 0.7 s or 29 s
-    // across runs — measured; see SparkEnv scaladoc). Two passes over
-    // the suite, per-query minimum: the standard estimator of true
-    // cost on a noisy machine.
+    // across runs — measured; see SparkEnv scaladoc), and the round-5
+    // driver artifact showed 3-8x inflation on untouched queries under
+    // external load. THREE passes (round-5 verdict #5), interleaved
+    // PASS-MAJOR — the full suite runs between two samples of the same
+    // query, so a load spike shorter than a suite pass (~1 min) can
+    // poison at most one of a query's samples, never all of them.
+    // Per-query MIN is the throughput estimator (true cost on a noisy
+    // machine); per-query MEDIAN is the robustness cross-check — a
+    // min≈median query is trustworthy, min≪median means the machine
+    // was loaded and round-over-round deltas should read the min.
     // (time, succeeded) per pass: a fast crash must not win the min —
     // only successful passes count; a query with zero successes is
     // reported as -1 and listed under "failed".
-    val passes = (1 to 2).map { _ =>
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val passes = (1 to nPasses).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
         // Some query paths persist() intermediates; CacheManager keeps
         // those blocks until unpersist/clearCache and matches them by
         // sameResult, so without this a later query — and the whole
-        // second pass — would silently read pass-1 caches and the
+        // next pass — would silently read earlier caches and the
         // reported min would time cached data, not query cost.
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -53,15 +61,23 @@ object Bench {
         name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
     }
-    val results = SparkEntry.queries.keys.map { name =>
-      val good = passes.map(_(name)).collect { case (t, true) => t }
-      name -> (if (good.nonEmpty) good.min else -1.0)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val goodTimes = SparkEntry.queries.keys.map { name =>
+      name -> passes.map(_(name)).collect { case (t, true) => t }
     }.toMap
+    val results = goodTimes.map { case (name, good) =>
+      name -> (if (good.nonEmpty) good.min else -1.0) }
+    val medians = goodTimes.map { case (name, good) =>
+      name -> (if (good.nonEmpty) median(good) else -1.0) }
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(m: Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"per-query min","action":"toRdd.count (full declared plan)","failed":${failed.mkString("[", ",", "]")}}"""
+    val totalMedian = medians.values.filter(_ >= 0).sum
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"queries_median":${jmap(medians)},"total_median":$totalMedian,"sf":"$sfDir","passes":$nPasses,"agg":"per-query min (median cross-check)","action":"toRdd.count (full declared plan)","failed":${failed.mkString("[", ",", "]")}}"""
     println(fullJson)
     // The harness captures only the TAIL of stdout: with 100+ queries the
     // single line above is long enough that its head — the suite total —
@@ -74,7 +90,7 @@ object Bench {
         java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
         s""","queries_file":"${p.toString}""""
       } catch { case _: Throwable => "" } // don't advertise a file that isn't there
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","passes":2,"agg":"per-query min","action":"toRdd.count (full declared plan)","failed":${failed.mkString("[", ",", "]")}$queriesFile}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"n_queries":${results.size},"sf":"$sfDir","passes":$nPasses,"agg":"per-query min (median cross-check)","action":"toRdd.count (full declared plan)","failed":${failed.mkString("[", ",", "]")}$queriesFile}""")
     spark.stop()
   }
 }
