@@ -171,7 +171,34 @@ object StreamingQueries {
     s2.table(qname).orderBy("stage")
   }
 
+  /** The COMPOSED continuous cleaning pipeline (round-6): one stream
+    * through gate flags → LSH near-dup index → lang-partitioned
+    * shard-ready parquet ([[graft.streaming.StreamPipeline]]), then a
+    * per-lang rollup of what was admitted. Rows-only (the near-dup
+    * stage has no SQL twin); StreamPipelineSpec hash-gates the doc
+    * set against the batch gate + near-dup composition.
+    */
+  val streamCleanPipeline = DeclaredQuery.noOracle("q_stream_clean_pipeline") { (s, d) =>
+    val docSchema = graft.Tables.documents(s, d).schema
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docsStream = graft.streaming.Ingest
+      .streamTable(s2, d, "documents", docSchema)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val outDir = graft.SparkEnv.scratchDir("graft-stream-clean-out")
+    val q = graft.streaming.StreamPipeline.runAvailableNow(docsStream, outDir,
+      graft.SparkEnv.scratchDir("graft-stream-clean-ckpt"))
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(streamHourly, streamMultiGran, streamAccountDaily, streamNearDups,
-      streamCorpusGate)
+      streamCorpusGate, streamCleanPipeline)
 }

@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.{CorpusGate, StreamPipeline}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The composed streaming cleaning pipeline (gate → LSH near-dup →
+  * shard-ready output) equals the batch funnel + near-dup composition
+  * on identical input, across any micro-batch split.
+  */
+object StreamPipelineSpec {
+  case class Doc(doc_id: Long, lang: String, n_chars: Long, text: String)
+}
+
+class StreamPipelineSpec extends SparkSpec {
+  import StreamPipelineSpec.Doc
+
+  private def withRocksDb[A](f: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("composed stream equals the batch gate + near-dup composition") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+
+    // batch twin: gate survivors minus docs that are the LATER side of
+    // any LSH candidate pair among the survivors
+    val gated = docs.join(
+      CorpusGate.flags(docs)
+        .filter(col("lang_ok") && col("len_ok") && col("rep_ok"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val rejected = Dedup.minhashCandidates(gated)
+      .select(col("id_b").as("doc_id")).distinct()
+    val expected = gated.join(rejected, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "fixture should have gate+dedup survivors")
+    val nGated = gated.count()
+    assert(expected.size < nGated, "near-dup stage should reject something")
+
+    // the stream, fed the same docs ascending in three micro-batches
+    // (ascending arrival = the batch composition's id orientation)
+    val rows = docs.select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"), col("text"))
+      .as[Doc].collect().sortBy(_.doc_id)
+    val outDir = SparkEnv.scratchDir("stream-pipeline-out")
+    withRocksDb {
+      val mem = MemoryStream[Doc]
+      val q = StreamPipeline.run(mem.toDF(), outDir,
+        SparkEnv.scratchDir("stream-pipeline-ckpt"))
+      val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+      chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      // replay the last chunk: already-indexed docs must emit nothing
+      mem.addData(chunks.last.toSeq)
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    val written = spark.read.parquet(outDir)
+    val got = written.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // shard-ready: lang-partitioned layout with the payload intact
+    assert(written.columns.toSet == Set("doc_id", "text", "lang"))
+    val langs = written.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr")) && langs.nonEmpty,
+      s"unexpected shard partitions: $langs")
+  }
+
+  test("verdict rollup: a doc is kept iff no bucket saw an earlier member") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // hand-built corpus: two near-identical long docs (dup pair) and
+    // one unrelated long doc; all pass the gate (en, >= 100 chars,
+    // low repetition)
+    def longText(seed: String) =
+      (1 to 30).map(i => s"$seed word$i token$i").mkString(" ")
+    val a = Doc(1L, "en", 200L, longText("alpha"))
+    val b = Doc(2L, "en", 200L, longText("alpha")) // byte-identical text
+    val c = Doc(3L, "en", 200L, longText("gamma"))
+    val outDir = SparkEnv.scratchDir("stream-pipeline-mini")
+    withRocksDb {
+      val mem = MemoryStream[Doc]
+      val q = StreamPipeline.run(mem.toDF(), outDir,
+        SparkEnv.scratchDir("stream-pipeline-mini-ckpt"))
+      mem.addData(a)
+      q.processAllAvailable()
+      mem.addData(b, c) // b collides with a in every band; c nowhere
+      q.processAllAvailable()
+      q.stop()
+    }
+    val got = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L), got.toString)
+  }
+}
