@@ -192,7 +192,12 @@ object StreamingQueries {
     val q = graft.streaming.StreamPipeline.runAvailableNow(docsStream, outDir,
       graft.SparkEnv.scratchDir("graft-stream-clean-ckpt"))
     q.awaitTermination()
-    s.read.parquet(outDir)
+    // explicit schema (derived from the doc table's own footer fields,
+    // not re-declared): an empty corpus admits nothing, leaving outDir
+    // with no files to infer from — that's an empty result, not an error
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add(docSchema("doc_id")).add(docSchema("text")).add(docSchema("lang"))
+    s.read.schema(outSchema).parquet(outDir)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang")

@@ -229,6 +229,29 @@ class PlanSpec extends SparkSpec {
     assert(n <= 1, s"q_simhash_near_dups: simhash64 appears $n times (want <= 1):\n$p")
   }
 
+  test("SingleEvalExpensive hoists duplicated costly predicates in a bare filter") {
+    // the rule's Filter-without-parent-Project path: a condition
+    // referencing winnow_fps twice must compute it once (hoisted into
+    // a barrier projection) and return the same rows as the naive form
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val cond = "size(winnow_fps(text, 3, 4)) > 2 AND " +
+      "element_at(winnow_fps(text, 3, 4), 1) IS NOT NULL"
+    val filtered = docs.filter(cond).select("doc_id")
+    val p = filtered.queryExecution.executedPlan.toString
+    val n = "winnow_fps".r.findAllIn(p).size
+    assert(n == 1, s"bare filter: winnow_fps appears $n times (want 1):\n$p")
+    assert(p.contains("once_eval"), s"hoisted barrier alias missing:\n$p")
+    // semantics preserved vs the project-then-filter form (single-eval
+    // by construction, trivially equivalent)
+    val ids = filtered.collect().map(_.getLong(0)).toSet
+    val want = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("winnow_fps(text, 3, 4)").as("fps"))
+      .filter(size(col("fps")) > 2 && element_at(col("fps"), 1).isNotNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == want && ids.nonEmpty, s"${ids.size} vs ${want.size}")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed (bounded theta joins against
     // a broadcast side); an unbounded CartesianProduct never is.
