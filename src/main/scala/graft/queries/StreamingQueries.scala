@@ -194,9 +194,12 @@ object StreamingQueries {
     q.awaitTermination()
     // explicit schema (derived from the doc table's own footer fields,
     // not re-declared): an empty corpus admits nothing, leaving outDir
-    // with no files to infer from — that's an empty result, not an error
+    // with no files to infer from — that's an empty result, not an
+    // error. `batch` is the sink's idempotence partition (one dir per
+    // micro-batch id), a read-side implementation detail to drop.
     val outSchema = new org.apache.spark.sql.types.StructType()
-      .add(docSchema("doc_id")).add(docSchema("text")).add(docSchema("lang"))
+      .add(docSchema("doc_id")).add(docSchema("text"))
+      .add("batch", org.apache.spark.sql.types.LongType).add(docSchema("lang"))
     s.read.schema(outSchema).parquet(outDir)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"))

@@ -103,15 +103,32 @@ object StreamPipeline {
   }
 
   /** The full composed pipeline: verdicts → per-doc rollup → shard-
-    * ready lang-partitioned parquet under `outDir`, one append per
-    * micro-batch. The rollup (`!max(dup)` across the doc's bucket
-    * rows) is a plain batch aggregate inside `foreachBatch` — all of
-    * a doc's verdict rows are emitted in the micro-batch it arrives
-    * in, so no second stateful operator is needed. (The parquet
-    * append itself is at-least-once under replay; an exactly-once
-    * deployment points this at a transactional table — the
-    * [[Serving]] sink shows the idempotent-write pattern.)
+    * ready parquet under `outDir`, partitioned `batch=<id>/lang=<l>`.
+    * The rollup (`!max(dup)` across the doc's bucket rows) is a plain
+    * batch aggregate inside `foreachBatch` — all of a doc's verdict
+    * rows are emitted in the micro-batch it arrives in, so no second
+    * stateful operator is needed.
+    *
+    * EXACTLY-ONCE sink: each micro-batch overwrites its own
+    * `batch=<batchId>` partition directory ([[writeBatch]]), so a
+    * crash between the parquet write and the checkpoint commit —
+    * the classic at-least-once window of a plain append — replays
+    * into the same directory idempotently (StreamPipelineSpec calls
+    * writeBatch twice with one id and asserts no duplication). This
+    * is the standard batchId-keyed idempotent parquet sink; readers
+    * just see one more partition column to drop.
     */
+  /** Idempotent per-micro-batch shard write: same (batch, batchId) →
+    * same bytes at the same path, replay overwrites in place.
+    */
+  def writeBatch(batch: Dataset[DocVerdict], batchId: Long, outDir: String): Unit =
+    batch.groupBy("doc_id", "lang", "text")
+      .agg(max(col("dup")).as("dup"))
+      .filter(!col("dup"))
+      .drop("dup")
+      .write.mode("overwrite").partitionBy("lang")
+      .parquet(s"$outDir/batch=$batchId")
+
   def run(docs: DataFrame, outDir: String, checkpointDir: String,
       k: Int = 32, bands: Int = 8): StreamingQuery =
     writer(docs, outDir, checkpointDir, k, bands).start()
@@ -130,12 +147,8 @@ object StreamPipeline {
     verdicts(docs, k, bands).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[DocVerdict], _: Long) =>
-        batch.groupBy("doc_id", "lang", "text")
-          .agg(max(col("dup")).as("dup"))
-          .filter(!col("dup"))
-          .drop("dup")
-          .write.mode("append").partitionBy("lang").parquet(outDir)
+      .foreachBatch { (batch: Dataset[DocVerdict], batchId: Long) =>
+        writeBatch(batch, batchId, outDir)
         ()
       }
 }

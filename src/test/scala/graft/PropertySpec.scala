@@ -94,4 +94,33 @@ class PropertySpec extends SparkSpec {
     assert(w.filter(unix_timestamp(col("s")) % 3600 =!= 0).count() == 0)
     assert(w.select("s").distinct().count() == w.count())
   }
+
+  test("bounded distinct: randomized equivalence with collect_set below the cap") {
+    // 50 random trials: random values, random split points, random
+    // caps — below the cap the capped aggregator IS collect_set
+    // (sorted); above it the sentinel (length cap+1) always fires.
+    // Merge associativity: any split reduction equals one-shot.
+    for (_ <- 1 to 50) {
+      val cap = 1 + rnd.nextInt(8)
+      val a = new graft.functions.BoundedDistinctAggregator(cap)
+      val n = rnd.nextInt(30)
+      val xs = Seq.fill(n)(rnd.nextInt(12).toLong)
+      val boxed = xs.map(java.lang.Long.valueOf)
+      val oneShot = boxed.foldLeft(a.zero)(a.reduce)
+      // arbitrary 3-way split, merged in tree order
+      val (s1, rest) = boxed.splitAt(rnd.nextInt(n + 1))
+      val (s2, s3) = rest.splitAt(rnd.nextInt(rest.size + 1))
+      val merged = a.merge(a.merge(
+        s1.foldLeft(a.zero)(a.reduce), s2.foldLeft(a.zero)(a.reduce)),
+        s3.foldLeft(a.zero)(a.reduce))
+      val distinct = xs.distinct.sorted
+      if (distinct.size <= cap) {
+        assert(oneShot.toSeq == distinct, s"cap=$cap xs=$xs")
+        assert(merged.toSeq == distinct, s"merged: cap=$cap xs=$xs")
+      } else {
+        assert(oneShot.length == cap + 1, s"sentinel: cap=$cap xs=$xs")
+        assert(merged.length == cap + 1, s"merged sentinel: cap=$cap xs=$xs")
+      }
+    }
+  }
 }

@@ -69,12 +69,35 @@ class StreamPipelineSpec extends SparkSpec {
     val got = written.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == expected,
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
-    // shard-ready: lang-partitioned layout with the payload intact
-    assert(written.columns.toSet == Set("doc_id", "text", "lang"))
+    // shard-ready: batch=/lang= partitioned layout with payload intact
+    assert(written.columns.toSet == Set("doc_id", "text", "batch", "lang"))
     val langs = written.select("lang").distinct().collect()
       .map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("en", "de", "es", "fr")) && langs.nonEmpty,
       s"unexpected shard partitions: $langs")
+  }
+
+  test("writeBatch is idempotent: replaying a batch id does not duplicate docs") {
+    // the exactly-once window: a crash between the parquet write and
+    // the checkpoint commit replays the same micro-batch — its write
+    // must overwrite its own batch= partition, not append a copy
+    import spark.implicits._
+    val verdictRows = Seq(
+      graft.streaming.StreamPipeline.DocVerdict(1L, "en", "kept doc", dup = false),
+      graft.streaming.StreamPipeline.DocVerdict(1L, "en", "kept doc", dup = false),
+      graft.streaming.StreamPipeline.DocVerdict(2L, "de", "dup doc", dup = true))
+    val outDir = SparkEnv.scratchDir("stream-pipeline-idem")
+    val ds = verdictRows.toDS()
+    graft.streaming.StreamPipeline.writeBatch(ds, 7L, outDir)
+    graft.streaming.StreamPipeline.writeBatch(ds, 7L, outDir) // replay
+    val got = spark.read.parquet(outDir)
+    assert(got.count() == 1L, s"replay duplicated rows: ${got.count()}")
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a different batch id lands in its own partition
+    graft.streaming.StreamPipeline.writeBatch(
+      Seq(graft.streaming.StreamPipeline.DocVerdict(3L, "fr", "next", dup = false))
+        .toDS(), 8L, outDir)
+    assert(spark.read.parquet(outDir).count() == 2L)
   }
 
   test("verdict rollup: a doc is kept iff no bucket saw an earlier member") {
