@@ -256,6 +256,27 @@ class AsOfJoinSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getString(1))).toSet
       assert(got == expect(dir), s"dir=$dir: $got")
     }
+    // timestamp + tolerance: the as-of condition now carries interval
+    // arithmetic (timestamp-typed bounds) — it travels whole as the
+    // exec's emit predicate, and the API's tolerance>=0 assertion must
+    // still fold. 60s window: a100 keeps r90 (10s back), a205 keeps
+    // r200, b50 drops r60 under backward but keeps it under nearest.
+    for ((dir, want) <- Seq(
+        "backward" -> Set(("a100", "r90"), ("a205", "r200")),
+        "nearest" -> Set(("a100", "r90"), ("a205", "r200"), ("b50", "r60")))) {
+      val jt = org.apache.spark.sql.GraftSqlBridge.joinAsOf(
+        left, right, left("lt"), right("rt"), left("lk") === right("rk"),
+        "inner", org.apache.spark.sql.functions.expr("INTERVAL '60' SECOND"),
+        true, dir)
+      val pt = jt.queryExecution.executedPlan.toString
+      assert(pt.contains("AsOfJoin") && !pt.contains("HashAggregate") &&
+        !pt.contains("SortAggregate"),
+        s"timestamp as-of with tolerance dir=$dir must route native:\n$pt")
+      val gt = jt.select("ltag", "rtag").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(gt == want, s"tolerance dir=$dir: $gt")
+    }
+
     // DateType: backward direction through the DateDiff/SubtractDates form
     def dt(d: Int) = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong))
     val dl = Seq((1L, dt(100), "d100"), (1L, dt(205), "d205")).toDF("lk", "lt", "ltag")
