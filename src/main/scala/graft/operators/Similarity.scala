@@ -447,6 +447,93 @@ object Similarity {
     spark.read.parquet(path)
   }
 
+  /** Shared core for [[semanticDedup]] / [[lshSemanticDedup]]:
+    * `assigned` = (vec_id, embedding, grp). Duplicate edges are
+    * same-grp pairs with cosine ≥ tau; connected components over those
+    * edges ([[graft.operators.Dedup.componentsStar]], the
+    * O(log n)-round large-star/small-star form) pick the minimum
+    * vec_id as each family's canonical survivor.
+    *
+    * Scale shape: the within-group threshold join reuses the balanced
+    * block-pair decomposition of [[graft.queries.LlmOps.embedNearDupBlocked]]
+    * with `grp` PREPENDED to the equi key — each group is evaluated as
+    * B² bounded tiles, so a skewed quantizer cell (the SemDeDup
+    * failure mode: one mega-cluster of boilerplate embeddings) becomes
+    * many even tasks instead of one quadratic straggler. Per-task
+    * memory is (|grp|/B)² comparisons over (|grp|/B)-row tiles; B
+    * scales with the largest expected cell, independently of corpus
+    * size. The id predicate sits before the dot product in the join
+    * condition so the generated And short-circuits — the dropped half
+    * of each tile never pays the 64-wide multiply.
+    */
+  private[graft] def groupedDedupEdges(assigned: DataFrame, tau: Double,
+      blocks: Int): DataFrame = {
+    val prepped = assigned.select(col("grp"), col("vec_id"), col("embedding"),
+      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("blk"))
+    val partners = sequence(lit(0), lit(blocks - 1))
+    val a = prepped.select(col("grp"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("blk").as("blk_a"),
+      explode(partners).as("partner_a"))
+    val b = prepped.select(col("grp").as("grp_b"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), explode(partners).as("partner_b"),
+      col("blk").as("blk_b"))
+    a.join(b,
+        col("grp") === col("grp_b") &&
+          col("blk_a") === col("partner_b") && col("partner_a") === col("blk_b") &&
+          col("id_a") < col("id_b") &&
+          vec_dot(col("emb_a"), col("emb_b")) >= tau)
+      .select("id_a", "id_b")
+  }
+
+  private def groupedDedup(assigned: DataFrame, tau: Double,
+      blocks: Int): DataFrame = {
+    val edges = groupedDedupEdges(assigned, tau, blocks)
+    val labels = graft.operators.Dedup.componentsStar(edges)
+    assigned.select(col("vec_id"), col("grp"))
+      .join(labels.select(col("node").as("vec_id"), col("label")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("grp"),
+        coalesce(col("label"), col("vec_id")).as("group_id"))
+      .withColumn("is_kept", (col("vec_id") === col("group_id")).cast("int"))
+  }
+
+  /** SemDeDup-style semantic deduplication (public method: Abbas et
+    * al. 2023, arXiv:2303.09540): embeddings are coarse-quantized into
+    * k-means cells — the SAME cached IVF index the ANN path persists,
+    * so the quantizer is trained once per corpus and shared — and
+    * near-duplicates are detected only WITHIN a cell. Exact
+    * threshold-join dedup is Ω(n²) comparisons on near-uniform vectors
+    * (see [[graft.queries.LlmOps.embedNearDup]]'s analysis); cells cut
+    * that to Σ|cell|² ≈ n²/k with k growing with the corpus
+    * (k ≈ n/10⁵ keeps cells bounded), which is what makes embedding
+    * dedup feasible at 100 TB. Cross-cell duplicates are the accepted
+    * recall trade, bounded by quantizer quality — near-identical
+    * vectors share a nearest centroid except on a knife-edge boundary.
+    */
+  def semanticDedup(index: IvfIndex, tau: Double = 0.4,
+      blocks: Int = 4): DataFrame =
+    groupedDedup(
+      index.indexed.select(col("vec_id"), col("embedding"), col("cell").as("grp")),
+      tau, blocks)
+      .withColumnRenamed("grp", "cell")
+
+  /** Semantic dedup over deterministic sign-bit LSH buckets instead of
+    * k-means cells: the blocking quantizer is [[bucketCol]]'s seeded
+    * hyperplanes, so the WHOLE pipeline — bucket assignment, in-bucket
+    * cosine edges, transitive closure, canonical keep — is exactly
+    * reproducible in ANSI SQL and the declared query is DuckDB
+    * hash-gated end-to-end (the k-means variant can only be rows-only:
+    * iterative float training isn't SQL). Same recall trade as
+    * [[semanticDedup]] with the quantizer swapped; fewer planes →
+    * bigger buckets → higher recall, more comparisons.
+    */
+  def lshSemanticDedup(emb: DataFrame, tau: Double = 0.4,
+      nPlanes: Int = 4, blocks: Int = 4): DataFrame =
+    groupedDedup(
+      emb.select(col("vec_id"), col("embedding"),
+        bucketCol("embedding", hyperplanes(nPlanes)).as("grp")),
+      tau, blocks)
+      .withColumnRenamed("grp", "bucket")
+
   // ---- declared queries ----
 
   /** Approximate ANN (randomized bucketing → rows-only check;
@@ -521,5 +608,73 @@ object Similarity {
     }
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq)
+  /** SemDeDup over the cached k-means cells (iterative-float KMeans →
+    * rows-only; ScalaTest asserts planted-twin removal, kept-set
+    * consistency, and parity with components over the same-cell exact
+    * pair relation). Reuses the persisted IVF index, so the declared
+    * query pays no quantizer training after the first ANN/dedup call
+    * on a corpus dir.
+    */
+  val qSemanticDedup = DeclaredQuery.noOracle("q_semantic_dedup") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    cachedIvfIndex(s, emb, d) match {
+      case Some(index) => semanticDedup(index).orderBy("vec_id")
+      case None => // empty corpus: every (zero) doc is its own survivor
+        emb.select(col("vec_id"), lit(0).as("cell"),
+          col("vec_id").as("group_id"), lit(1).as("is_kept")).limit(0)
+    }
+  }
+
+  private val duckDotFmt =
+    "list_reduce(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
+
+  /** The oracle replays [[lshSemanticDedup]] exactly: per-plane dot
+    * products against the literal hyperplane constants (float-rounded,
+    * printed as the double each float is — both engines then run the
+    * identical sequential double arithmetic), sign-bit bucket id,
+    * in-bucket cosine edges, recursive-CTE transitive closure, min-id
+    * canonical.
+    */
+  private def lshSemanticDedupOracle(nPlanes: Int, tau: Double): String = {
+    val planeDots = hyperplanes(nPlanes).zipWithIndex.map { case (p, i) =>
+      val lits = p.map(x => x.toFloat.toDouble.toString).mkString("[", ", ", "]")
+      val dot = duckDotFmt.format("embedding", lits)
+      s"CASE WHEN $dot >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", "\n         + ", ")")
+    val pairDot = duckDotFmt.format("a.embedding", "c.embedding")
+    s"""WITH RECURSIVE b AS (
+       |  SELECT vec_id, embedding,
+       |       $planeDots AS bucket
+       |  FROM embeddings),
+       |edges AS (
+       |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |  WHERE $pairDot >= $tau),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION ALL SELECT id_b, id_a FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |labels AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS group_id
+       |  FROM reach GROUP BY src)
+       |SELECT e.vec_id, e.bucket,
+       |       COALESCE(l.group_id, e.vec_id) AS group_id,
+       |       CAST(e.vec_id = COALESCE(l.group_id, e.vec_id) AS INT) AS is_kept
+       |FROM b e LEFT JOIN labels l ON l.vec_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** Hash-gated semantic dedup: the deterministic-quantizer twin of
+    * [[qSemanticDedup]], checked value-exact against DuckDB end to end
+    * (bucketing, edges, closure, canonical choice).
+    */
+  val qLshSemanticDedup = DeclaredQuery(
+    "q_lsh_semantic_dedup", lshSemanticDedupOracle(nPlanes = 4, tau = 0.4)) { (s, d) =>
+    lshSemanticDedup(Tables.embeddings(s, d)).orderBy("vec_id")
+  }
+
+  val all: Seq[DeclaredQuery] =
+    Seq(qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq, qSemanticDedup, qLshSemanticDedup)
 }

@@ -252,6 +252,30 @@ class PlanSpec extends SparkSpec {
     assert(ids == want && ids.nonEmpty, s"${ids.size} vs ${want.size}")
   }
 
+  test("semantic dedup edge detection is a blocked equi-join with the dot in the condition") {
+    // the within-group threshold join must extract (grp, block-pair)
+    // equi keys and evaluate the cosine threshold as the join's
+    // residual condition — a BNLJ/cartesian here would mean the
+    // quantizer blocking bought nothing. (The declared queries' final
+    // plans can't show this join: componentsStar consumes the edges
+    // eagerly and cuts lineage, so the edge relation is asserted
+    // directly.)
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      Similarity.bucketCol("embedding", Similarity.hyperplanes(4)).as("grp"))
+    val p = Similarity.groupedDedupEdges(assigned, tau = 0.4, blocks = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("vec_dot(emb_a") || p.contains("vec_dot(emb_b"),
+      s"dot threshold missing from the edge join condition:\n$p")
+    // equi keys extracted: a hash-keyed join on (grp, block pair) —
+    // broadcast at fixture size, shuffled at scale; either way the
+    // keys are equi and the dot is residual
+    assert(p.contains("HashJoin [grp") || p.contains("SortMergeJoin [grp"), p)
+  }
+
   test("no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed (bounded theta joins against
     // a broadcast side); an unbounded CartesianProduct never is.

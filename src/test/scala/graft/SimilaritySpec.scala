@@ -221,6 +221,62 @@ class SimilaritySpec extends SparkSpec {
       s"missing=${exact -- allProbes} extra=${allProbes -- exact}")
   }
 
+  test("semantic dedup collapses planted twins within cells, keeps everything else") {
+    val corpus = emb.select("vec_id", "embedding").union(planted)
+    val index = Similarity.buildIvfIndex(corpus).get
+    val out = Similarity.semanticDedup(index, tau = 0.9)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(2), r.getInt(3))) // (vec_id, group_id, is_kept)
+    assert(rows.length == corpus.count(), "every vector appears exactly once")
+    // canonical choice is structural: kept iff vec_id == its group minimum
+    rows.foreach { case (id, g, k) => assert((k == 1) == (id == g), s"vec $id") }
+    val kept = rows.filter(_._3 == 1).map(_._1).toSet
+    val removed = rows.filter(_._3 == 0).map(_._1).toSet
+    // at tau=0.9 only twin pairs qualify (max unrelated fixture cosine
+    // ≈ 0.5), and min-id canonical keeps the base, removes the twin
+    assert(removed.forall(_ >= 10000L), s"non-twin removed: ${removed.filter(_ < 10000L)}")
+    removed.foreach(id => assert(kept.contains(id - 10000L), s"twin $id removed but base too"))
+    // cos-0.997 twins share a nearest centroid except on a knife-edge
+    // cell boundary — same bound as the IVF recall test
+    val recall = removed.size / 20.0
+    assert(recall >= 0.9, s"twin dedup recall $recall")
+  }
+
+  test("declared semantic dedup kept set is τ-separated within cells") {
+    val out = SparkEntry.queries("q_semantic_dedup")(spark, sf)
+    val index = Similarity.cachedIvfIndex(spark, emb, SparkSpec.sf).get
+    val keptVecs = out.filter(col("is_kept") === 1).select("vec_id", "cell")
+      .join(index.indexed.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val a = keptVecs.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = keptVecs.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    // the user-facing guarantee: after dedup no same-cell survivor pair
+    // is still a near-duplicate at the dedup threshold
+    val survivors = a.join(b,
+      col("cell") === col("cell_b") && col("id_a") < col("id_b") &&
+        graft.functions.VectorFunctions.vec_dot(col("emb_a"), col("emb_b")) >= 0.4)
+    assert(survivors.count() == 0)
+    // and nothing was dropped from the relation itself
+    assert(out.count() == emb.count())
+  }
+
+  test("LSH semantic dedup collapses twins that share all sign bits") {
+    val corpus = emb.select("vec_id", "embedding").union(planted)
+    val out = Similarity.lshSemanticDedup(corpus, tau = 0.9, nPlanes = 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(rows.length == corpus.count())
+    rows.foreach { case (id, g, k) => assert((k == 1) == (id == g), s"vec $id") }
+    val kept = rows.filter(_._3 == 1).map(_._1).toSet
+    val removed = rows.filter(_._3 == 0).map(_._1).toSet
+    assert(removed.forall(_ >= 10000L), s"non-twin removed: ${removed.filter(_ < 10000L)}")
+    removed.foreach(id => assert(kept.contains(id - 10000L)))
+    // P(one plane splits a cos-0.997 pair) ≈ angle/π ≈ 0.025, so
+    // P(all 4 agree) ≈ 0.90 — deterministic seeds make the realized
+    // value stable; 0.6 leaves slack for the fixture's draw
+    val recall = removed.size / 20.0
+    assert(recall >= 0.6, s"twin dedup recall $recall")
+  }
+
   test("multi-probe LSH lifts twin recall to >= 0.8 at the same 8 planes") {
     // probing Hamming-distance-≤2 buckets recovers twins split by one
     // or two hyperplanes: P(≤2 planes disagree) ≈ 0.998 at cos 0.995 —
