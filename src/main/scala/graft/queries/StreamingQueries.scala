@@ -206,7 +206,36 @@ object StreamingQueries {
       .orderBy("lang")
   }
 
+  /** Online semantic dedup ([[graft.streaming.StreamSemanticDedup]]):
+    * the embeddings table replayed as a file stream through the
+    * bucket-sharded canonical-set gate; each vector gets a kept/dup
+    * verdict against the canonical vectors seen before it. Rows-only
+    * (greedy online order-dependence); kept-set parity with the batch
+    * [[graft.operators.Similarity.lshSemanticDedup]] is pinned by
+    * StreamSemanticDedupSpec.
+    */
+  val streamSemanticDedup = DeclaredQuery.noOracle("q_stream_semantic_dedup") { (s, d) =>
+    val embSchema = graft.Tables.embeddings(s, d).schema
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val qname = "stream_semantic_dedup_v"
+    val vecs = graft.streaming.Ingest.streamTable(s2, d, "embeddings", embSchema)
+      .select(col("vec_id"), col("embedding"))
+    val q = graft.streaming.StreamSemanticDedup.verdicts(vecs)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation",
+        graft.SparkEnv.scratchDir("graft-stream-semdedup-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(qname).select("vec_id", "is_dup", "dup_of").orderBy("vec_id")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(streamHourly, streamMultiGran, streamAccountDaily, streamNearDups,
-      streamCorpusGate, streamCleanPipeline)
+      streamCorpusGate, streamCleanPipeline, streamSemanticDedup)
 }
