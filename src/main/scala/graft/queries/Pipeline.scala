@@ -474,8 +474,38 @@ object Pipeline {
       .orderBy("col_name")
   }
 
+  /** Per-source document cap — the web-corpus "domain cap" step: no
+    * single source may contribute more than `cap` documents, and the
+    * survivors are the best by a deterministic quality order
+    * (n_chars DESC, doc_id as the total tie-break). At 100 TB this is
+    * the guard against one boilerplate-heavy domain dominating the
+    * mixture.
+    *
+    * Scale shape: `row_number() ≤ cap` qualifies for Spark's
+    * InferWindowGroupLimit (PlanSpec asserts), so each source keeps a
+    * running top-cap heap partial+final and rows beyond the cap never
+    * reach the per-source sort — per-task memory is O(cap), not
+    * O(|source|), exactly what a skewed mega-domain needs.
+    */
+  val sourceCap = DeclaredQuery(
+    "q_source_cap",
+    """SELECT source, doc_id, n_chars, rk FROM (
+      |  SELECT source, doc_id, n_chars,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 16
+      |ORDER BY source, rk""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 16)
+      .orderBy("source", "rk")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     piiRedact, topNgramFraction, hashSplit, packSequences, incrementalDedup,
     corpusFunnel, decontaminate, mixtureSample, mixtureEpochs,
-    profileDocuments)
+    profileDocuments, sourceCap)
 }

@@ -198,7 +198,7 @@ class PlanSpec extends SparkSpec {
     // Spark's InferWindowGroupLimit turns filter(row_number <= k) into
     // partial+final per-group limits — rows beyond k never reach the
     // sort. The windowed top-k shapes must keep qualifying for it.
-    for (name <- Seq("q_top_types_per_user", "q_cosine_topk")) {
+    for (name <- Seq("q_top_types_per_user", "q_cosine_topk", "q_source_cap")) {
       val p = planOf(name)
       assert(p.contains("WindowGroupLimit"), s"$name lost the pushdown:\n$p")
     }
