@@ -43,8 +43,28 @@ object Similarity {
   private def planeCol(p: Array[Double]) =
     array(p.toIndexedSeq.map(x => lit(x.toFloat)): _*)
 
-  /** LSH bucket id: one sign bit per hyperplane. */
-  def bucketCol(embCol: String, planes: Seq[Array[Double]]) =
+  /** LSH bucket id: one sign bit per hyperplane, fused into a single
+    * array traversal ([[graft.functions.SignBucket]] — bucket
+    * assignment is a full-corpus scan, so the composed per-plane
+    * `vec_dot` form paid nPlanes array reads per row). Bit-parity with
+    * [[bucketColComposed]] is spec-asserted; the `coalesce` preserves
+    * the composed form's NULL-embedding → bucket 0 semantics (each
+    * plane's `when` fell through to `otherwise(0)`), which the
+    * q_lsh_semantic_dedup oracle's `CASE ... ELSE 0` mirrors.
+    */
+  def bucketCol(embCol: String, planes: Seq[Array[Double]]) = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    coalesce(
+      toColumn(graft.functions.SignBucket(toExpression(col(embCol)),
+        planes.map(p => p.map(_.toFloat).toIndexedSeq).toIndexedSeq)),
+      lit(0L))
+  }
+
+  /** The composed per-plane form — the parity reference the fused
+    * expression is spec'd against (and the shape the oracle SQL
+    * replays plane-by-plane).
+    */
+  private[graft] def bucketColComposed(embCol: String, planes: Seq[Array[Double]]) =
     planes.zipWithIndex.map { case (p, i) =>
       when(vec_dot(col(embCol), planeCol(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)

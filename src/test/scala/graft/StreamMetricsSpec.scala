@@ -67,4 +67,43 @@ class StreamMetricsSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("semantic dedup gate state is bounded by the canonical set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamSemanticDedupSpec.Vec]
+      val q = graft.streaming.StreamSemanticDedup.verdicts(mem.toDF(), tau = 0.9)
+        .writeStream.format("memory").queryName("stream_metrics_semdedup")
+        .outputMode("append")
+        .option("checkpointLocation", SparkEnv.scratchDir("metrics-semdedup-ckpt"))
+        .start()
+      val vecs = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+        .map { case (i, v) => StreamSemanticDedupSpec.Vec(i, v) }
+      mem.addData(vecs.toSeq)
+      q.processAllAvailable()
+      val metrics = StreamMetrics.history(q)
+      q.stop()
+      val kept = spark.table("stream_metrics_semdedup")
+        .filter(col("is_dup") === false).count()
+      val stateOps = metrics.flatMap(_.stateOperators)
+      assert(stateOps.nonEmpty, "semantic gate must report a state operator")
+      assert(stateOps.map(_.numRowsUpdated).sum > 0, stateOps.toString)
+      // state holds ONLY canonical vectors: whether the provider counts
+      // keys (buckets) or list elements (kept vectors), the total can
+      // never exceed the kept count — duplicates must not enter state
+      val maxRows = stateOps.map(_.numRowsTotal).max
+      assert(maxRows > 0 && maxRows <= kept,
+        s"state rows $maxRows vs kept $kept — duplicates leaked into state?")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

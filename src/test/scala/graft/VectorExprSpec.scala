@@ -78,6 +78,61 @@ class VectorExprSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("sign_bucket equals the composed per-plane form bit-for-bit") {
+    import graft.operators.Similarity
+    // every plane count the call sites use, on the full fixture table
+    for (nPlanes <- Seq(4, 8, 16)) {
+      val planes = Similarity.hyperplanes(nPlanes)
+      val diff = emb.select(
+          Similarity.bucketCol("embedding", planes).as("fused"),
+          Similarity.bucketColComposed("embedding", planes).as("composed"))
+        .filter(col("fused") =!= col("composed"))
+      assert(diff.count() == 0, s"fused != composed at $nPlanes planes")
+    }
+  }
+
+  test("sign_bucket edge shapes: null maps to bucket 0, wrong length throws") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val planes = Similarity.hyperplanes(4)
+    // the composed when/otherwise form bucketed NULL embeddings to 0;
+    // bucketCol's coalesce preserves that exactly
+    val withNull = Seq((1L, Array.fill(64)(0.1f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val got = withNull.select(col("vec_id"),
+        Similarity.bucketCol("embedding", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = withNull.select(col("vec_id"),
+        Similarity.bucketColComposed("embedding", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == composed, s"$got vs $composed")
+    assert(got(2L) == 0L)
+    // length mismatch is a data error, loudly — same contract as vec_dot
+    val short = Seq((1L, Array.fill(32)(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      short.select(Similarity.bucketCol("embedding", planes)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("sign_bucket randomized parity across dims and plane counts") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    // random vectors incl. negatives, zeros, denormal-ish tiny values
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(
+        if (rnd.nextInt(10) == 0) 0.0f
+        else (rnd.nextGaussian() * math.pow(10, rnd.nextInt(8) - 4)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(16, seed = 99L)
+    val diff = vecs.select(
+        Similarity.bucketCol("embedding", planes).as("fused"),
+        Similarity.bucketColComposed("embedding", planes).as("composed"))
+      .filter(col("fused") =!= col("composed"))
+    assert(diff.count() == 0)
+  }
+
   test("SQL registration works") {
     VectorFunctions.register(spark)
     emb.limit(5).createOrReplaceTempView("emb_t")
