@@ -14,7 +14,7 @@ object SparkEntry {
       graft.operators.Multimodal.all ++ graft.queries.Temporal.all ++
       graft.queries.StreamingQueries.all ++ graft.queries.Functions.all ++
       graft.queries.TpcH.all ++ graft.queries.Functions2.all ++
-      graft.queries.Pipeline.all
+      graft.queries.Pipeline.all ++ graft.operators.Importance.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

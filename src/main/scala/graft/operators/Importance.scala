@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-shaped importance weighting for data selection (Xie et al.
+  * 2023, "Data Selection for Language Models via Importance
+  * Resampling" — public paper): score every raw document by how much
+  * its hashed n-gram distribution looks like a TARGET slice (here the
+  * `lang = 'en'` documents, standing in for "wiki+books-like"), then
+  * keep the top-weighted fraction of the mixture. The published
+  * estimator is two bag-of-hashed-ngrams unigram models and a per-doc
+  * sum of log-likelihood ratios — exactly two aggregates and one
+  * broadcast join, which is why it runs at 100 TB where a learned
+  * scorer would need a forward pass per doc.
+  *
+  * Determinism/oracle design (the [[graft.queries.Pipeline]] md5
+  * pattern): the feature hash is `substr(md5(token), 1, 2*hexChars)` —
+  * identical hex in Spark and DuckDB — so bucket ids match engines
+  * exactly; the per-bucket log-ratio is quantized to DECIMAL(18,9)
+  * (one `ln` per BUCKET, never per row, so float noise cannot vary
+  * with data order), and per-doc weights are DECIMAL sums — exact,
+  * associative, partition-order-independent. The whole scoring path
+  * is therefore value-stable under repartitioning, which the spec
+  * asserts and the DuckDB hash gate (`q_dsir_weights`) re-checks
+  * end-to-end.
+  *
+  * Scale shape: pass 1 aggregates gram instances into at most
+  * 16^(2*hexChars) buckets (256 here) with map-side partial counts —
+  * the shuffle moves O(buckets × tasks) rows, not O(corpus); the
+  * smoothed log-ratio table is a few-KB broadcast; pass 2 re-scans
+  * grams, joins the broadcast, and partial-aggregates per doc_id.
+  * No shuffle ever carries more than one row per (doc, partition).
+  * The two corpus scans are inherent to the method (estimate the
+  * distributions, then score against them) — the bucket table is the
+  * only state between them, so the passes pipeline cleanly and the
+  * model can be persisted and reused across drops like the IVF/PQ
+  * artifacts.
+  */
+object Importance {
+
+  /** Tokenize to (doc_id, extra..., b) hashed-unigram bucket rows.
+    * Whitespace tokens through the same `substr(md5(w), 1, n)` bucket
+    * id the oracle replays; empty tokens (leading/trailing runs)
+    * filtered identically on both sides.
+    */
+  private def gramBuckets(docs: DataFrame, hexChars: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("w")), 1, hexChars).as("b"))
+
+  /** Per-doc DSIR importance weights: Σ over the doc's gram instances
+    * of the bucket's Laplace-smoothed target/raw log-likelihood ratio.
+    *
+    * λ_b = round(ln( ((t_b+1)(R+B)) / ((r_b+1)(T+B)) ), 9) as
+    * DECIMAL(18,9), where t_b/r_b are target/raw instance counts in
+    * bucket b, T/R their totals, B the bucket-space size (the fixed
+    * smoothing pseudo-count — 16^hexChars regardless of how many
+    * buckets materialize). The single-ln-of-one-rational form keeps
+    * every intermediate exact in doubles (counts ≪ 2^53), so the only
+    * transcendental is one correctly-rounded `ln` per bucket,
+    * quantized before it ever meets row data.
+    *
+    * Returns (doc_id, n_grams, weight: double).
+    */
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+      hexChars: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bSpace = math.pow(16.0, hexChars.toDouble)
+    val grams = gramBuckets(docs, hexChars)
+    val bs = grams.groupBy("b").agg(
+      count(lit(1)).as("r_cnt"),
+      count(when(targetPred, 1)).as("t_cnt"))
+    // totals as a window over the ≤16^hexChars-row bucket table —
+    // NOT a separate aggregate of `grams`, which would re-derive the
+    // whole gram subtree and pay a third corpus scan (the window's
+    // single-partition exchange moves 256 rows, nothing)
+    val winAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lam = bs
+      .select(col("b"), col("r_cnt"), col("t_cnt"),
+        sum("r_cnt").over(winAll).as("r_tot"),
+        sum("t_cnt").over(winAll).as("t_tot"))
+      .select(col("b"),
+        round(log(((col("t_cnt") + lit(1.0)) * (col("r_tot") + lit(bSpace))) /
+                  ((col("r_cnt") + lit(1.0)) * (col("t_tot") + lit(bSpace)))), 9)
+          .cast("decimal(18,9)").as("lam"))
+    grams.join(broadcast(lam), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("lam")).cast("decimal(38,9)").cast("double").as("weight"))
+  }
+
+  /** Hash-gated declared query: top-50 docs by importance weight for
+    * the `lang = 'en'` target slice (weight desc, doc_id tiebreak —
+    * the deterministic τ→0 limit of the paper's Gumbel-top-k resample;
+    * production selection would keep a weight-ranked fraction per
+    * mixture slice the same way `q_source_cap` caps per-source).
+    * The oracle replays tokenization, bucketing, smoothing, decimal
+    * quantization, and the decimal sum verbatim, so bucket ids, λ
+    * values, weights, and the final ranking are all value-checked.
+    */
+  val qDsirWeights = DeclaredQuery(
+    "q_dsir_weights",
+    """WITH g AS (
+      |  SELECT doc_id, lang, substr(md5(w), 1, 2) AS b
+      |  FROM (SELECT doc_id, lang,
+      |               unnest(string_split_regex(text, '\s+')) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0),
+      |bs AS (
+      |  SELECT b, count(*) AS r_cnt,
+      |         count(*) FILTER (WHERE lang = 'en') AS t_cnt
+      |  FROM g GROUP BY b),
+      |tot AS (SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM bs),
+      |lam AS (
+      |  SELECT b,
+      |         CAST(round(ln(((t_cnt + 1.0) * (r_tot + 256.0)) /
+      |                       ((r_cnt + 1.0) * (t_tot + 256.0))), 9)
+      |              AS DECIMAL(18,9)) AS lam
+      |  FROM bs, tot)
+      |SELECT g.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(CAST(sum(lam.lam) AS DECIMAL(38,9)) AS DOUBLE) AS weight
+      |FROM g JOIN lam ON g.b = lam.b
+      |GROUP BY g.doc_id
+      |ORDER BY weight DESC, doc_id
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    importanceWeights(Tables.documents(s, d), col("lang") === "en")
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qDsirWeights)
+}

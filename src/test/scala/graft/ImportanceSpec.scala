@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Importance
+import org.apache.spark.sql.functions._
+
+/** DSIR importance weighting: direction (target-like docs score
+  * higher), exact decimal determinism under repartitioning, and the
+  * gram accounting the oracle replays.
+  */
+class ImportanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def weights(df: org.apache.spark.sql.DataFrame) =
+    Importance.importanceWeights(df, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  test("target-distinctive grams pull weights apart in the right direction") {
+    // 'en' docs speak alpha, others beta; an unseen doc of pure alpha
+    // must outscore a pure-beta one (md5 buckets of the two words
+    // differ — asserted, so no collision can mask the direction)
+    val b = Seq("alpha", "beta").map(w =>
+      w -> java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString)
+    assert(b(0)._2 != b(1)._2, s"fixture words collide: $b")
+
+    val docs = (
+      (0L until 8L).map(i => (i, "alpha alpha alpha", "en")) ++
+      (8L until 16L).map(i => (i, "beta beta beta", "de")) ++
+      Seq((16L, "alpha alpha alpha alpha", "zh"),   // target-like content, raw slice
+          (17L, "beta beta beta beta", "zh"))
+    ).toDF("doc_id", "text", "lang")
+    val w = weights(docs)
+    assert(w(16L)._2 > w(17L)._2,
+      s"alpha doc ${w(16L)} must outscore beta doc ${w(17L)}")
+    // the target gram always carries a higher log-ratio than the
+    // raw-only gram (signs depend on the fixed B=256 smoothing mass,
+    // which dominates at toy counts — ordering is the invariant)
+    assert(w(0L)._2 > w(8L)._2, s"${w(0L)} / ${w(8L)}")
+    // gram accounting: n_grams is the instance count, not distinct
+    assert(w(16L)._1 == 4L && w(0L)._1 == 3L)
+  }
+
+  test("weights are bit-identical under repartitioning (decimal sums)") {
+    val docs = Tables.documents(spark, sf)
+    val base = weights(docs)
+    val shuffled = weights(docs.repartition(7, col("source")))
+    assert(base == shuffled)
+  }
+
+  test("NULL and empty texts contribute no gram rows") {
+    val docs = Seq(
+      (1L, "alpha beta", "en"),
+      (2L, null.asInstanceOf[String], "en"),
+      (3L, "", "de"),
+      (4L, "   ", "de")
+    ).toDF("doc_id", "text", "lang")
+    val w = weights(docs)
+    // split("   ", "\\s+") yields one leading empty token, filtered out
+    assert(w.keySet == Set(1L), w.toString)
+    assert(w(1L)._1 == 2L)
+  }
+
+  test("declared top-50 ranking is total: weight desc then doc_id") {
+    val rows = SparkEntry.queries("q_dsir_weights")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.length == 50)
+    val resorted = rows.sortBy { case (id, w) => (-w, id) }
+    assert(rows.toSeq == resorted.toSeq, "output must arrive in gate order")
+  }
+}
