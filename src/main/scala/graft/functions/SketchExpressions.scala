@@ -335,3 +335,54 @@ final case class SimHash64(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** `GramSetHits(text, n, sorted)` → INT: how many of the doc's
+  * n-token shingle INSTANCES fingerprint (xxhash64, seed 42 — the
+  * same `xxhash64(shingle)` chain as the relational decontamination
+  * pipeline) into a SORTED benchmark fingerprint array, probed by
+  * binary search. The streaming-decontamination primitive
+  * ([[graft.streaming.StreamDecontaminate]]): benchmark eval sets
+  * stay small by construction even against a 100 TB train corpus
+  * (~8 bytes per distinct benchmark gram), so the whole check fuses
+  * into ONE codegen'd pass per row — shingle → hash → binary search,
+  * zero allocation beyond the byte cursor, no explode, no join, no
+  * state. 0 hits ⇒ provably clean (no false negatives); a 64-bit
+  * collision can only over-count (odds ~1e-10 at graded scale, the
+  * q_decontaminate analysis).
+  *
+  * Whole-text-once semantics for docs shorter than n tokens match
+  * [[TokenNGrams]] (and the oracle replays them with a CASE).
+  */
+final case class GramSetHits(child: Expression, n: Int, sorted: Array[Long])
+    extends UnaryExpression {
+
+  require(n > 0, "gram_set_hits: n must be positive")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "gram_set_hits"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  /** Shared by interpreted eval and generated code (addReferenceObj). */
+  def hits(t: UTF8String): Int = {
+    var c = 0
+    ShingleScan.foreachShingle(t, n) { sh =>
+      val h = XXH64.hashUTF8String(sh, 42L)
+      if (java.util.Arrays.binarySearch(sorted, h) >= 0) c += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(t: Any): Any = hits(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramSetHits", this, classOf[GramSetHits].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.hits($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramSetHits =
+    copy(child = newChild)
+}

@@ -67,32 +67,120 @@ object Importance {
     *
     * Returns (doc_id, n_grams, weight: double).
     */
-  def importanceWeights(docs: DataFrame, targetPred: Column,
-      hexChars: Int = 2): DataFrame = {
+  /** The smoothed per-bucket log-ratio relation (b, r_cnt, t_cnt,
+    * lam) — the DSIR "model". Totals come from a window over the
+    * ≤16^hexChars-row bucket table, NOT a separate aggregate of the
+    * gram stream, which would re-derive the whole gram subtree and
+    * pay a third corpus scan (the window's single-partition exchange
+    * moves 256 rows, nothing).
+    */
+  private[graft] def ratioTable(docs: DataFrame, targetPred: Column,
+      hexChars: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bSpace = math.pow(16.0, hexChars.toDouble)
-    val grams = gramBuckets(docs, hexChars)
-    val bs = grams.groupBy("b").agg(
+    val bs = gramBuckets(docs, hexChars).groupBy("b").agg(
       count(lit(1)).as("r_cnt"),
       count(when(targetPred, 1)).as("t_cnt"))
-    // totals as a window over the ≤16^hexChars-row bucket table —
-    // NOT a separate aggregate of `grams`, which would re-derive the
-    // whole gram subtree and pay a third corpus scan (the window's
-    // single-partition exchange moves 256 rows, nothing)
     val winAll = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val lam = bs
-      .select(col("b"), col("r_cnt"), col("t_cnt"),
+    bs.select(col("b"), col("r_cnt"), col("t_cnt"),
         sum("r_cnt").over(winAll).as("r_tot"),
         sum("t_cnt").over(winAll).as("t_tot"))
-      .select(col("b"),
+      .select(col("b"), col("r_cnt"), col("t_cnt"),
         round(log(((col("t_cnt") + lit(1.0)) * (col("r_tot") + lit(bSpace))) /
                   ((col("r_cnt") + lit(1.0)) * (col("t_tot") + lit(bSpace)))), 9)
           .cast("decimal(18,9)").as("lam"))
-    grams.join(broadcast(lam), "b")
+  }
+
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+      hexChars: Int = 2): DataFrame = {
+    val lam = ratioTable(docs, targetPred, hexChars).select("b", "lam")
+    gramBuckets(docs, hexChars).join(broadcast(lam), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(col("lam")).cast("decimal(38,9)").cast("double").as("weight"))
+  }
+
+  /** The collected ratio model — the reusable artifact. At most
+    * 16^hexChars entries (4 KB at hexChars=2), so unlike the IVF/PQ
+    * relations it collects to the driver and travels as a LITERAL in
+    * the scoring expression; a production pipeline persists the
+    * four-column [[ratioTable]] parquet alongside it the same way.
+    * `default` is the smoothed log-ratio of a bucket unseen at train
+    * time (t=0, r=0), derived through the identical round-then-
+    * quantize chain so drift-scoring stays engine-reproducible.
+    */
+  case class RatioModel(hexChars: Int,
+      lambda: Map[String, java.math.BigDecimal],
+      default: java.math.BigDecimal)
+
+  def trainRatioModel(docs: DataFrame, targetPred: Column,
+      hexChars: Int = 2): RatioModel = {
+    val rows = ratioTable(docs, targetPred, hexChars)
+      .select("b", "r_cnt", "t_cnt", "lam").collect()
+    val lambda = rows.map(r => r.getString(0) -> r.getDecimal(3)).toMap
+    val bSpace = math.pow(16.0, hexChars.toDouble)
+    val rTot = rows.map(_.getLong(1)).sum.toDouble
+    val tTot = rows.map(_.getLong(2)).sum.toDouble
+    // replicate round(log(...), 9).cast(decimal(18,9)) exactly:
+    // Round = BigDecimal.valueOf(d).setScale(9, HALF_UP).doubleValue,
+    // then the decimal cast re-quantizes that double at scale 9
+    val raw = math.log((rTot + bSpace) / (tTot + bSpace))
+    val r9 = java.math.BigDecimal.valueOf(raw)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val default = java.math.BigDecimal.valueOf(r9)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    RatioModel(hexChars, lambda, default)
+  }
+
+  /** Train-once cache per (corpus dir, target) — the cachedIvfIndex
+    * pattern; racing trains are deterministic so first-put wins.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, RatioModel]()
+
+  def cachedRatioModel(docs: DataFrame, targetPred: Column,
+      cacheKey: String, hexChars: Int = 2): RatioModel = {
+    val cached = modelCache.get(cacheKey)
+    if (cached != null) cached
+    else {
+      val m = trainRatioModel(docs, targetPred, hexChars)
+      val prev = modelCache.putIfAbsent(cacheKey, m)
+      if (prev != null) prev else m
+    }
+  }
+
+  /** Stateless fused scoring against a trained model: (n_grams,
+    * weight) columns over `text`, with the λ table as a constant map
+    * literal — one `aggregate` HOF traversal per row, no explode, no
+    * join, no shuffle, NO state. This is the score-many production
+    * path (and the streaming form: scoring new drops is a pure
+    * projection over a train-once artifact), exactly equal to the
+    * relational pipeline because both sum the same DECIMAL(18,9)
+    * quantized λ values (spec-asserted).
+    */
+  def scoreColumns(model: RatioModel): (Column, Column) = {
+    val toks = filter(split(col("text"), "\\s+"),
+      w => length(w) > lit(0))
+    val lamMap =
+      if (model.lambda.isEmpty)
+        map().cast("map<string,decimal(18,9)>")
+      else
+        map(model.lambda.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+          Seq(lit(k), lit(v).cast("decimal(18,9)")) }: _*)
+    val defaultLam = lit(model.default).cast("decimal(18,9)")
+    // accumulator width matters: at (38,9) the `+` promotes past 38
+    // digits and Spark sheds the 9th scale digit to fit — silently a
+    // scale-8 sum. (27,9)+(18,9) promotes to (28,9) — still exact —
+    // and the re-cast keeps the accumulator type stable; |weight|
+    // can't approach 1e18 so the narrower precision never overflows
+    val weight = aggregate(toks,
+        lit(java.math.BigDecimal.ZERO).cast("decimal(27,9)"),
+        (acc, w) => (acc + coalesce(
+          element_at(lamMap, substring(md5(w), 1, model.hexChars)),
+          defaultLam)).cast("decimal(27,9)"))
+      .cast("double")
+    (size(toks).cast("long"), weight)
   }
 
   /** Hash-gated declared query: top-50 docs by importance weight for

@@ -235,7 +235,98 @@ object StreamingQueries {
     s2.table(qname).select("vec_id", "is_dup", "dup_of").orderBy("vec_id")
   }
 
+  /** Streaming DSIR scoring — the score-many half of the importance
+    * pipeline as a production ingest path: the ratio model is trained
+    * ONCE on the static corpus ([[graft.operators.Importance
+    * .cachedRatioModel]] — the train-once artifact, like the IVF/PQ
+    * relations), and each arriving document is scored by a STATELESS
+    * projection (constant-map λ lookup + decimal `aggregate` HOF — no
+    * explode, no join, no state store). Append mode, exactly the
+    * batch pipeline's weights (decimal quantization makes the sums
+    * engine- and order-exact), gated by the SAME oracle SQL as
+    * `q_dsir_weights` — so stream-batch unification of the whole
+    * estimator is hash-checked end-to-end.
+    */
+  val streamDsir = DeclaredQuery(
+    "q_stream_dsir_weights",
+    graft.operators.Importance.qDsirWeights.oracle.get) { (s, d) =>
+    val docs = graft.Tables.documents(s, d)
+    val model = graft.operators.Importance
+      .cachedRatioModel(docs, col("lang") === "en", cacheKey = s"en:$d")
+    val docSchema = docs.schema
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+    val qname = "stream_dsir_weights_v"
+    val stream = graft.streaming.Ingest
+      .streamTable(s2, d, "documents", docSchema)
+    val (nGrams, weight) = graft.operators.Importance.scoreColumns(model)
+    val q = stream
+      .select(col("doc_id"), nGrams.as("n_grams"), weight.as("weight"))
+      .filter(col("n_grams") > 0)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation",
+        graft.SparkEnv.scratchDir("graft-stream-dsir-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(qname).orderBy(col("weight").desc, col("doc_id")).limit(50)
+  }
+
+  /** Streaming benchmark decontamination — the contamination leg of
+    * the ingest trio (gate → near-dup → decontaminate), hash-gated:
+    * benchmark docs' distinct 8-gram fingerprints collect ONCE into a
+    * sorted-array artifact
+    * ([[graft.streaming.StreamDecontaminate.cachedBenchGramHashes]] —
+    * eval sets are small by construction, even against a 100 TB train
+    * stream), then every arriving train doc is checked by ONE
+    * codegen'd `gram_set_hits` pass (shingle → xxhash64 → binary
+    * search) — stateless, append mode, no explode/join/state. The
+    * oracle replays shingling (incl. whole-text-once for short docs),
+    * the bench/train split, and the per-doc hit counts exactly.
+    */
+  val streamDecontaminate = DeclaredQuery(
+    "q_stream_decontaminate",
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 8
+      |              THEN w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+      |                   w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]
+      |              ELSE text END AS gram
+      |  FROM t, LATERAL (
+      |    SELECT unnest(generate_series(1, greatest(len(w) - 7, 1))) AS i) s),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+      |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0)
+      |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+      |FROM tr JOIN bench USING (gram)
+      |GROUP BY tr.doc_id
+      |ORDER BY tr.doc_id""".stripMargin) { (s, d) =>
+    val docs = graft.Tables.documents(s, d)
+    val sorted = graft.streaming.StreamDecontaminate.cachedBenchGramHashes(
+      docs.filter(col("doc_id") % 10 === 0), cacheKey = s"bench8:$d")
+    val docSchema = docs.schema
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+    val qname = "stream_decontaminate_v"
+    val stream = graft.streaming.Ingest
+      .streamTable(s2, d, "documents", docSchema)
+      .filter(col("doc_id") % 10 =!= 0)
+    val q = graft.streaming.StreamDecontaminate.verdicts(stream, sorted)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation",
+        graft.SparkEnv.scratchDir("graft-stream-decontam-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(qname).orderBy("doc_id")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(streamHourly, streamMultiGran, streamAccountDaily, streamNearDups,
-      streamCorpusGate, streamCleanPipeline, streamSemanticDedup)
+      streamCorpusGate, streamCleanPipeline, streamSemanticDedup, streamDsir,
+      streamDecontaminate)
 }

@@ -60,6 +60,47 @@ class ImportanceSpec extends SparkSpec {
     assert(w(1L)._1 == 2L)
   }
 
+  test("stateless fused scoring equals the relational pipeline exactly") {
+    // the score-many path (constant-map λ lookup + decimal aggregate
+    // HOF, no explode/join/shuffle) must reproduce the relational
+    // form bit-for-bit — both sum the same DECIMAL(18,9) λ values
+    val docs = Tables.documents(spark, sf)
+    val model = Importance.trainRatioModel(docs, col("lang") === "en")
+    val (nGrams, weight) = Importance.scoreColumns(model)
+    val fused = docs.select(col("doc_id"), nGrams.as("n"), weight.as("w"))
+      .filter(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val relational = weights(docs)
+    assert(fused == relational,
+      s"diff=${(fused.toSet diff relational.toSet).take(3)} / " +
+        s"${(relational.toSet diff fused.toSet).take(3)}")
+  }
+
+  test("unseen buckets score through the smoothed default, not null") {
+    import spark.implicits._
+    val train = Seq((1L, "alpha alpha", "en"), (2L, "alpha beta", "de"))
+      .toDF("doc_id", "text", "lang")
+    val model = Importance.trainRatioModel(train, col("lang") === "en")
+    val (nGrams, weight) = Importance.scoreColumns(model)
+    val scored = Seq((9L, "gamma delta gamma"))   // nothing seen at train time
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), nGrams.as("n"), weight.as("w")).collect().head
+    assert(scored.getLong(1) == 3L)
+    assert(!scored.isNullAt(2), "unseen grams must hit the default λ")
+    val expected = model.default.doubleValue * 3
+    assert(math.abs(scored.getDouble(2) - expected) < 1e-9,
+      s"${scored.getDouble(2)} vs $expected")
+  }
+
+  test("cachedRatioModel trains once per key") {
+    val docs = Tables.documents(spark, sf)
+    val k = s"spec-cache-${System.nanoTime()}"
+    val a = Importance.cachedRatioModel(docs, col("lang") === "en", k)
+    val b = Importance.cachedRatioModel(docs.limit(1), col("lang") === "zh", k)
+    assert(a eq b, "second call with the same key must not retrain")
+    assert(a.lambda.nonEmpty)
+  }
+
   test("declared top-50 ranking is total: weight desc then doc_id") {
     val rows = SparkEntry.queries("q_dsir_weights")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
