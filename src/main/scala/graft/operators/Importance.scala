@@ -45,13 +45,14 @@ object Importance {
     * id the oracle replays; empty tokens (leading/trailing runs)
     * filtered identically on both sides.
     */
-  private def gramBuckets(docs: DataFrame, hexChars: Int): DataFrame =
+  private def gramBuckets(docs: DataFrame, hexChars: Int,
+      carry: Seq[String] = Seq("lang")): DataFrame = {
+    val keep = ("doc_id" +: carry).distinct.map(col)
     docs
-      .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), "\\s+")).as("w"))
+      .select(keep :+ explode(split(col("text"), "\\s+")).as("w"): _*)
       .filter(length(col("w")) > 0)
-      .select(col("doc_id"), col("lang"),
-        substring(md5(col("w")), 1, hexChars).as("b"))
+      .select(keep :+ substring(md5(col("w")), 1, hexChars).as("b"): _*)
+  }
 
   /** Per-doc DSIR importance weights: Σ over the doc's gram instances
     * of the bucket's Laplace-smoothed target/raw log-likelihood ratio.
@@ -92,11 +93,16 @@ object Importance {
           .cast("decimal(18,9)").as("lam"))
   }
 
+  /** `carryCols`: extra per-doc columns (functionally dependent on
+    * doc_id, e.g. `lang`) widened into the scoring groupBy key — same
+    * groups, no extra shuffle, saves the doc_id-keyed join a caller
+    * would otherwise pay to get them back.
+    */
   def importanceWeights(docs: DataFrame, targetPred: Column,
-      hexChars: Int = 2): DataFrame = {
+      hexChars: Int = 2, carryCols: Seq[String] = Nil): DataFrame = {
     val lam = ratioTable(docs, targetPred, hexChars).select("b", "lam")
-    gramBuckets(docs, hexChars).join(broadcast(lam), "b")
-      .groupBy("doc_id")
+    gramBuckets(docs, hexChars, carryCols).join(broadcast(lam), "b")
+      .groupBy("doc_id", carryCols: _*)
       .agg(count(lit(1)).as("n_grams"),
         sum(col("lam")).cast("decimal(38,9)").cast("double").as("weight"))
   }
@@ -223,5 +229,64 @@ object Importance {
       .limit(50)
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qDsirWeights)
+  /** The resampling step itself: keep the top 20 % of each language
+    * slice by importance weight (weight desc, doc_id tiebreak — the
+    * deterministic limit of the paper's Gumbel sampling; a per-slice
+    * FRACTION rather than a fixed cap because the published method
+    * selects to a token budget per mixture slice). `lang` rides the
+    * scoring groupBy key (functionally dependent on doc_id — same
+    * groups, no join-back), and the rank and the slice size come from
+    * TWO window functions over the SAME `lang` partitioning, so one
+    * exchange serves both (PlanSpec asserts the single
+    * hashpartitioning(lang) exchange). Fully value-gated: the oracle
+    * replays weights, ranks, slice counts, and the ceil cutoff.
+    */
+  val qDsirSelect = DeclaredQuery(
+    "q_dsir_select",
+    """WITH g AS (
+      |  SELECT doc_id, lang, substr(md5(w), 1, 2) AS b
+      |  FROM (SELECT doc_id, lang,
+      |               unnest(string_split_regex(text, '\s+')) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0),
+      |bs AS (
+      |  SELECT b, count(*) AS r_cnt,
+      |         count(*) FILTER (WHERE lang = 'en') AS t_cnt
+      |  FROM g GROUP BY b),
+      |tot AS (SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM bs),
+      |lam AS (
+      |  SELECT b,
+      |         CAST(round(ln(((t_cnt + 1.0) * (r_tot + 256.0)) /
+      |                       ((r_cnt + 1.0) * (t_tot + 256.0))), 9)
+      |              AS DECIMAL(18,9)) AS lam
+      |  FROM bs, tot),
+      |w AS (
+      |  SELECT g.doc_id, g.lang,
+      |         CAST(CAST(sum(lam.lam) AS DECIMAL(38,9)) AS DOUBLE) AS weight
+      |  FROM g JOIN lam ON g.b = lam.b
+      |  GROUP BY g.doc_id, g.lang),
+      |sel AS (
+      |  SELECT lang, doc_id, weight,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY weight DESC, doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY lang) AS n_lang
+      |  FROM w)
+      |SELECT lang, doc_id, weight, CAST(rk AS BIGINT) AS rk
+      |FROM sel
+      |WHERE rk <= ceil(0.2 * n_lang)
+      |ORDER BY lang, rk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = importanceWeights(Tables.documents(s, d), col("lang") === "en",
+      carryCols = Seq("lang"))
+    val part = Window.partitionBy("lang")
+    w.select(col("lang"), col("doc_id"), col("weight"))
+      .withColumn("rk", row_number()
+        .over(part.orderBy(col("weight").desc, col("doc_id"))).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(part))
+      .filter(col("rk") <= ceil(lit(0.2) * col("n_lang")))
+      .select(col("lang"), col("doc_id"), col("weight"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qDsirWeights, qDsirSelect)
 }

@@ -101,6 +101,30 @@ class ImportanceSpec extends SparkSpec {
     assert(a.lambda.nonEmpty)
   }
 
+  test("dsir select keeps exactly ceil(20%) of every language slice, ranked") {
+    val sel = SparkEntry.queries("q_dsir_select")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // the weight relation only contains docs with >= 1 token (NULL or
+    // whitespace-only texts produce no gram rows), so size the slices
+    // against that same population
+    val perLang = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull &&
+        length(regexp_replace(col("text"), "\\s", "")) > 0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = sel.groupBy(_._1).view.mapValues(_.length).toMap
+    for ((lang, n) <- perLang)
+      assert(kept.getOrElse(lang, 0) == math.ceil(0.2 * n).toInt,
+        s"$lang: kept ${kept.get(lang)} of $n")
+    // within a slice, ranks are 1..k and weights non-increasing
+    for ((lang, rows) <- sel.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq, lang)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3; case _ => true }, lang)
+    }
+  }
+
   test("declared top-50 ranking is total: weight desc then doc_id") {
     val rows = SparkEntry.queries("q_dsir_weights")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))

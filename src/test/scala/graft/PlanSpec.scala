@@ -307,6 +307,17 @@ class PlanSpec extends SparkSpec {
     assert(scans == 2, s"documents scanned $scans times (want 2):\n$p")
   }
 
+  test("dsir select: rank and slice-size windows share one lang exchange") {
+    // rk (row_number ordered by weight) and n_lang (count) both
+    // partition by lang — the planner must serve both from a single
+    // hashpartitioning(lang) exchange, or the selection would shuffle
+    // the scored corpus twice
+    val p = planOf("q_dsir_select")
+    val n = "Exchange hashpartitioning\\(lang".r.findAllIn(p).size
+    assert(n == 1, s"q_dsir_select: $n lang exchanges (want 1):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed (bounded theta joins against
     // a broadcast side); an unbounded CartesianProduct never is.
