@@ -54,9 +54,8 @@ object Importance {
       .select(keep :+ substring(md5(col("w")), 1, hexChars).as("b"): _*)
   }
 
-  /** Per-doc DSIR importance weights: Σ over the doc's gram instances
-    * of the bucket's Laplace-smoothed target/raw log-likelihood ratio.
-    *
+  /** The smoothed per-bucket log-ratio relation (b, r_cnt, t_cnt,
+    * lam) — the DSIR "model":
     * λ_b = round(ln( ((t_b+1)(R+B)) / ((r_b+1)(T+B)) ), 9) as
     * DECIMAL(18,9), where t_b/r_b are target/raw instance counts in
     * bucket b, T/R their totals, B the bucket-space size (the fixed
@@ -66,14 +65,10 @@ object Importance {
     * transcendental is one correctly-rounded `ln` per bucket,
     * quantized before it ever meets row data.
     *
-    * Returns (doc_id, n_grams, weight: double).
-    */
-  /** The smoothed per-bucket log-ratio relation (b, r_cnt, t_cnt,
-    * lam) — the DSIR "model". Totals come from a window over the
-    * ≤16^hexChars-row bucket table, NOT a separate aggregate of the
-    * gram stream, which would re-derive the whole gram subtree and
-    * pay a third corpus scan (the window's single-partition exchange
-    * moves 256 rows, nothing).
+    * Totals come from a window over the ≤16^hexChars-row bucket
+    * table, NOT a separate aggregate of the gram stream, which would
+    * re-derive the whole gram subtree and pay a third corpus scan
+    * (the window's single-partition exchange moves 256 rows, nothing).
     */
   private[graft] def ratioTable(docs: DataFrame, targetPred: Column,
       hexChars: Int): DataFrame = {
@@ -93,7 +88,10 @@ object Importance {
           .cast("decimal(18,9)").as("lam"))
   }
 
-  /** `carryCols`: extra per-doc columns (functionally dependent on
+  /** Per-doc DSIR importance weights — Σ over the doc's gram
+    * instances of [[ratioTable]]'s quantized λ, as an exact decimal
+    * sum. Returns (doc_id, carryCols..., n_grams, weight: double).
+    * `carryCols`: extra per-doc columns (functionally dependent on
     * doc_id, e.g. `lang`) widened into the scoring groupBy key — same
     * groups, no extra shuffle, saves the doc_id-keyed join a caller
     * would otherwise pay to get them back.
