@@ -79,18 +79,37 @@ object Bench {
     val totalMedian = medians.values.filter(_ >= 0).sum
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"queries_median":${jmap(medians)},"total_median":$totalMedian,"sf":"$sfDir","passes":$nPasses,"agg":"per-query min (median cross-check)","action":"toRdd.count (full declared plan)","failed":${failed.mkString("[", ",", "]")}}"""
     println(fullJson)
-    // The harness captures only the TAIL of stdout: with 100+ queries the
-    // single line above is long enough that its head — the suite total —
-    // was truncated away in every prior round's BENCH_r*.json. Persist the
-    // full JSON to a file and print a short total-only line LAST, so the
-    // tail always retains a parseable suite total (round-4 verdict #8).
+    // The harness captures only the TAIL of stdout (~2000 chars): with
+    // 100+ queries the single line above is long enough that its head —
+    // the suite total — was truncated away in every prior round's
+    // BENCH_r*.json, and the round-6 driver's per-query parse came back
+    // null for the same reason. Persist the full JSON to a file and
+    // print a SHORT line LAST that still carries (a) the suite total and
+    // (b) the BASELINE.md headline-query subset, so the tail alone is a
+    // self-contained, parseable artifact (round-4 verdict #8, round-6
+    // ADVICE #2).
+    //
+    // The full-JSON file defaults to a scratch name (gitignored):
+    // driver-side bench runs execute in this repo's cwd and a default of
+    // BENCH_full.json made every driver run clobber the builder's
+    // committed artifact (round-6 ADVICE #1). The builder opts in via
+    // SPARK_GRAFT_BENCH_FULL=BENCH_full.json when refreshing the
+    // committed copy.
     val queriesFile =
       try {
-        val p = java.nio.file.Paths.get("BENCH_full.json").toAbsolutePath
+        val p = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_latest.json")).toAbsolutePath
         java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
         s""","queries_file":"${p.toString}""""
       } catch { case _: Throwable => "" } // don't advertise a file that isn't there
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"n_queries":${results.size},"sf":"$sfDir","passes":$nPasses,"agg":"per-query min (median cross-check)","action":"toRdd.count (full declared plan)","failed":${failed.mkString("[", ",", "]")}$queriesFile}""")
+    val headlineKeys = Seq("q_pricing_summary", "q_join_star", "q_topk_customers",
+      "q_window_rank", "q_events_hourly", "q_events_distinct_users_daily",
+      "q_json_extract", "q_docs_by_lang", "q_semi_join", "q_setop")
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val headline = headlineKeys.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + r3(v)))
+      .mkString("{", ",", "}")
+    val headlineTotal = r3(headlineKeys.flatMap(results.get).filter(_ >= 0).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"n_queries":${results.size},"headline_total":$headlineTotal,"queries":$headline,"sf":"$sfDir","passes":$nPasses,"agg":"per-query min (median cross-check)","action":"toRdd.count (full declared plan)","failed":${failed.mkString("[", ",", "]")}$queriesFile}""")
     spark.stop()
   }
 }

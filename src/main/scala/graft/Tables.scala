@@ -31,23 +31,39 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet timestamp[ns], which Spark 4 refuses to read
-    * as TimestampType. Reading with an explicit schema that types `ts`
-    * as LongType works on any session (no legacy config needed): the
-    * physical parquet type is INT64, so the vectorized reader hands us
-    * raw ns-since-epoch. We convert to µs TimestampType with exact
-    * integer division (`div` — no double round-trip, which would lose
-    * precision above 2^53 ns). Downstream queries see a real timestamp.
+  /** `events.ts` has flipped physical units across fixture generations
+    * (timestamp[ns] through round 5, timestamp[us] since round 6), so
+    * the loader is unit-aware instead of hard-coding either: read with
+    * the plain reader and branch on the footer-derived type.
+    *
+    *  - timestamp[ns]: under the session's
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` config Spark
+    *    surfaces the column as LongType (raw ns-since-epoch) → convert
+    *    to µs TimestampType with exact integer division (`div` — no
+    *    double round-trip, which would lose precision above 2^53 ns).
+    *  - timestamp[us] (isAdjustedToUTC=false, so Spark infers
+    *    TimestampNTZType): cast to TimestampType — exact under the
+    *    session's pinned UTC timezone, and downstream queries keep
+    *    seeing one stable type.
+    *
+    * Either way downstream queries see a µs-precision TimestampType
+    * `ts`, and a future driver-side unit flip cannot silently collapse
+    * the timeline again (FixtureDriftSpec pins the 2024 range too).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    s.read.schema(schema).parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // ns data surfaced as raw long via nanosAsLong
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampType => raw
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unexpected parquet type $other (expected LongType [ns] or Timestamp(NTZ)Type [us])")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

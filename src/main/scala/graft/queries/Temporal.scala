@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
 /** Temporal operators beyond plain buckets (SURVEY.md §2 C7/C8, I3):
   * as-of join, range/interval join, session windows. All timestamps
   * are second-truncated in BOTH engines before any gap/inequality
-  * logic — the events table is ns-precision parquet and Spark sees µs
-  * (FIXTURES.md trap 1), so sub-second comparisons can never be made
-  * portable. (Exception: q_funnel_conversions compares raw epoch
-  * MICROseconds — measured safe because every fixture ns value is
-  * µs-aligned, so ns/1000 is exact in both engines.)
+  * logic — the events fixture's physical unit is driver-controlled
+  * and has flipped between ns and µs across regenerations
+  * (FIXTURES.md trap 1), so portable queries never rely on
+  * sub-second precision. (Exception: q_funnel_conversions compares
+  * epoch MICROseconds — exact in both engines for ns data too, since
+  * every fixture ns value was µs-aligned.)
   */
 object Temporal {
 

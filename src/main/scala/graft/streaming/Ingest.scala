@@ -23,9 +23,13 @@ object Ingest {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Parquet-side schema (ts as raw ns int64 — see Tables.events). */
-  val eventFileSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Parquet-side schema, parameterized on the fixture's physical
+    * timestamp type — the driver has shipped both timestamp[ns] (reads
+    * as LongType under `nanosAsLong`) and timestamp[us]
+    * (isAdjustedToUTC=false → TimestampNTZType); see Tables.events.
+    */
+  private def eventFileSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -49,9 +53,23 @@ object Ingest {
       .option("pathGlobFilter", s"$table.parquet").parquet(sfDir)
   }
 
-  def eventStream(spark: SparkSession, sfDir: String): DataFrame =
-    streamTable(spark, sfDir, "events", eventFileSchema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Unit-aware like Tables.events: readStream needs an explicit
+    * schema, so peek at the footer-derived type with a (metadata-only)
+    * batch read first, then declare the matching stream schema and
+    * normalize `ts` to µs TimestampType. One extra file listing per
+    * stream start — nothing per micro-batch.
+    */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val physical = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val raw = streamTable(spark, sfDir, "events", eventFileSchema(physical))
+    physical match {
+      case LongType => // ns surfaced as raw long under nanosAsLong
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Decode a stream of JSON strings (the ZMQ datagram shape) into
     * typed event columns — A5. `payload` column in, event columns out.

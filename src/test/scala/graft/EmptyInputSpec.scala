@@ -15,10 +15,10 @@ class EmptyInputSpec extends SparkSpec {
       spark.read.parquet(s"$sf/$n.parquet").limit(0)
         .write.mode("overwrite").parquet(s"$dir/$n.parquet")
     }
-    // events.parquet: preserve the raw INT64(ns) ts column shape that
-    // Tables.events expects, via the same explicit-schema read
-    spark.read.schema(graft.streaming.Ingest.eventFileSchema)
-      .parquet(s"$sf/events.parquet").limit(0)
+    // events.parquet: the plain read round-trips whatever physical ts
+    // type the fixture carries (Tables.events is unit-aware, so the
+    // empty twin just needs the same surfaced type)
+    spark.read.parquet(s"$sf/events.parquet").limit(0)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pins the driver-generated fixture contract (FIXTURES.md).
+  *
+  * Round-6 post-mortem: the driver regenerated `/root/testdata` mid-round
+  * and flipped `events.ts` from timestamp[ns] to timestamp[us]; the
+  * ns-assuming loader silently collapsed 30 days of 2024 into ~43
+  * minutes of 1970 and 18 oracle queries went red with zero local test
+  * failures (QueriesSmokeSpec only asserts count()>0). This spec turns
+  * any such fixture drift into a named local failure by asserting the
+  * *measured properties* every oracle query depends on, at both the
+  * suite sf (0.001) and the driver's correctness sf (0.01).
+  */
+class FixtureDriftSpec extends SparkSpec {
+  private val sf001 = "/root/testdata/sf0.001"
+  private val sf01  = "/root/testdata/sf0.01"
+
+  test("events.ts loads as µs TimestampType spanning January 2024, at every sf") {
+    for (dir <- Seq(sf001, sf01)) {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"$dir: events.ts must surface as TimestampType after the unit-aware loader")
+      val r = ev.agg(
+        min(col("ts")).as("lo"), max(col("ts")).as("hi"),
+        countDistinct(date_trunc("hour", col("ts"))).as("hours"),
+        countDistinct(to_date(col("ts"))).as("days")).head()
+      val (lo, hi) = (r.getTimestamp(0).toString, r.getTimestamp(1).toString)
+      assert(lo.startsWith("2024-01"), s"$dir: events.ts min=$lo, expected January 2024 — " +
+        "a 1970 value means the loader misread the parquet timestamp unit (round-6 bug)")
+      assert(hi.startsWith("2024-01"), s"$dir: events.ts max=$hi, expected January 2024")
+      assert(r.getLong(3) >= 29L, s"$dir: expected ~30 distinct event days, got ${r.getLong(3)}")
+      if (dir == sf01)
+        assert(r.getLong(2) >= 700L, s"$dir: expected ≥700 distinct hourly buckets, got ${r.getLong(2)}")
+    }
+  }
+
+  test("table cardinalities match FIXTURES.md") {
+    val expected001 = Map(
+      "region" -> 5L, "nation" -> 25L, "supplier" -> 10L, "customer" -> 150L,
+      "part" -> 200L, "orders" -> 1500L, "events" -> 1000L,
+      "documents" -> 500L, "embeddings" -> 500L)
+    for ((t, n) <- expected001) {
+      val got = (if (t == "events") Tables.events(spark, sf001) else Tables.load(spark, sf001, t)).count()
+      assert(got == n, s"sf0.001/$t: expected $n rows, got $got")
+    }
+    assert(Tables.events(spark, sf01).count() == 10000L, "sf0.01/events: expected 10000 rows")
+    assert(Tables.documents(spark, sf01).count() == 500L, "sf0.01/documents: expected 500 rows")
+  }
+
+  test("events columns: 5 event types, dense user ids, single-key JSON props") {
+    val ev = Tables.events(spark, sf001)
+    val r = ev.agg(
+      countDistinct(col("event_type")).as("types"),
+      countDistinct(col("user_id")).as("users"),
+      max(col("user_id")).as("max_uid"),
+      sum(when(col("props").rlike("""^\{"k": ?-?\d+\}$"""), 0).otherwise(1)).as("bad_props")).head()
+    assert(r.getLong(0) == 5L, s"expected 5 event types, got ${r.getLong(0)}")
+    assert(r.getLong(1) == 15L, s"expected 15 distinct users at sf0.001, got ${r.getLong(1)}")
+    assert(r.getLong(2) == 14L, s"expected user ids 0..14 at sf0.001, got max ${r.getLong(2)}")
+    assert(r.getLong(3) == 0L, s"${r.getLong(3)} props rows are not single-key {\"k\": int} JSON")
+  }
+
+  test("embeddings: dim 64, unit-norm, labels 0..9") {
+    val em = Tables.embeddings(spark, sf001)
+    val r = em.select(
+      size(col("embedding")).as("dim"),
+      abs(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x * x) - 1.0d).as("norm_err"),
+      col("label"))
+      .agg(min(col("dim")), max(col("dim")), max(col("norm_err")),
+           min(col("label")), max(col("label"))).head()
+    assert(r.getInt(0) == 64 && r.getInt(1) == 64, s"embedding dim drifted: ${r.getInt(0)}..${r.getInt(1)}")
+    assert(r.getDouble(2) < 1e-5, s"embeddings not unit-norm: max |‖v‖²-1| = ${r.getDouble(2)}")
+    assert(r.getInt(3) == 0 && r.getInt(4) == 9, "labels must span 0..9")
+  }
+
+  test("documents: 5 langs, 20 sources, planted ' dup' near-duplicate markers") {
+    val docs = Tables.documents(spark, sf001)
+    val r = docs.agg(
+      countDistinct(col("lang")).as("langs"),
+      countDistinct(col("source")).as("sources"),
+      sum(when(col("text").endsWith(" dup"), 1).otherwise(0)).as("dups"),
+      countDistinct(col("text")).as("distinct_texts")).head()
+    assert(r.getLong(0) == 5L, s"expected 5 langs, got ${r.getLong(0)}")
+    assert(r.getLong(1) == 20L, s"expected 20 sources, got ${r.getLong(1)}")
+    assert(r.getLong(2) == 25L, s"expected 25 planted ' dup' rows at sf0.001, got ${r.getLong(2)}")
+    assert(r.getLong(3) == 500L, "all 500 sf0.001 texts must be distinct (exact-dedup sentinel)")
+  }
+
+  test("orders/lineitem date columns stay ms-precision in the safe 1995-2001 window") {
+    val o = Tables.orders(spark, sf001)
+      .agg(min(year(col("o_orderdate"))), max(year(col("o_orderdate")))).head()
+    assert(o.getInt(0) >= 1995 && o.getInt(1) <= 2001,
+      s"o_orderdate drifted outside 1995..2001: ${o.getInt(0)}..${o.getInt(1)}")
+  }
+}
