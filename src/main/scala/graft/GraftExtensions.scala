@@ -79,6 +79,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.ShingleScan.foldedInt(children(1), "simhash64 n"))
       }))
     e.injectFunction((
+      FunctionIdentifier("ordered_pairs"),
+      new ExpressionInfo(classOf[graft.functions.OrderedPairs].getName, "ordered_pairs"),
+      (children: Seq[Expression]) => {
+        checkArity("ordered_pairs", children, 1)
+        graft.functions.OrderedPairs(children(0))
+      }))
+    e.injectFunction((
       FunctionIdentifier("token_ngram_stats"),
       new ExpressionInfo(classOf[graft.functions.TokenNGramStats].getName, "token_ngram_stats"),
       (children: Seq[Expression]) => {

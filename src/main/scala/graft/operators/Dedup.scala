@@ -519,22 +519,21 @@ object Dedup {
     rows.groupBy("fp")
       // fps are distinct WITHIN a doc, so each doc contributes at most
       // one row per fp-group: collect_list is set-equivalent and skips
-      // the per-element dedup cost
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("nf")))).as("ids"))
+      // the per-element dedup cost. No sort_array (CodegenFallback) —
+      // ordered_pairs sorts by doc_id internally and emits id_a < id_b.
+      .agg(collect_list(struct(col("doc_id"), col("nf"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(ids) - 2), " +
-          "i -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "b -> struct(ids[i].doc_id AS id_a, ids[i].nf AS n_a, " +
-          "b.doc_id AS id_b, b.nf AS n_b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("n_shared_fps"))
+      // codegen'd generator (see OrderedPairs scaladoc for why not the
+      // interpreted transform/slice/flatten combinator form): yields
+      // (id_a, id_b, lnf) per bucket pair, lnf pre-reduced so the
+      // count-shared aggregation groups by the narrow 2-long key and
+      // min(lnf) rides along as an agg (constant within a pair group)
+      .select(expr("ordered_pairs(ids)"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared_fps"), min("lnf").as("lnf"))
       .filter(col("n_shared_fps") >= minShared)
       .select(col("id_a"), col("id_b"), col("n_shared_fps"),
-        round(col("n_shared_fps").cast("double") /
-          least(col("n_a"), col("n_b")), 6).as("overlap"))
+        round(col("n_shared_fps").cast("double") / col("lnf"), 6).as("overlap"))
   }
 
   // ---- declared queries (rows-only checks; ScalaTest is the gate) ----

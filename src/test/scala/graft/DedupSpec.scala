@@ -119,6 +119,55 @@ class DedupSpec extends SparkSpec {
       "doc-level minhash should miss a single lifted passage — that's the point")
   }
 
+  test("passage overlap bit-matches the relational combinator form") {
+    // the ordered_pairs generator replaced the interpreted
+    // transform/slice/flatten pair expansion (round-6 verdict #5);
+    // this pins value parity of the whole pipeline against the old
+    // relational form on the real fixture corpus
+    import org.apache.spark.sql.functions._
+    val (n, w, minShared, maxDf) = (3, 4, 2, 64)
+    val rows = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), expr(s"winnow_fps(text, $n, $w)").as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("nf"), explode(col("fps")).as("fp"))
+    val oldForm = rows.groupBy("fp")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("nf")))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids) - 2), " +
+          "i -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "b -> struct(ids[i].doc_id AS id_a, ids[i].nf AS n_a, " +
+          "b.doc_id AS id_b, b.nf AS n_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+      .select(col("id_a"), col("id_b"), col("n_shared_fps"),
+        round(col("n_shared_fps").cast("double") /
+          least(col("n_a"), col("n_b")), 6).as("overlap"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(key(Dedup.passageOverlapPairs(docs)) == key(oldForm))
+  }
+
+  test("ordered_pairs generator: pair set, lnf reduction, degenerate inputs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq((10L, 5), (20L, 3), (30L, 7))), // 3 pairs
+      (2L, Seq((40L, 1))),                     // single element: no pairs
+      (3L, Seq.empty[(Long, Int)]))            // empty: no pairs
+      .toDF("bucket", "raw")
+      .selectExpr("bucket",
+        "transform(raw, x -> struct(x._1 AS doc_id, x._2 AS nf)) AS ids")
+    val got = df.selectExpr("bucket", "ordered_pairs(ids)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == Set((1L, 10L, 20L, 3), (1L, 10L, 30L, 5), (1L, 20L, 30L, 3)))
+    // NULL array → zero rows, not NPE
+    val withNull = df.selectExpr("CASE WHEN bucket = 1 THEN ids END AS ids")
+    assert(withNull.selectExpr("ordered_pairs(ids)").count() == 3L)
+  }
+
   test("passage overlap on an empty corpus is empty, not an error") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
