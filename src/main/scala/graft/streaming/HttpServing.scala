@@ -22,9 +22,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *     twin of the source's complete aggregate pushdown (and like it,
   *     sums over an empty prefix are null, not 0).
   *
-  * Serving reads a point-in-time `snapshot()` per request; the store
-  * itself is the consistency boundary (micro-batch upserts are
-  * atomic per key).
+  * Serving reads go through `store.lookupRows(prefix)` — a
+  * point-in-time read per request with the store as the consistency
+  * boundary (micro-batch upserts are atomic per key). For the
+  * partitioned parquet store that is a PRUNED scan (gran/pday
+  * partition predicates derived from the prefix), the reference's
+  * O(1)-per-key Redis read re-expressed as partition pruning.
   */
 object HttpServing {
 
@@ -67,7 +70,7 @@ object HttpServing {
         val (status, resp) =
           try {
             val prefix = ex.getRequestURI.getPath.stripPrefix("/stats/")
-            val rows = store.snapshot().filter(_.key.startsWith(prefix))
+            val rows = store.lookupRows(prefix)
             val query = Option(ex.getRequestURI.getQuery).getOrElse("")
             (200,
               if (query.split('&').contains("agg=sum")) aggJson(rows)

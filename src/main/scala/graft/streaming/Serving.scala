@@ -39,6 +39,14 @@ trait ServingStore {
   def sinkBatch(keyed: DataFrame, batchId: Long): Unit
 
   def snapshot(): Seq[ServingStore.CounterRow]
+
+  /** Serving-read path for one key prefix (what [[HttpServing]]
+    * routes). Default = filter the snapshot (fine for in-memory
+    * stores); durable stores override with a pruned scan so a point
+    * lookup never pays a full-store read.
+    */
+  def lookupRows(keyPrefix: String): Seq[ServingStore.CounterRow] =
+    snapshot().filter(_.key.startsWith(keyPrefix))
 }
 
 object ServingStore {
@@ -96,19 +104,57 @@ object InMemoryServingStore {
       throw new IllegalStateException(s"no serving store '$id' in this JVM"))
 }
 
-/** Durable analog: parquet partitioned by batch_id. Replay-idempotent
-  * because a replayed batch overwrites exactly its own partition; a
-  * key whose running total was re-emitted by a later micro-batch
-  * (update mode re-emits on every change) exists in several
-  * partitions, so reads resolve each key to its LATEST batch
-  * (max_by(batch_id) — one hash aggregate, no window sort).
+/** Durable analog: parquet laid out
+  * `batch_id=<b>/gran=<g>/pday=<d>/part-*.parquet`.
+  *
+  * Replay-idempotent because a replayed batch overwrites exactly its
+  * own `batch_id=` subtree; a key whose running total was re-emitted
+  * by a later micro-batch (update mode re-emits on every change)
+  * exists in several batches, so reads resolve each key to its LATEST
+  * batch (max_by(batch_id) — one hash aggregate, no window sort).
+  *
+  * The gran/pday partition keys are DERIVED FROM THE KEY at write
+  * time (`.../<granularity>/<bucket>` suffix — both the
+  * `type/gran/bucket` and `user/id/type/gran/bucket` schemes): gran is
+  * the granularity segment, pday the bucket's calendar DAY for
+  * hour/day keys and `ALL` for month/year (tiny key spaces — a
+  * partition dir per month would out-number its rows). Day-level dirs,
+  * not bucket-level: at years-of-hourly-data scale a directory per
+  * hour is the classic small-files/partition-explosion anti-pattern,
+  * while day dirs stay bounded and each holds ≤ 24×|types| rows per
+  * batch, with parquet min/max stats covering the final hour-level
+  * skip inside the day.
+  *
+  * The payoff is the reference's O(1)-per-key read analog at all four
+  * granularities: [[lookup]] turns a key prefix into gran/pday
+  * partition predicates, so `GET /stats/click/hour/2024-01-05-13`
+  * plans a scan of one day directory per batch — `PartitionFilters`
+  * in the plan, asserted by ScaleSpec — instead of a full-store scan.
   */
 final class ParquetServingStore(spark: SparkSession, path: String) extends ServingStore {
+  import ParquetServingStore.GRANS
+
+  /** key → (gran, pday) partition columns (see class doc). Unknown key
+    * shapes land in gran=NONE/pday=ALL — stored fine, just unpruned.
+    */
+  private def withPartitionCols(keyed: DataFrame): DataFrame = {
+    val segs = split(col("key"), "/")
+    val gran = element_at(segs, -2)
+    val bucket = element_at(segs, -1)
+    keyed
+      .withColumn("gran", when(gran.isin(GRANS: _*), gran).otherwise("NONE"))
+      .withColumn("pday", when(col("gran").isin("hour", "day"),
+        substring(bucket, 1, 10)).otherwise("ALL"))
+  }
+
+  private def writeBatch(keyed: DataFrame, batchId: Long): Unit =
+    withPartitionCols(keyed)
+      .write.partitionBy("gran", "pday")
+      .mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
   override def merge(batchId: Long, rows: Seq[ServingStore.CounterRow]): Unit = {
     import spark.implicits._
-    if (rows.nonEmpty)
-      rows.toDF().withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+    if (rows.nonEmpty) writeBatch(rows.toDF(), batchId)
   }
 
   /** Executors write their partitions straight to the batch's parquet
@@ -117,33 +163,69 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
     * batch's partition keeps replays idempotent.
     */
   override def sinkBatch(keyed: DataFrame, batchId: Long): Unit =
-    keyed.select(col("key"), col("n_events").as("nEvents"),
-        col("sum_value").as("sumValue"))
-      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+    writeBatch(keyed.select(col("key"), col("n_events").as("nEvents"),
+      col("sum_value").as("sumValue")), batchId)
 
-  /** Latest-batch-wins view of the store. */
-  def latest(): DataFrame = {
-    spark.read.parquet(path)
+  /** Latest-batch-wins view of the store (optionally pre-filtered with
+    * partition predicates BEFORE the aggregate, so pruning happens at
+    * the scan).
+    */
+  private def latestWhere(pred: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val base = spark.read.parquet(path)
+    pred.fold(base)(base.filter)
       .groupBy("key")
       .agg(max_by(struct(col("nEvents"), col("sumValue")), col("batch_id")).as("v"))
       .select(col("key"), col("v.nEvents").as("nEvents"), col("v.sumValue").as("sumValue"))
   }
 
+  def latest(): DataFrame = latestWhere(None)
+
   /** The reference's HTTP read path (`GET /:account/:type/:year...`)
-    * is a key-prefix lookup; here that is a pushed-down string-prefix
-    * filter over the latest view (parquet row-group stats skip
-    * non-matching files; partitioning by key components would make it
-    * partition pruning at scale).
+    * as partition pruning: the prefix's granularity segment pins
+    * `gran=`, and its (possibly partial) bucket prefix becomes a
+    * `pday` constraint — `StartsWith` on a partition column still
+    * prunes. The exact `key startsWith` filter then applies within the
+    * surviving day directory. A prefix without a granularity segment
+    * (e.g. `click/`) falls back to the unpruned scan, still pushed to
+    * parquet row-group stats.
     */
-  def lookup(keyPrefix: String): DataFrame =
-    latest().filter(col("key").startsWith(keyPrefix))
+  def lookup(keyPrefix: String): DataFrame = {
+    val segs = keyPrefix.split("/", -1).toSeq
+    val pred = segs.zipWithIndex.collectFirst {
+      case (g, i) if GRANS.contains(g) =>
+        val base = col("gran") === g
+        val bucketPrefix = segs.drop(i + 1).mkString("/")
+        if (bucketPrefix.isEmpty) base
+        else if (g == "hour" || g == "day")
+          base && col("pday").startsWith(bucketPrefix.take(10))
+        else base && col("pday") === "ALL"
+    }
+    latestWhere(pred).filter(col("key").startsWith(keyPrefix))
+  }
+
+  /** Serving-path rows for one prefix (the [[HttpServing]] contract):
+    * collect the pruned lookup, never the whole store.
+    */
+  override def lookupRows(keyPrefix: String): Seq[ServingStore.CounterRow] = {
+    import spark.implicits._
+    if (!hasData) Seq.empty
+    else lookup(keyPrefix).as[ServingStore.CounterRow].collect().toSeq
+  }
+
+  private def hasData: Boolean = {
+    val files = new java.io.File(path).listFiles()
+    files != null && files.nonEmpty
+  }
 
   override def snapshot(): Seq[ServingStore.CounterRow] = {
     import spark.implicits._
-    val files = new java.io.File(path).listFiles()
-    if (files == null || files.isEmpty) Seq.empty
+    if (!hasData) Seq.empty
     else latest().as[ServingStore.CounterRow].collect().toSeq
   }
+}
+
+object ParquetServingStore {
+  private[streaming] val GRANS = Seq("hour", "day", "month", "year")
 }
 
 object Serving {

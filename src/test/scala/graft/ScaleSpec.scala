@@ -160,6 +160,42 @@ class ScaleSpec extends SparkSpec {
     assert(read.select("day").distinct().count() == 1)
   }
 
+  test("serving store lookup prunes partitions at all four granularities") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{ParquetServingStore, ServingStore}
+    val dir = graft.SparkEnv.scratchDir("gran-pruned-serving")
+    val store = new ParquetServingStore(spark, dir)
+    store.merge(0, Seq(
+      ServingStore.CounterRow("click/hour/2024-01-05-13", 3, 1.0),
+      ServingStore.CounterRow("click/hour/2024-01-06-02", 4, 2.0),
+      ServingStore.CounterRow("click/day/2024-01-05", 7, 3.0),
+      ServingStore.CounterRow("click/month/2024-01", 11, 4.0),
+      ServingStore.CounterRow("click/year/2024", 11, 4.0),
+      ServingStore.CounterRow("user/7/click/day/2024-01-06", 2, 5.0)))
+    // a later batch re-emits one key: latest must win inside the pruned read
+    store.merge(1, Seq(
+      ServingStore.CounterRow("click/hour/2024-01-05-13", 5, 9.0)))
+    val cases = Seq(
+      ("click/hour/2024-01-05", Set("click/hour/2024-01-05-13"), "pday"),
+      ("click/day/2024-01-05", Set("click/day/2024-01-05"), "pday"),
+      ("click/month/2024", Set("click/month/2024-01"), "gran"),
+      ("click/year/2024", Set("click/year/2024"), "gran"),
+      ("user/7/click/day/", Set("user/7/click/day/2024-01-06"), "gran"))
+    for ((prefix, want, prunedOn) <- cases) {
+      val df = store.lookup(prefix)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains(prunedOn),
+        s"$prefix: expected partition predicate on $prunedOn:\n$plan")
+      assert(df.collect().map(_.getString(0)).toSet == want, prefix)
+    }
+    // latest-batch-wins holds through the pruned path
+    val r = store.lookupRows("click/hour/2024-01-05-13")
+    assert(r.map(x => (x.nEvents, x.sumValue)) == Seq((5L, 9.0)))
+    // a prefix without a granularity segment still answers (unpruned):
+    // 2 hour keys + day + month + year
+    assert(store.lookupRows("click/").size == 5)
+  }
+
   test("stratified sampling: per-stratum proportions hold, seed is deterministic") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
