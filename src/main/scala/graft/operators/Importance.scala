@@ -239,6 +239,83 @@ object Importance {
     * hashpartitioning(lang) exchange). Fully value-gated: the oracle
     * replays weights, ranks, slice counts, and the ceil cutoff.
     */
+  /** The per-lang top-`frac` selection relation (lang, doc_id, weight,
+    * rk) — q_dsir_select's body, parameterized so the shard drop
+    * composes the identical membership. Rank and slice size are TWO
+    * windows over the SAME lang partitioning → one exchange serves
+    * both (PlanSpec asserts it on q_dsir_select).
+    */
+  private[graft] def topFractionByLang(docs: DataFrame, targetPred: Column,
+      frac: Double, hexChars: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy("lang")
+    importanceWeights(docs, targetPred, hexChars, carryCols = Seq("lang"))
+      .select(col("lang"), col("doc_id"), col("weight"))
+      .withColumn("rk", row_number()
+        .over(part.orderBy(col("weight").desc, col("doc_id"))).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(part))
+      .filter(col("rk") <= ceil(lit(frac) * col("n_lang")))
+      .select(col("lang"), col("doc_id"), col("weight"), col("rk"))
+  }
+
+  /** DSIR selection composed back onto the full document rows: the
+    * selected ids (a doc_id/weight/rk relation, ~frac of the corpus)
+    * equi-join the corpus on doc_id to recover text + metadata. A join
+    * back, NOT `carryCols = text`: carry columns widen the per-GRAM
+    * rows, so carrying text would move every document body once per
+    * token through the scoring shuffle; the join moves each body once.
+    */
+  def selectTopFraction(docs: DataFrame, targetPred: Column,
+      frac: Double = 0.2, hexChars: Int = 2): DataFrame =
+    docs.join(
+      topFractionByLang(docs, targetPred, frac, hexChars)
+        .select(col("doc_id"), col("weight"), col("rk")),
+      "doc_id")
+
+  /** The endgame composition (round-6 verdict stretch #8): DSIR-select
+    * the top fraction, then lay the survivors out as
+    * `split=…/lang=…/part-*.parquet` training shards
+    * ([[graft.sources.ShardWriter]] — content-hash split, partition
+    * pruning for the dataloader, bounded rows per file). weight/rk
+    * ride along as data columns (training-time curriculum metadata).
+    * One declared pipeline: selection membership is deterministic
+    * (decimal weights + doc_id tiebreak), the split is a content hash,
+    * so re-runs lay out byte-identical shard membership.
+    */
+  def dsirShardDrop(docs: DataFrame, outDir: String, targetPred: Column,
+      frac: Double = 0.2, hexChars: Int = 2,
+      maxRecordsPerFile: Int = 100000): Unit =
+    graft.sources.ShardWriter.writeShards(
+      selectTopFraction(docs, targetPred, frac, hexChars),
+      outDir, maxRecordsPerFile)
+
+  /** Drop-once cache per corpus dir (the cachedPqCodes pattern:
+    * deterministic artifact, first put wins, loser's dir deleted).
+    */
+  private val shardsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deleteDir(p: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rec)
+      f.delete(); ()
+    }
+    rec(new java.io.File(p))
+  }
+
+  def cachedDsirShards(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = {
+    val cached = shardsCache.get(sfDir)
+    if (cached != null) cached
+    else {
+      val path = graft.SparkEnv.scratchDir(
+        s"dsir-shards-${java.lang.Integer.toHexString(sfDir.hashCode)}")
+      dsirShardDrop(Tables.documents(spark, sfDir), path, col("lang") === "en")
+      val prev = shardsCache.putIfAbsent(sfDir, path)
+      if (prev != null) { deleteDir(path); prev } else path
+    }
+  }
+
   val qDsirSelect = DeclaredQuery(
     "q_dsir_select",
     """WITH g AS (
@@ -273,18 +350,87 @@ object Importance {
       |FROM sel
       |WHERE rk <= ceil(0.2 * n_lang)
       |ORDER BY lang, rk""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = importanceWeights(Tables.documents(s, d), col("lang") === "en",
-      carryCols = Seq("lang"))
-    val part = Window.partitionBy("lang")
-    w.select(col("lang"), col("doc_id"), col("weight"))
-      .withColumn("rk", row_number()
-        .over(part.orderBy(col("weight").desc, col("doc_id"))).cast("long"))
-      .withColumn("n_lang", count(lit(1)).over(part))
-      .filter(col("rk") <= ceil(lit(0.2) * col("n_lang")))
-      .select(col("lang"), col("doc_id"), col("weight"), col("rk"))
+    topFractionByLang(Tables.documents(s, d), col("lang") === "en", 0.2)
       .orderBy("lang", "rk")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qDsirWeights, qDsirSelect)
+  /** Hash-gated end-to-end shard drop: [[dsirShardDrop]] runs once per
+    * corpus dir (cached artifact), then the query READS THE WRITTEN
+    * SHARDS BACK and profiles them per (split, lang). The oracle
+    * replays the whole composition — weights, per-lang ranks, the ceil
+    * cutoff, the content-hash split thresholds — against the raw
+    * tables, so a drift anywhere in select→join-back→split→parquet
+    * layout (including partition-column round-tripping) breaks the
+    * value gate. Weight sums quantize to DECIMAL(18,9) (exact re-cast
+    * of the decimal-born weights) so partition order cannot move the
+    * double sum.
+    */
+  val qDsirShards = DeclaredQuery(
+    "q_dsir_shards",
+    """WITH g AS (
+      |  SELECT doc_id, lang, substr(md5(w), 1, 2) AS b
+      |  FROM (SELECT doc_id, lang,
+      |               unnest(string_split_regex(text, '\s+')) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0),
+      |bs AS (
+      |  SELECT b, count(*) AS r_cnt,
+      |         count(*) FILTER (WHERE lang = 'en') AS t_cnt
+      |  FROM g GROUP BY b),
+      |tot AS (SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM bs),
+      |lam AS (
+      |  SELECT b,
+      |         CAST(round(ln(((t_cnt + 1.0) * (r_tot + 256.0)) /
+      |                       ((r_cnt + 1.0) * (t_tot + 256.0))), 9)
+      |              AS DECIMAL(18,9)) AS lam
+      |  FROM bs, tot),
+      |w AS (
+      |  SELECT g.doc_id, g.lang,
+      |         CAST(CAST(sum(lam.lam) AS DECIMAL(38,9)) AS DOUBLE) AS weight
+      |  FROM g JOIN lam ON g.b = lam.b
+      |  GROUP BY g.doc_id, g.lang),
+      |sel AS (
+      |  SELECT lang, doc_id, weight,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY weight DESC, doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY lang) AS n_lang
+      |  FROM w),
+      |kept AS (
+      |  SELECT s.lang, s.doc_id, s.weight, d.text
+      |  FROM sel s JOIN documents d ON s.doc_id = d.doc_id
+      |  WHERE s.rk <= ceil(0.2 * n_lang))
+      |SELECT CASE WHEN substr(md5(text), 1, 2) < '05' THEN 'validation'
+      |            WHEN substr(md5(text), 1, 2) < '0a' THEN 'test'
+      |            ELSE 'train' END AS split,
+      |       lang,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(CAST(sum(CAST(weight AS DECIMAL(18,9)))
+      |            AS DECIMAL(38,9)) AS DOUBLE) AS sum_weight
+      |FROM kept
+      |GROUP BY split, lang
+      |ORDER BY split, lang""".stripMargin) { (s, d) =>
+    val path = cachedDsirShards(s, d)
+    // an empty corpus selects nothing -> the drop writes zero files and
+    // parquet can't infer a schema; the profile of an empty shard set
+    // is the empty relation with the declared shape
+    def hasParquet(f: java.io.File): Boolean = {
+      val kids = f.listFiles()
+      kids != null && kids.exists(k =>
+        (k.isFile && k.getName.endsWith(".parquet")) || hasParquet(k))
+    }
+    if (!hasParquet(new java.io.File(path))) {
+      import org.apache.spark.sql.types._
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("split", StringType), StructField("lang", StringType),
+          StructField("n_docs", LongType), StructField("sum_weight", DoubleType))))
+    } else
+      s.read.parquet(path)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("weight").cast("decimal(18,9)")).cast("decimal(38,9)")
+            .cast("double").as("sum_weight"))
+        .orderBy("split", "lang")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qDsirWeights, qDsirSelect, qDsirShards)
 }

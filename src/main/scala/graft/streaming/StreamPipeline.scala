@@ -129,6 +129,52 @@ object StreamPipeline {
       .write.mode("overwrite").partitionBy("lang")
       .parquet(s"$outDir/batch=$batchId")
 
+  /** [[writeBatch]] + the DSIR endgame (the streaming twin of
+    * [[graft.operators.Importance.dsirShardDrop]]): score the batch's
+    * kept docs against a train-once [[graft.operators.Importance.RatioModel]]
+    * (stateless constant-map projection — the `q_stream_dsir_weights`
+    * path, no shuffle, no state), keep docs scoring ≥ `minWeight`, and
+    * lay them out as `batch=<id>/split=…/lang=…` training shards
+    * ([[graft.sources.ShardWriter.withSplit]]'s content-hash split, so
+    * membership and layout are replay-deterministic). A weight
+    * THRESHOLD rather than the batch drop's per-lang top-fraction:
+    * a stream can't rank against docs it hasn't seen yet — the
+    * published method's online form scores against the frozen model
+    * and gates absolutely, which is exactly this.
+    */
+  def writeScoredBatch(batch: Dataset[DocVerdict], batchId: Long,
+      outDir: String, model: graft.operators.Importance.RatioModel,
+      minWeight: Double): Unit = {
+    val (nGrams, weight) = graft.operators.Importance.scoreColumns(model)
+    graft.sources.ShardWriter.withSplit(
+        batch.groupBy("doc_id", "lang", "text")
+          .agg(max(col("dup")).as("dup"))
+          .filter(!col("dup"))
+          .drop("dup")
+          .withColumn("n_grams", nGrams)
+          .withColumn("weight", weight)
+          .filter(col("weight") >= minWeight))
+      .write.mode("overwrite").partitionBy("split", "lang")
+      .parquet(s"$outDir/batch=$batchId")
+  }
+
+  /** The composed scored pipeline end-to-end: gate → near-dup
+    * verdicts → DSIR score+gate → split=/lang= shards per micro-batch
+    * (AvailableNow — the declared drain-and-stop form).
+    */
+  def runScoredAvailableNow(docs: DataFrame, outDir: String,
+      checkpointDir: String, model: graft.operators.Importance.RatioModel,
+      minWeight: Double, k: Int = 32, bands: Int = 8): StreamingQuery =
+    verdicts(docs, k, bands).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[DocVerdict], batchId: Long) =>
+        writeScoredBatch(batch, batchId, outDir, model, minWeight)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   def run(docs: DataFrame, outDir: String, checkpointDir: String,
       k: Int = 32, bands: Int = 8): StreamingQuery =
     writer(docs, outDir, checkpointDir, k, bands).start()

@@ -125,6 +125,36 @@ class ImportanceSpec extends SparkSpec {
     }
   }
 
+  test("dsir shard drop: shard membership == select membership, deterministic, pruned layout") {
+    val docs = Tables.documents(spark, sf)
+    val dir = SparkEnv.scratchDir("dsir-shard-drop")
+    Importance.dsirShardDrop(docs, dir, col("lang") === "en")
+    val back = spark.read.parquet(dir)
+    // membership: exactly the q_dsir_select docs, with their langs
+    val want = Importance.selectTopFraction(docs, col("lang") === "en")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = back.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    // weight/rk ride along as data columns; split is the content hash
+    assert(back.columns.toSet.intersect(Set("weight", "rk", "split")) ==
+      Set("weight", "rk", "split"))
+    // determinism: a repartitioned re-drop lays out identical membership
+    val dir2 = SparkEnv.scratchDir("dsir-shard-drop-b")
+    Importance.dsirShardDrop(docs.repartition(7, col("source")), dir2,
+      col("lang") === "en")
+    def layout(d: String) = spark.read.parquet(d)
+      .select("doc_id", "split", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(layout(dir) == layout(dir2))
+    // the dataloader read path prunes to one (split, lang) directory
+    val pruned = spark.read.parquet(dir)
+      .filter(col("split") === "train" && col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("split"), plan)
+  }
+
   test("declared top-50 ranking is total: weight desc then doc_id") {
     val rows = SparkEntry.queries("q_dsir_weights")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))

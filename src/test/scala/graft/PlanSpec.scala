@@ -92,6 +92,22 @@ class PlanSpec extends SparkSpec {
       s"expected codegen'd Generate:\n$s")
   }
 
+  test("ordered_pairs generator runs inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q_passage_overlap")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = finalPlan.toString
+    // starred Generate = the pair expansion stays in the generated
+    // loop with the downstream partial count-shared aggregate; the
+    // round-5/6 combinator form paid interpreted HOF eval here
+    assert("""\*\(\d+\) Generate orderedpairs""".r.findFirstIn(s).isDefined,
+      s"expected codegen'd Generate orderedpairs:\n$s")
+  }
+
   test("language-ID scoring scan stays in one WholeStageCodegen span") {
     val docs = Tables.documents(spark, sf)
     val model = graft.operators.TextAnalysis.cachedTrigramModel(docs, sf)

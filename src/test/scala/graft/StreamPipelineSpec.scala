@@ -77,6 +77,60 @@ class StreamPipelineSpec extends SparkSpec {
       s"unexpected shard partitions: $langs")
   }
 
+  test("scored stream shard drop equals the batch score+gate composition") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Importance
+    val docs = Tables.documents(spark, sf)
+
+    // batch twin: gate -> near-dup keep -> DSIR score vs the frozen
+    // model -> absolute weight gate -> content-hash split layout
+    val gated = docs.join(
+      CorpusGate.flags(docs)
+        .filter(col("lang_ok") && col("len_ok") && col("rep_ok"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val rejected = Dedup.minhashCandidates(gated)
+      .select(col("id_b").as("doc_id")).distinct()
+    val kept = gated.join(rejected, Seq("doc_id"), "left_anti")
+    val model = Importance.trainRatioModel(docs, col("lang") === "en")
+    val (_, wCol) = Importance.scoreColumns(model)
+    val weights = kept.withColumn("weight", wCol)
+      .select("doc_id", "weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // median weight: the gate must drop some docs and keep some
+    val minWeight = weights.values.toSeq.sorted.apply(weights.size / 2)
+    val expected = graft.sources.ShardWriter.withSplit(
+        kept.withColumn("weight", wCol).filter(col("weight") >= minWeight))
+      .select("doc_id", "split", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(expected.nonEmpty && expected.size < weights.size,
+      s"threshold should split the kept set: ${expected.size}/${weights.size}")
+
+    val rows = docs.select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"), col("text"))
+      .as[Doc].collect().sortBy(_.doc_id)
+    val outDir = SparkEnv.scratchDir("stream-scored-out")
+    withRocksDb {
+      val mem = MemoryStream[Doc]
+      // ascending arrival in two pre-loaded blocks; AvailableNow drains
+      rows.grouped((rows.length + 1) / 2).foreach(c => mem.addData(c.toSeq))
+      val q = StreamPipeline.runScoredAvailableNow(mem.toDF(), outDir,
+        SparkEnv.scratchDir("stream-scored-ckpt"), model, minWeight)
+      q.awaitTermination()
+    }
+    val written = spark.read.parquet(outDir)
+    val got = written.select("doc_id", "split", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // scored metadata rides along; weights equal the batch scoring
+    val wGot = written.select("doc_id", "weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wGot.forall { case (id, w) => weights(id) == w },
+      "stream weights must bit-match the batch scoreColumns path")
+  }
+
   test("writeBatch is idempotent: replaying a batch id does not duplicate docs") {
     // the exactly-once window: a crash between the parquet write and
     // the checkpoint commit replays the same micro-batch — its write
