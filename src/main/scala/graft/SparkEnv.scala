@@ -46,9 +46,12 @@ object SparkEnv {
     * parallelism from SPARK_GRAFT_CPUS (default = all cores), shuffle
     * partitions matched to cores (not 200 — right-sized for the data
     * scale; at 100 TB this knob is AQE + initialPartitionNum instead),
-    * UTC, tmpfs local dir, and (belt-and-braces only) the legacy
-    * ns-parquet read mode — Tables.events does NOT rely on it, its
-    * explicit LongType schema works on any session.
+    * UTC, tmpfs local dir, and the legacy ns-parquet read mode —
+    * LOAD-BEARING for the unit-aware events loader: under it a
+    * timestamp[ns] fixture surfaces `ts` as LongType, which is the
+    * branch Tables.events/Ingest.eventStream key their ns handling on
+    * (the current µs fixtures surface TimestampNTZType instead; the
+    * driver has shipped both units — FIXTURES.md trap 1).
     */
   def builder(): SparkSession.Builder = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -59,9 +62,6 @@ object SparkEnv {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", scratchRoot)
-      // belt-and-braces for ad-hoc reads of the ns-timestamp events
-      // parquet; Tables.events does NOT rely on it (explicit LongType
-      // schema works on any session)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new GraftExtensions)
   }

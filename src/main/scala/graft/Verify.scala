@@ -6,9 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (Array(sfDir, outDir), only) = (args.take(2), args.drop(2).toSet)
-    // events.ts is parquet timestamp[ns]; Tables.events reads it with
-    // an explicit LongType schema (works on ANY session — no legacy
-    // config needed) and converts to µs TimestampType with exact math.
+    // events.ts physical unit is driver-controlled (ns through round 5,
+    // µs since); Tables.events branches on the footer-surfaced type and
+    // always hands queries µs TimestampType (FixtureDriftSpec pins it).
     val spark = SparkEnv.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
