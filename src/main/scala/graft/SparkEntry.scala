@@ -14,7 +14,8 @@ object SparkEntry {
       graft.operators.Multimodal.all ++ graft.queries.Temporal.all ++
       graft.queries.StreamingQueries.all ++ graft.queries.Functions.all ++
       graft.queries.TpcH.all ++ graft.queries.Functions2.all ++
-      graft.queries.Pipeline.all ++ graft.operators.Importance.all
+      graft.queries.Pipeline.all ++ graft.operators.Importance.all ++
+      graft.operators.BpeTrain.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

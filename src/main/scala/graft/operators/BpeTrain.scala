@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+
+/** Distributed BPE vocabulary induction — tokenizer TRAINING over the
+  * corpus (Sennrich et al. 2016, "Neural Machine Translation of Rare
+  * Words with Subword Units" — public paper), the missing half of the
+  * K5 tokenization surface (`q_bpe_tokens` applies a BPE-ish regex;
+  * this LEARNS the merge table a real tokenizer ships).
+  *
+  * Classic algorithm, Spark-shaped:
+  *
+  *  1. ONE corpus scan folds the corpus into the word-frequency
+  *     relation (word, freq, syms) — after this, training never
+  *     touches the corpus again. At 100 TB the corpus is petabytes of
+  *     rows but |vocab| is millions: everything iterative happens on
+  *     the compact relation, the same "heavy scan once, iterate on the
+  *     summary" shape as IVF training and componentsStar.
+  *  2. Each merge round: explode adjacent symbol pairs weighted by
+  *     word freq (map-side partial sums — the shuffle moves
+  *     O(distinct pairs × tasks) rows, not O(vocab)), take the
+  *     argmax with a total order (count desc, then lexicographic pair
+  *     — exact integer counts, so the winner is partition-order
+  *     independent and engine-reproducible), and apply the winning
+  *     merge to every word via the codegen'd [[graft.functions.MergePair]]
+  *     expression. The driver receives exactly ONE row per round (the
+  *     winner) — no vocab-sized collect anywhere.
+  *  3. The merge list (rank, left, right) IS the artifact — a few KB
+  *     for thousands of merges, broadcast-as-literal for encoding, the
+  *     cachedRatioModel pattern.
+  *
+  * Encoding with a learned table is a LEFT FOLD of MergePair
+  * applications in rank order — rank order over the word's symbols is
+  * exactly the greedy BPE segmenter for merges learned this way.
+  */
+object BpeTrain {
+
+  case class Merge(rank: Int, left: String, right: String, pair_count: Long)
+
+  /** The word-frequency relation with initial character symbols plus
+    * the `</w>` end-of-word marker (the classic formulation: merges
+    * crossing word boundaries are impossible, and word-final units
+    * stay distinct from word-internal ones).
+    */
+  private[graft] def wordSymbols(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", concat(
+        filter(split(col("w"), ""), s => length(s) > 0),
+        array(lit("</w>"))))
+
+  /** Adjacent-pair frequency relation of one round's words. The
+    * size-≥-2 filter is load-bearing: a fully-merged word has ONE
+    * symbol, and `sequence(0, size - 2)` = sequence(0, -1) DESCENDS
+    * ([0, -1]) instead of being empty — under ANSI mode the -1 index
+    * then throws mid-round.
+    */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(syms) - 2), " +
+          "j -> struct(syms[j] AS l, syms[j + 1] AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("freq").as("cnt"))
+
+  /** Learn up to `numMerges` merges; stop early when no pair reaches
+    * `minCount` (the classic convergence rule). Deterministic: integer
+    * counts + total tiebreak.
+    */
+  def trainMerges(docs: DataFrame, numMerges: Int,
+      minCount: Long = 2L): Seq[Merge] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    // eager localCheckpoint per round, NOT persist: the lineage cut is
+    // what keeps round k's plan constant-size. Chained persists nest
+    // each round's cached plan (and its AQE subtree) inside the next —
+    // plan-string rendering went super-linear and OOM'd a 16 g driver
+    // at ~24 rounds. Same pattern and trade-off as componentsStar
+    // (reliable-storage checkpoints at cluster scale).
+    var words = wordSymbols(docs).localCheckpoint(true)
+    if (words.isEmpty) return Seq.empty
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minCount) done = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += Merge(rank, l, r, cnt)
+        words = words.withColumn("syms",
+          toColumn(graft.functions.MergePair(
+            toExpression(col("syms")), l, r))).localCheckpoint(true)
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Apply a learned merge table to a symbol-array column: left fold
+    * in rank order (greedy BPE segmentation). Compiles to `|merges|`
+    * chained codegen'd MergePair calls — one generated loop, no UDF.
+    */
+  def applyMerges(syms: org.apache.spark.sql.Column,
+      merges: Seq[Merge]): org.apache.spark.sql.Column =
+    merges.sortBy(_.rank).foldLeft(syms)((c, m) =>
+      toColumn(graft.functions.MergePair(toExpression(c), m.left, m.right)))
+
+  /** Train-once cache per corpus dir (the cachedRatioModel pattern). */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Merge]]()
+
+  def cachedMerges(docs: DataFrame, cacheKey: String,
+      numMerges: Int = 24): Seq[Merge] = {
+    val hit = mergeCache.get(cacheKey)
+    if (hit != null) hit
+    else {
+      val m = trainMerges(docs, numMerges)
+      val prev = mergeCache.putIfAbsent(cacheKey, m)
+      if (prev != null) prev else m
+    }
+  }
+
+  /** The learned merge table, rows-only declared (the iterative argmax
+    * is not expressible in the oracle's SQL; BpeTrainSpec gates the
+    * distributed trainer against an in-test single-node reference
+    * implementation instead).
+    */
+  val qBpeVocab = DeclaredQuery.noOracle("q_bpe_vocab") { (s, d) =>
+    import s.implicits._
+    cachedMerges(Tables.documents(s, d), d).toDF()
+      .withColumn("merged", concat(col("left"), col("right")))
+      .select("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
+  /** The learned table applied back to the corpus: per-language
+    * compression report (chars+marker symbols vs post-merge tokens).
+    * Deterministic given the cached merges; spec asserts the
+    * compression invariants and round-trip losslessness.
+    */
+  val qBpeSegment = DeclaredQuery.noOracle("q_bpe_segment") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val merges = cachedMerges(docs, d)
+    val words = wordSymbols(docs)
+    words
+      .withColumn("n_sym0", size(col("syms")).cast("long") * col("freq"))
+      .withColumn("n_sym",
+        size(applyMerges(col("syms"), merges)).cast("long") * col("freq"))
+      .agg(sum("freq").as("n_words"),
+        sum("n_sym0").as("n_units_char"),
+        sum("n_sym").as("n_units_bpe"))
+      .withColumn("compression",
+        round(col("n_units_char").cast("double") / col("n_units_bpe"), 4))
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qBpeVocab, qBpeSegment)
+}
