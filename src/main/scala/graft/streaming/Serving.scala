@@ -278,8 +278,11 @@ object Serving {
     */
   private def stateSession(spark: SparkSession): SparkSession = {
     val s2 = spark.newSession()
+    // test-prop override exists solely for tools/StreamProf's
+    // same-JVM A/B (env is fixed per process)
     s2.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+      sys.props.getOrElse("graft.test.stateParts",
+        sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8")))
     s2
   }
 
