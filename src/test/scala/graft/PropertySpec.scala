@@ -95,6 +95,62 @@ class PropertySpec extends SparkSpec {
     assert(w.select("s").distinct().count() == w.count())
   }
 
+  test("merge_pair: randomized equivalence with the sequential reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    // reference: left-to-right non-overlapping single-pass merge
+    def ref(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val alphabet = Vector("a", "b", "ab", "c")
+    val cases = Seq.fill(120) {
+      val syms = Seq.fill(rnd.nextInt(10))(alphabet(rnd.nextInt(alphabet.size)))
+      val (l, r) = (alphabet(rnd.nextInt(alphabet.size)), alphabet(rnd.nextInt(alphabet.size)))
+      (syms, l, r)
+    }.distinct
+    // one Spark job: each case row carries its own pair; group by pair
+    // so each distinct (l, r) evaluates through one MergePair instance
+    for (((l, r), group) <- cases.groupBy(c => (c._2, c._3))) {
+      val got = group.map(_._1).toDF("syms")
+        .select(col("syms"), toColumn(graft.functions.MergePair(
+          toExpression(col("syms")), l, r)).as("m"))
+        .collect().map(rw => rw.getSeq[String](0) -> rw.getSeq[String](1)).toMap
+      for ((syms, _, _) <- group)
+        assert(got(syms) == ref(syms, l, r), s"syms=$syms pair=($l,$r)")
+    }
+  }
+
+  test("ordered_pairs: pair count is C(n,2), orientation sorted, lnf = min") {
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      val n = rnd.nextInt(12)
+      // shuffled ids: the generator must sort internally
+      val elems = rnd.shuffle((0 until n).toList)
+        .map(j => (j * 7L + rnd.nextInt(3), rnd.nextInt(100)))
+      (i.toLong, elems)
+    }
+    val df = rows.toDF("bucket", "raw")
+      .selectExpr("bucket",
+        "transform(raw, x -> struct(x._1 AS doc_id, x._2 AS nf)) AS ids")
+      .selectExpr("bucket", "ordered_pairs(ids)")
+    val got = df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((bucket, elems) <- rows) {
+      val want = (for {
+        Seq((ia, na), (ib, nb)) <- elems.sortBy(_._1).combinations(2).toSeq
+      } yield (ia, ib, math.min(na, nb))).toSet
+      assert(got.getOrElse(bucket, Set.empty) == want, s"bucket=$bucket elems=$elems")
+    }
+  }
+
   test("bounded distinct: randomized equivalence with collect_set below the cap") {
     // 50 random trials: random values, random split points, random
     // caps — below the cap the capped aggregator IS collect_set
