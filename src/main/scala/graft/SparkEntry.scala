@@ -15,7 +15,7 @@ object SparkEntry {
       graft.queries.StreamingQueries.all ++ graft.queries.Functions.all ++
       graft.queries.TpcH.all ++ graft.queries.Functions2.all ++
       graft.queries.Pipeline.all ++ graft.operators.Importance.all ++
-      graft.operators.BpeTrain.all
+      graft.operators.BpeTrain.all ++ graft.operators.LanguageModel.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -94,6 +94,7 @@ object SingleEvalExpensive extends Rule[LogicalPlan] {
     case _: graft.functions.PqEncode => true
     case _: graft.functions.PqAdcDist => true
     case _: graft.functions.LangIdScore => true
+    case _: graft.functions.LmDocScore => true
     case _ => false
   }
 

@@ -325,8 +325,48 @@ object StreamingQueries {
     s2.table(qname).orderBy("doc_id")
   }
 
+  /** Streaming LM quality scoring — the CCNet perplexity filter as a
+    * production ingest leg: the stupid-backoff bigram LM trains ONCE
+    * on the static target slice
+    * ([[graft.operators.LanguageModel.cachedLmArtifact]] — sorted
+    * arrays of quantized DECIMAL log-probs, the train-once artifact),
+    * then every arriving document is scored by ONE zero-copy shingle
+    * pass ([[graft.functions.LmDocScore]] — binary-searched bigram →
+    * backed-off unigram → OOV floor; exact integer adds of the same
+    * quantized values the relational path sums). Stateless, append
+    * mode, no explode/join/state; gated by the SAME oracle SQL as
+    * `q_lm_perplexity`, so stream-batch unification of the whole
+    * estimator is value-checked end-to-end.
+    */
+  val streamLmScores = DeclaredQuery(
+    "q_stream_lm_scores",
+    graft.operators.LanguageModel.qLmPerplexity.oracle.get) { (s, d) =>
+    val docs = graft.Tables.documents(s, d)
+    val model = graft.operators.LanguageModel.cachedLmArtifact(
+      docs.filter(col("lang") === "en"), cacheKey = s"lm-en:$d")
+    val docSchema = docs.schema
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+    val qname = "stream_lm_scores_v"
+    val stream = graft.streaming.Ingest
+      .streamTable(s2, d, "documents", docSchema)
+    val (nTrans, avgLp) = graft.operators.LanguageModel.scoreColumns(model)
+    val q = stream
+      .select(col("doc_id"), nTrans.as("n_trans"), avgLp.as("avg_logprob"))
+      .filter(col("n_trans") > 0)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation",
+        graft.SparkEnv.scratchDir("graft-stream-lm-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(qname).orderBy(col("avg_logprob").desc, col("doc_id")).limit(50)
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(streamHourly, streamMultiGran, streamAccountDaily, streamNearDups,
       streamCorpusGate, streamCleanPipeline, streamSemanticDedup, streamDsir,
-      streamDecontaminate)
+      streamDecontaminate, streamLmScores)
 }
