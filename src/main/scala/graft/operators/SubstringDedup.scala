@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring-level deduplication (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better" —
+  * ExactSubstr): the dedup class the doc-level family misses in the
+  * OTHER direction from passage overlap. MinHash/SimHash drop whole
+  * near-duplicate documents; ExactSubstr finds every ≥L-token span
+  * that appears verbatim in more than one document — boilerplate
+  * headers, license blocks, lifted paragraphs — and cuts the span,
+  * keeping the rest of the document.
+  *
+  * The published method builds a corpus-wide suffix array; the
+  * Spark-native equivalent is the fixed-width gram formulation: a
+  * span of ≥ L tokens is duplicated iff every one of its L-token
+  * grams is duplicated, so (1) shingle each doc into L-token grams
+  * ([[graft.functions.TokenNGrams]], one codegen'd zero-copy pass),
+  * (2) a gram is duplicated iff its document frequency ≥ 2, (3) per
+  * doc, merge overlapping-or-touching duplicated gram positions
+  * (gaps-and-islands: positions p, p' cover overlapping token ranges
+  * iff p' − p ≤ L) into maximal spans. Detection is LINEAR — one
+  * groupBy(gram) for document frequencies, one shuffle-join back
+  * (AQE handles skewed boilerplate grams), one per-doc window — no
+  * pair expansion anywhere, unlike the near-dup pipelines.
+  *
+  * Removal keeps ONE canonical occurrence corpus-wide (the paper
+  * removes all but one): each gram's keeper is its minimal doc_id;
+  * only NON-keeper occurrences are removable, so the canonical copy
+  * of a lifted paragraph survives in its first document and every
+  * later copy is cut.
+  *
+  * 100 TB shape: gram df is a map-side-combined aggregate (the
+  * shuffle moves one row per distinct (gram, partition)); the
+  * join-back shuffles grams once more; islands shuffle each doc's
+  * duplicated POSITIONS only (≪ tokens). Skew ceiling deliberately
+  * absent: a million-doc boilerplate gram costs O(occurrences) rows
+  * here — linear, the same as scanning it — not O(occurrences²) like
+  * the pair-expansion pipelines that need `maxDf`.
+  */
+object SubstringDedup {
+
+  /** Tokens-per-doc floor: sub-L docs emit TokenNGrams' whole-text
+    * fallback, which must not masquerade as an L-gram.
+    */
+  private def hasGrams(l: Int) = size(split(col("text"), " ", -1)) >= l
+
+  /** (doc_id, n_tok, pos, gram) occurrence rows. */
+  private def gramRows(docs: DataFrame, l: Int): DataFrame =
+    docs.filter(col("text").isNotNull && hasGrams(l))
+      .select(col("doc_id"),
+        size(split(col("text"), " ", -1)).as("n_tok"),
+        expr(s"token_ngrams(text, $l)"))
+      .select(col("doc_id"), col("n_tok"), col("pos"), col("shingle").as("gram"))
+
+  /** Per-gram (df, keeper) over the corpus. */
+  private def gramDf(occ: DataFrame): DataFrame =
+    occ.select("gram", "doc_id").distinct()
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("keeper"))
+
+  /** Maximal duplicated spans per doc: (doc_id, n_tok, tok_start,
+    * tok_end) with token range [tok_start, tok_end). `removableOnly`
+    * restricts to non-keeper occurrences (the removal semantics);
+    * detection profiles count every occurrence.
+    */
+  private[graft] def dupSpans(docs: DataFrame, l: Int,
+      removableOnly: Boolean): DataFrame = {
+    val occ = gramRows(docs, l)
+    val dfRel = gramDf(occ).filter(col("df") >= 2)
+    val dup0 = occ.join(dfRel, "gram")
+    val dup = if (removableOnly) dup0.filter(col("doc_id") =!= col("keeper"))
+              else dup0
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    dup.select(col("doc_id"), col("n_tok"), col("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= l, 0).otherwise(1))
+      .withColumn("island", sum("brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(max("n_tok").as("n_tok"),
+        min("pos").as("tok_start"), (max("pos") + lit(l)).as("tok_end"))
+      .select("doc_id", "n_tok", "tok_start", "tok_end")
+  }
+
+  /** Shared oracle CTE prefix: grams → df(+keeper) → duplicated
+    * positions → islands → spans, replaying the Spark pipeline
+    * verbatim (`pos` is the generator's 0-based position = i − 1).
+    */
+  private def spanSql(l: Int, removableOnly: Boolean): String = {
+    val gramConcat = (1 to l).map(j => s"w[i+${j - 1}]").mkString(" || ' ' || ")
+    val removableFilter =
+      if (removableOnly) " AND g.doc_id <> df.keeper" else ""
+    s"""t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+       |       WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= $l),
+       |g AS (
+       |  SELECT doc_id, len(w) AS n_tok, i - 1 AS pos, $gramConcat AS gram
+       |  FROM t, LATERAL (
+       |    SELECT unnest(generate_series(1, len(w) - ${l - 1})) AS i) s),
+       |df AS (
+       |  SELECT gram, count(DISTINCT doc_id) AS df, min(doc_id) AS keeper
+       |  FROM g GROUP BY gram),
+       |dup AS (
+       |  SELECT g.doc_id, g.n_tok, g.pos
+       |  FROM g JOIN df USING (gram) WHERE df.df >= 2$removableFilter),
+       |isl AS (
+       |  SELECT doc_id, n_tok, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                   <= $l THEN 0 ELSE 1 END AS brk
+       |  FROM dup),
+       |isl2 AS (
+       |  SELECT doc_id, n_tok, pos,
+       |         sum(coalesce(brk, 1)) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, max(n_tok) AS n_tok,
+       |         min(pos) AS tok_start, max(pos) + $l AS tok_end
+       |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
+  }
+
+  /** Hash-gated detection profile: per doc with ≥1 duplicated span,
+    * span count, duplicated token count, duplicated fraction.
+    */
+  val qSubstringSpans = DeclaredQuery(
+    "q_substring_spans",
+    s"""WITH ${spanSql(8, removableOnly = false)}
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_dup_spans,
+       |       CAST(sum(tok_end - tok_start) AS BIGINT) AS dup_tokens,
+       |       round(sum(tok_end - tok_start) / (max(n_tok) * 1.0), 6)
+       |         AS dup_fraction
+       |FROM spans
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    dupSpans(Tables.documents(s, d), 8, removableOnly = false)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("tok_end") - col("tok_start")).as("dup_tokens"),
+        round(sum(col("tok_end") - col("tok_start")) /
+          (max("n_tok") * lit(1.0)), 6).as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
+  /** The removal itself, hash-gated end-to-end: docs with removable
+    * spans are rebuilt keeping only uncovered tokens (the gram's
+    * minimal-doc occurrence survives corpus-wide). Verified by kept
+    * token count + md5 of the rebuilt text — any drift in span
+    * boundaries, island merging, or keeper choice changes the hash.
+    * The rebuild is per-doc HOF array surgery (filter over the token
+    * index against the doc's own span list) — fine off the hot path;
+    * a 100 TB pipeline runs it only over the ~few-% of docs the
+    * detection stage flags.
+    */
+  val qSubstringDedup = DeclaredQuery(
+    "q_substring_dedup",
+    s"""WITH ${spanSql(8, removableOnly = true)},
+       |tok AS (
+       |  SELECT t.doc_id, i - 1 AS pos, w[i] AS tok
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) s
+       |  WHERE t.doc_id IN (SELECT DISTINCT doc_id FROM spans)),
+       |kept AS (
+       |  SELECT tk.doc_id, tk.pos, tk.tok
+       |  FROM tok tk
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+       |                    WHERE sp.doc_id = tk.doc_id
+       |                      AND tk.pos >= sp.tok_start
+       |                      AND tk.pos < sp.tok_end)),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY pos) AS clean
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+       |       md5(coalesce(a.clean, '')) AS clean_md5
+       |FROM (SELECT DISTINCT doc_id FROM spans) d
+       |LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val ranges = dupSpans(docs, 8, removableOnly = true)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("tok_start"), col("tok_end"))).as("ranges"))
+    docs.join(ranges, "doc_id")
+      .select(col("doc_id"),
+        split(col("text"), " ", -1).as("toks"), col("ranges"))
+      .select(col("doc_id"),
+        filter(transform(col("toks"),
+            (t, i) => struct(t.as("tok"), i.as("pos"))),
+          s => !exists(col("ranges"),
+            r => s.getField("pos") >= r.getField("tok_start") &&
+              s.getField("pos") < r.getField("tok_end"))).as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept_tokens"),
+        md5(array_join(transform(col("kept"), _.getField("tok")), " "))
+          .as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qSubstringSpans, qSubstringDedup)
+}
