@@ -316,6 +316,29 @@ object Functions {
       .orderBy("l_returnflag")
   }
 
+  /** D8's third leg: the engine's OWN mergeable quantile sketch
+    * ([[graft.functions.QuantileSketch]] — multi-level deterministic
+    * compactor, O(k·log(n/k)) state) beside exact `percentile`
+    * (hash-gated) and `percentile_approx` (built-in GK). Rows-only
+    * like the GK twin (sketch boundaries are algorithm-specific);
+    * QuantileSketchSpec pins the rank-error bound vs exact and the
+    * merge algebra.
+    */
+  val sketchPercentiles = DeclaredQuery.noOracle("q_sketch_percentiles") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        graft.functions.QuantileSketch
+          .quantile_sketch(col("l_extendedprice"), Seq(0.5, 0.9, 0.99)).as("pcts"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("pcts"), 1).as("p50"),
+        element_at(col("pcts"), 2).as("p90"),
+        element_at(col("pcts"), 3).as("p99"),
+        col("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Training-pipeline stratified sampling: per-stratum fractions via
     * sampleBy (seeded Bernoulli per row — engine-specific RNG, so
     * rows-only; the ScalaTest asserts per-stratum proportions and
@@ -333,5 +356,5 @@ object Functions {
   val all: Seq[DeclaredQuery] = Seq(
     arrayFuncs, mapFuncs, variantFuncs, mathFuncs, windowMisc,
     collectTopk, setopAll, shuffleHashJoin, stringFuncs2, pivot, unpivot,
-    approxPercentiles, stratifiedSample)
+    approxPercentiles, sketchPercentiles, stratifiedSample)
 }
