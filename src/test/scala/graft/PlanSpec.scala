@@ -334,6 +334,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("LM scoring broadcasts both model relations") {
+    // the bigram and unigram models must never shuffle-join the gram
+    // stream: at 100 TB they are the tiny (or pruned) side by design
+    val p = planOf("q_lm_perplexity")
+    val bcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bcasts >= 2, s"expected >=2 broadcast model joins, got $bcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"model join degraded to SMJ:\n$p")
+  }
+
+  test("substring-span detection has no pair expansion and one doc window") {
+    val p = planOf("q_substring_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // linear pipeline: generator feeds aggregates and ONE per-doc
+    // window chain (brk + running island share the doc_id sort)
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows <= 2, s"expected <=2 window nodes, got $windows:\n$p")
+  }
+
+  test("z-order scan pushes both dimension predicates into the clustered read") {
+    // formatted mode: the simple toString truncates the PushedFilters list
+    val p = SparkEntry.queries("q_zorder_scan")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(user_id,100)"), p)
+    assert(p.contains("LessThanOrEqual(user_id,149)"), p)
+    assert(p.contains("LessThan(ts,"), p)
+  }
+
   test("no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed (bounded theta joins against
     // a broadcast side); an unbounded CartesianProduct never is.
