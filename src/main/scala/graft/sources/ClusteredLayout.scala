@@ -41,12 +41,15 @@ object ClusteredLayout {
     val r = df.agg(
       min(a.cast("long")), max(a.cast("long")),
       min(b.cast("long")), max(b.cast("long"))).head()
+    // empty table (or all-null dim) → null bounds; any constant key
+    // clusters a zero-row write correctly
+    def bound(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
     def scale(c: Column, lo: Long, hi: Long): Column =
       floor((c.cast("double") - lit(lo.toDouble)) * lit(65535.0) /
         lit(math.max(hi - lo, 1L).toDouble)).cast("long")
     toColumn(graft.functions.ZOrder64(
-      toExpression(scale(a, r.getLong(0), r.getLong(1))),
-      toExpression(scale(b, r.getLong(2), r.getLong(3)))))
+      toExpression(scale(a, bound(0), bound(1))),
+      toExpression(scale(b, bound(2), bound(3)))))
   }
 
   /** One row group per range-partitioned file: `nFiles` is the
