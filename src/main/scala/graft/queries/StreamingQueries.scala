@@ -452,9 +452,59 @@ object StreamingQueries {
     s2.table(qname).orderBy("key")
   }
 
+  /** Hourly TOP-K leaderboards — the fourth serving-surface panel
+    * (counters, uniques, percentiles, and now "top pages this hour"):
+    * per hour bucket, the top-3 event types by count via the
+    * Misra–Gries bounded-state sketch
+    * ([[graft.functions.FreqSketch]]) inside a real streaming
+    * aggregation. Value-gated exactly: with k=8 counters over 5 event
+    * types no decrement ever fires, so counts and the (count desc,
+    * type asc) ranking replay exactly in SQL; item cardinality past k
+    * degrades to the published n/(k+1) undercount bound with O(k)
+    * state per key instead of failing.
+    */
+  val streamTopTypes = DeclaredQuery(
+    "q_stream_top_types_hourly",
+    """WITH c AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT h, event_type, n,
+      |         row_number() OVER (PARTITION BY h ORDER BY n DESC, event_type) AS rk
+      |  FROM c)
+      |SELECT 'hour/' || strftime(h, '%Y-%m-%d-%H') AS key,
+      |       CAST(rk AS BIGINT) AS rank, event_type,
+      |       CAST(n AS BIGINT) AS n_events
+      |FROM r WHERE rk <= 3
+      |ORDER BY key, rank""".stripMargin) { (s, d) =>
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+    val qname = "stream_top_types_v"
+    val agg = graft.streaming.Ingest.eventStream(s2, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.FreqSketch.top_items(col("event_type")).as("top"))
+      .select(
+        concat_ws("/", lit("hour"),
+          date_format(col("w.start"), "yyyy-MM-dd-HH")).as("key"),
+        col("top"))
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        graft.SparkEnv.scratchDir("graft-stream-toptypes-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(qname)
+      .select(col("key"), posexplode(col("top")))
+      .select(col("key"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("event_type"), col("col._2").as("n_events"))
+      .orderBy("key", "rank")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(streamHourly, streamMultiGran, streamAccountDaily, streamNearDups,
       streamCorpusGate, streamCleanPipeline, streamSemanticDedup, streamDsir,
       streamDecontaminate, streamLmScores, streamValuePercentiles,
-      streamUniqueUsers)
+      streamUniqueUsers, streamTopTypes)
 }
