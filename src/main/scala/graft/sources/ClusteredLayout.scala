@@ -95,13 +95,13 @@ object ClusteredLayout {
       |       CAST(count(*) AS BIGINT) AS n_events,
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events
-      |WHERE user_id BETWEEN 100 AND 149
+      |WHERE user_id BETWEEN 3 AND 7
       |  AND ts < TIMESTAMP '2024-01-16 00:00:00'
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (s, d) =>
     val path = cachedZorderedEvents(s, d)
     s.read.parquet(path)
-      .filter(col("user_id").between(100, 149) &&
+      .filter(col("user_id").between(3, 7) &&
         col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00")))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),

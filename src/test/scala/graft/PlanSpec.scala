@@ -358,8 +358,8 @@ class PlanSpec extends SparkSpec {
     val p = SparkEntry.queries("q_zorder_scan")(spark, sf)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-    assert(p.contains("GreaterThanOrEqual(user_id,100)"), p)
-    assert(p.contains("LessThanOrEqual(user_id,149)"), p)
+    assert(p.contains("GreaterThanOrEqual(user_id,3)"), p)
+    assert(p.contains("LessThanOrEqual(user_id,7)"), p)
     assert(p.contains("LessThan(ts,"), p)
   }
 
