@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operations that round out the LLM-data surface
+  * (SURVEY.md §2.K): asymmetric containment detection, RAG-style
+  * token-window chunking, deterministic epoch shuffling, and
+  * mixture token accounting. All four are single-pass declarative
+  * pipelines over `documents` — no pair expansion beyond the
+  * df-bounded candidate step, no driver-side loops.
+  */
+object CorpusOps {
+
+  /** Asymmetric gram-set containment, the dedup signal symmetric
+    * Jaccard misses: a short document wholly lifted into a longer one
+    * has Jaccard |A∩B|/|A∪B| ≈ |A|/|B| (arbitrarily small) but
+    * containment |A∩B|/min(|A|,|B|) = 1. Published as the candidate
+    * test in CDC/containment dedup (Broder's containment coefficient).
+    *
+    * Shape: distinct 5-token grams per doc (one codegen'd
+    * [[graft.functions.TokenNGrams]] pass, 8-byte xxhash64 keys like
+    * [[SubstringDedup]]), candidates = docs sharing a gram whose df is
+    * in [2, 64] (the same maxDf skew ceiling as every bucketed
+    * pipeline — a boilerplate gram shared by a million docs never
+    * becomes a million² pair expansion), [[graft.functions.OrderedPairs]]
+    * emits each bucket's pairs carrying min(|A|,|B|) pre-reduced, so
+    * the pair aggregate groups on the narrow (id_a, id_b) key only.
+    * Containment here divides by the docs' TOTAL distinct-gram counts
+    * (not the df-bounded universe): the ceiling only bounds candidate
+    * generation, the reported fraction keeps its textbook meaning.
+    *
+    * 100 TB: two shuffles over the distinct-gram stream (doc-count
+    * join-back, gram buckets) + one over candidate pairs; all linear,
+    * ceiling-guarded. Reports ALL candidate pairs with their fraction
+    * — a τ cut is a downstream filter, and the fractional rows are
+    * exactly what makes the oracle gate bite.
+    */
+  val containmentPairs: DeclaredQuery = {
+    val L = 5; val maxDf = 64
+    DeclaredQuery(
+      "q_containment_pairs",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |           WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= $L),
+         |g AS (SELECT DISTINCT doc_id, ${(1 to L).map(j => s"w[i+${j - 1}]").mkString(" || ' ' || ")} AS gram
+         |      FROM t, LATERAL (
+         |        SELECT unnest(generate_series(1, len(w) - ${L - 1})) AS i) s),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |dfr AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+         |shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |  FROM g a JOIN dfr USING (gram)
+         |  JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  WHERE dfr.df BETWEEN 2 AND $maxDf
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |       CAST(least(ca.n, cb.n) AS BIGINT) AS lnf,
+         |       round(n_shared / CAST(least(ca.n, cb.n) AS DOUBLE), 6) AS containment
+         |FROM shared
+         |JOIN cnt ca ON ca.doc_id = id_a
+         |JOIN cnt cb ON cb.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val occ = docs
+        .filter(col("text").isNotNull && size(split(col("text"), " ", -1)) >= L)
+        .select(col("doc_id"), expr(s"token_ngrams(text, $L)"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("gh"))
+        .distinct()
+      val cnt = occ.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
+      val buckets = occ.join(cnt, "doc_id")
+        .groupBy("gh")
+        .agg(collect_list(struct(col("doc_id").as("id"), col("n").as("n"))).as("ids"))
+        .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
+      buckets.select(expr("ordered_pairs(ids)"))
+        .groupBy("id_a", "id_b")
+        // lnf is constant within a pair (min of the two docs' totals);
+        // min() just picks it without dragging it through the key
+        .agg(count(lit(1)).as("n_shared"), min("lnf").as("lnf"))
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          col("lnf").cast("long").as("lnf"),
+          round(col("n_shared") / col("lnf").cast("double"), 6).as("containment"))
+        .orderBy("id_a", "id_b")
+    }
+  }
+
+  /** RAG/embedding-style token-window chunking: fixed window W=32,
+    * stride S=24 (8-token overlap), last chunk truncated, docs shorter
+    * than W emit exactly one chunk. n_chunks = 1 + ⌈max(n−W,0)/S⌉ in
+    * exact integer arithmetic so both engines agree on the boundary
+    * cases (n = W, n = W+1, …).
+    *
+    * One projection + one generator per doc — no shuffle at all until
+    * the final presentation sort; at 100 TB this is a map-only stage
+    * whose output feeds the embedding/packing stages directly.
+    */
+  val chunkDocuments: DeclaredQuery = {
+    val W = 32; val S = 24
+    DeclaredQuery(
+      "q_chunk_documents",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |           WHERE text IS NOT NULL),
+         |c AS (SELECT doc_id, len(w) AS n, w,
+         |             1 + (greatest(len(w) - $W, 0) + ${S - 1}) // $S AS n_chunks
+         |      FROM t),
+         |e AS (SELECT doc_id, n, w,
+         |             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+         |      FROM c)
+         |SELECT doc_id, chunk_id,
+         |       chunk_id * $S AS tok_start,
+         |       CAST(least($W, n - chunk_id * $S) AS BIGINT) AS n_chunk_tok,
+         |       array_to_string(w[chunk_id * $S + 1 : chunk_id * $S + $W], ' ')
+         |         AS chunk_text
+         |FROM e
+         |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+        .withColumn("n", size(col("w")))
+        .withColumn("n_chunks",
+          expr(s"1L + (greatest(n - $W, 0) + ${S - 1}) div $S"))
+        .select(col("doc_id"), col("n"), col("w"),
+          posexplode(sequence(lit(0L), col("n_chunks") - 1)))
+        .select(col("doc_id"), col("col").as("chunk_id"),
+          (col("col") * S).as("tok_start"),
+          least(lit(W), col("n") - col("col") * S).cast("long").as("n_chunk_tok"),
+          array_join(slice(col("w"), (col("col") * S + 1).cast("int"), lit(W)), " ")
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }
+  }
+
+  /** Deterministic epoch shuffle — the training-order randomization
+    * step. Each doc's position is a pure function of (seed, doc_id):
+    * key = md5("epoch0:" ‖ doc_id), shard = first hex nibble (16
+    * shards), position = rank of the key within the shard. Re-running
+    * the pipeline (or recomputing a lost partition under stage retry)
+    * reproduces the identical order — rand()-based shuffles do not.
+    *
+    * Scale shape: one hash projection, one hash-partition exchange on
+    * the 16-way shard key, per-shard sort. No global single-partition
+    * window: position is per-shard, and a training reader consumes
+    * shards in name order — the standard shuffled-shard layout. At
+    * 1000 executors the shard count is a knob (nibbles → bytes), not a
+    * rewrite.
+    */
+  val corpusShuffle: DeclaredQuery = DeclaredQuery(
+    "q_corpus_shuffle",
+    """WITH k AS (
+      |  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |  FROM documents)
+      |SELECT substr(shuffle_key, 1, 1) AS shard,
+      |       row_number() OVER (PARTITION BY substr(shuffle_key, 1, 1)
+      |                          ORDER BY shuffle_key, doc_id) AS shard_pos,
+      |       doc_id, shuffle_key
+      |FROM k
+      |ORDER BY shard, shard_pos""".stripMargin) { (s, d) =>
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("epoch0:"), col("doc_id").cast("string"))).as("shuffle_key"))
+      .withColumn("shard", substring(col("shuffle_key"), 1, 1))
+    keyed
+      .withColumn("shard_pos",
+        row_number().over(Window.partitionBy("shard").orderBy("shuffle_key", "doc_id"))
+          .cast("long"))
+      .select("shard", "shard_pos", "doc_id", "shuffle_key")
+      .orderBy("shard", "shard_pos")
+  }
+
+  /** Mixture token accounting: tokens per (lang, source) slice and
+    * each slice's share of the corpus — the numbers a mixture plan
+    * (`q_mixture_sample`/`q_mixture_epochs`) is written against.
+    * The share window runs over the aggregated slice relation
+    * (≤ |langs|×|sources| rows), not the corpus.
+    */
+  val tokenBudget: DeclaredQuery = DeclaredQuery(
+    "q_token_budget",
+    """SELECT lang, source,
+      |       count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |       round(sum(len(string_split(text, ' '))) /
+      |             CAST(sum(sum(len(string_split(text, ' ')))) OVER () AS DOUBLE),
+      |             6) AS token_share
+      |FROM documents
+      |WHERE text IS NOT NULL
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ", -1))).as("n_tokens"))
+      .withColumn("token_share",
+        round(col("n_tokens") /
+          sum(col("n_tokens")).over(Window.partitionBy()).cast("double"), 6))
+      .select("lang", "source", "n_docs", "n_tokens", "token_share")
+      .orderBy("lang", "source")
+  }
+
+  val all: Seq[DeclaredQuery] =
+    Seq(containmentPairs, chunkDocuments, corpusShuffle, tokenBudget)
+}
