@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Serving-layer web-analytics reports — the reference's home domain
+  * (a web-stats aggregator): marketing attribution, rolling active
+  * users, bounce rate, value histograms. Each composes operators the
+  * engine already proves (as-of union+window, gaps-and-islands
+  * sessionization, explode-dedup sliding distinct) into the REPORT a
+  * dashboard would actually serve, and each is fully DuckDB-value-
+  * gated. Timestamps are second-truncated in both engines
+  * (FIXTURES.md trap 1).
+  */
+object WebAnalytics {
+
+  /** Last-touch attribution with a 1-hour lookback: each purchase is
+    * attributed to the same user's latest click at-or-before it IF
+    * that click is ≤ 3600 s old, else counted organic. The as-of
+    * pairing is the q_asof_join union+window shape (one shuffle on
+    * user_id, no pair expansion) with LEFT semantics — purchases with
+    * no prior click stay in the report as organic. Oracle: DuckDB
+    * ASOF LEFT JOIN + the same tolerance cut.
+    *
+    * 100 TB: identical scale story to q_asof_join; the daily report
+    * aggregate is a second tiny shuffle on the day key.
+    */
+  val attribution = DeclaredQuery(
+    "q_attribution",
+    """WITH e AS (SELECT user_id, event_type, value,
+      |            CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec FROM events),
+      |clicks AS (SELECT DISTINCT user_id, sec FROM e WHERE event_type = 'click'),
+      |purchases AS (SELECT user_id, sec, value FROM e WHERE event_type = 'purchase'),
+      |a AS (SELECT p.user_id, p.sec, p.value, c.sec AS c_sec
+      |      FROM purchases p
+      |      ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.sec <= p.sec)
+      |SELECT CAST(sec AS DATE) AS day,
+      |       count(*) AS n_purchases,
+      |       CAST(sum(CASE WHEN c_sec IS NOT NULL
+      |                      AND epoch(sec) - epoch(c_sec) <= 3600
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+      |       CAST(sum(CASE WHEN c_sec IS NOT NULL
+      |                      AND epoch(sec) - epoch(c_sec) <= 3600
+      |                     THEN CAST(value AS DECIMAL(18,2))
+      |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |         AS attributed_revenue
+      |FROM a GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      col("value"), date_trunc("second", col("ts")).as("sec"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "sec").distinct()
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "sec", "value")
+    // union trick with LEFT semantics: clicks sort before purchases at
+    // the same second (is_click desc) => at-or-before (<=) ties match
+    val tagged = purchases
+      .select(col("user_id"), col("sec"), lit(0).as("is_click"), col("value"),
+        lit(null).cast("timestamp").as("c_sec"))
+      .unionByName(clicks.select(col("user_id"), col("sec"),
+        lit(1).as("is_click"), lit(null).cast("double").as("value"),
+        col("sec").as("c_sec")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("sec"), col("is_click").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attributed = col("last_click_sec").isNotNull &&
+      (unix_timestamp(col("sec")) - unix_timestamp(col("last_click_sec"))) <= 3600
+    tagged
+      .withColumn("last_click_sec", last("c_sec", ignoreNulls = true).over(w))
+      .filter(col("is_click") === 0)
+      .groupBy(to_date(col("sec")).as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(attributed, 1).otherwise(0)).cast("long").as("n_attributed"),
+        sum(when(attributed, col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("attributed_revenue"))
+      .orderBy("day")
+  }
+
+  /** Daily actives + rolling 7-day actives. Sliding DISTINCT cannot be
+    * pre-aggregated, so the scalable form is explode-dedup: each
+    * (user, active-day) pair contributes to the 7 report days it can
+    * influence, then a second distinct + count per report day — linear
+    * in |pairs|×7, never a per-day re-scan of the corpus. The oracle
+    * states the same thing as a day-range join.
+    */
+  val rollingActives = DeclaredQuery(
+    "q_rolling_dau",
+    """WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY day),
+      |wau AS (SELECT d.day, count(DISTINCT p.user_id) AS wau7
+      |        FROM dau d JOIN pairs p
+      |          ON p.day <= d.day AND p.day >= d.day - 6
+      |        GROUP BY d.day)
+      |SELECT day, dau, wau7 FROM dau JOIN wau USING (day)
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val pairs = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = pairs
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+        col("user_id"))
+      .distinct()
+      .join(dau.select("day"), "day") // report only days that exist
+      .groupBy("day").agg(count(lit(1)).as("wau7"))
+    dau.join(wau, "day").select("day", "dau", "wau7").orderBy("day")
+  }
+
+  /** Per-day session count and bounce rate (single-event sessions /
+    * sessions), on the same strict->30-min gaps-and-islands machinery
+    * as q_session_windows; a session belongs to the day it starts.
+    */
+  val bounceRate = DeclaredQuery(
+    "q_bounce_rate",
+    """WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec
+      |           FROM events),
+      |m AS (SELECT user_id, sec,
+      |        CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+      |               OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
+      |                  > INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END AS new_s
+      |      FROM e),
+      |s AS (SELECT user_id, sec,
+      |        sum(new_s) OVER (PARTITION BY user_id ORDER BY sec
+      |                         ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM m),
+      |sess AS (SELECT user_id, sid, min(sec) AS session_start, count(*) AS n_events
+      |         FROM s GROUP BY user_id, sid)
+      |SELECT CAST(session_start AS DATE) AS day,
+      |       count(*) AS n_sessions,
+      |       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_bounces,
+      |       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) /
+      |             CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+      |FROM sess GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id").orderBy("sec")
+    val sessions = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("sec"))
+      .withColumn("new_s",
+        when(lag("sec", 1).over(byUser).isNull ||
+          col("sec").cast("long") - lag("sec", 1).over(byUser).cast("long") > 1800,
+          1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("sec").as("session_start"), count(lit(1)).as("n_events"))
+    sessions
+      .groupBy(to_date(col("session_start")).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1).otherwise(0)).cast("long")
+          .as("n_bounces"))
+      .withColumn("bounce_rate",
+        round(col("n_bounces") / col("n_sessions").cast("double"), 6))
+      .orderBy("day")
+  }
+
+  /** Fixed-width value histogram per event type: 20 buckets of 25
+    * over [0, 500), top bucket clamped — the dashboard distribution
+    * tile. Pure map-side bucketing + one aggregate; the bucket
+    * formula is exact-identical integer/IEEE arithmetic in both
+    * engines.
+    */
+  val valueHistogram = DeclaredQuery(
+    "q_value_histogram",
+    """SELECT event_type,
+      |       least(CAST(floor(value / 25) AS BIGINT), 19) AS bucket,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        least(floor(col("value") / 25).cast("long"), lit(19L)).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val all: Seq[DeclaredQuery] =
+    Seq(attribution, rollingActives, bounceRate, valueHistogram)
+}
