@@ -177,6 +177,60 @@ object WebAnalytics {
       .orderBy("event_type", "bucket")
   }
 
+  /** Hourly traffic anomaly score: each hour's event count against
+    * the trailing 24 TIME-hours (RANGE frame on epoch seconds,
+    * [now−24h, now−1h] — correct under sparse hours, unlike a
+    * rows-frame), z = (n − mean)/stddev. The window statistics are
+    * derived from EXACT integer sums (Σn, Σn², count over the frame —
+    * counts are integers, so sumsq is exact) with one final sqrt:
+    * identical IEEE arithmetic in both engines, no dependence on
+    * either engine's streaming-variance accumulation order. Hours
+    * with an undersized baseline (<2 trailing hours) report NULL z
+    * and are never flagged.
+    */
+  val anomalyHours = DeclaredQuery(
+    "q_anomaly_hours",
+    """WITH h AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT hour, n,
+      |    count(*) OVER fr AS cnt_w,
+      |    sum(n) OVER fr AS sum_w,
+      |    sum(n * n) OVER fr AS sumsq_w
+      |  FROM h
+      |  WINDOW fr AS (ORDER BY epoch(hour)
+      |                RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)),
+      |zc AS (
+      |  SELECT hour, n,
+      |    CASE WHEN cnt_w >= 2 THEN
+      |      (n - sum_w / CAST(cnt_w AS DOUBLE)) /
+      |      sqrt((sumsq_w - sum_w * (sum_w / CAST(cnt_w AS DOUBLE)))
+      |           / (cnt_w - 1))
+      |    END AS z_raw
+      |  FROM w)
+      |SELECT hour, n, round(z_raw, 6) AS z,
+      |       CASE WHEN abs(z_raw) > 3 THEN 1 ELSE 0 END AS is_anomaly
+      |FROM zc ORDER BY hour""".stripMargin) { (s, d) =>
+    val h = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val fr = Window.orderBy(unix_timestamp(col("hour")))
+      .rangeBetween(-86400, -3600)
+    val mean = col("sum_w") / col("cnt_w").cast("double")
+    val zRaw = when(col("cnt_w") >= 2,
+      (col("n") - mean) /
+        sqrt((col("sumsq_w") - col("sum_w") * mean) / (col("cnt_w") - 1)))
+    h.withColumn("cnt_w", count(lit(1)).over(fr))
+      .withColumn("sum_w", sum("n").over(fr))
+      .withColumn("sumsq_w", sum(col("n") * col("n")).over(fr))
+      .withColumn("z_raw", zRaw)
+      .select(col("hour"), col("n"),
+        round(col("z_raw"), 6).as("z"),
+        when(abs(col("z_raw")) > 3, 1).otherwise(0).as("is_anomaly"))
+      .orderBy("hour")
+  }
+
   val all: Seq[DeclaredQuery] =
-    Seq(attribution, rollingActives, bounceRate, valueHistogram)
+    Seq(attribution, rollingActives, bounceRate, valueHistogram, anomalyHours)
 }
