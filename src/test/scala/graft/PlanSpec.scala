@@ -363,6 +363,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LessThan(ts,"), p)
   }
 
+  test("containment pairs come from bucket generation, not a gram self-join") {
+    val p = planOf("q_containment_pairs")
+    // candidates materialize through the ordered_pairs generator over
+    // df-bounded buckets; the only join is the per-doc count join-back
+    assert(p.contains("orderedpairs"), p)
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins <= 1, s"expected <=1 join (doc-count join-back), got $joins:\n$p")
+  }
+
+  test("attribution is join-free: union + one user window, then the day aggregate") {
+    val p = planOf("q_attribution")
+    assert(!p.contains("Join"), s"attribution should not join:\n$p")
+    assert(p.contains("Union"), p)
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly 1 window node:\n$p")
+  }
+
+  test("rolling actives expand through a generator, never a per-day re-scan") {
+    val p = planOf("q_rolling_dau")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("anomaly baseline uses a RANGE frame over the hourly aggregate") {
+    val p = planOf("q_anomaly_hours")
+    assert(p.contains("RangeFrame"), p)
+    // the window runs over the aggregated hour relation, downstream of
+    // the only full-data aggregate
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed (bounded theta joins against
     // a broadcast side); an unbounded CartesianProduct never is.
