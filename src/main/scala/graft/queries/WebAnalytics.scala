@@ -26,8 +26,10 @@ object WebAnalytics {
     * 100 TB: identical scale story to q_asof_join; the daily report
     * aggregate is a second tiny shuffle on the day key.
     */
-  val attribution = DeclaredQuery(
-    "q_attribution",
+  /** Shared by the batch query and its streaming twin
+    * (q_stream_attribution) — one oracle, two execution models.
+    */
+  private val attributionOracleSql =
     """WITH e AS (SELECT user_id, event_type, value,
       |            CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec FROM events),
       |clicks AS (SELECT DISTINCT user_id, sec FROM e WHERE event_type = 'click'),
@@ -45,7 +47,10 @@ object WebAnalytics {
       |                     THEN CAST(value AS DECIMAL(18,2))
       |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
       |         AS attributed_revenue
-      |FROM a GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+      |FROM a GROUP BY 1 ORDER BY day""".stripMargin
+
+  val attribution = DeclaredQuery(
+    "q_attribution", attributionOracleSql) { (s, d) =>
     val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
       col("value"), date_trunc("second", col("ts")).as("sec"))
     val clicks = e.filter(col("event_type") === "click")
@@ -285,7 +290,18 @@ object WebAnalytics {
       .orderBy("type_a", "type_b")
   }
 
+  /** The REAL streaming pipeline behind the same report: file-source
+    * events → per-user transformWithState click index (LEFT as-of with
+    * 1-h tolerance, exact-cents money) → complete-mode daily
+    * aggregation — gated by the identical oracle SQL as the batch
+    * query (stream–batch unification, checked by hash).
+    */
+  val streamAttribution = DeclaredQuery(
+    "q_stream_attribution", attributionOracleSql) { (s, d) =>
+    graft.streaming.Attribution.dailyReport(s, d)
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(attribution, rollingActives, bounceRate, valueHistogram, anomalyHours,
-      audienceOverlap)
+      audienceOverlap, streamAttribution)
 }
