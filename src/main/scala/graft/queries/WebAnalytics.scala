@@ -301,7 +301,142 @@ object WebAnalytics {
     graft.streaming.Attribution.dailyReport(s, d)
   }
 
+  /** Daily funnel-latency percentiles: click→purchase conversion
+    * latency p50/p95 per purchase day, over the SAME conversion
+    * relation as q_funnel_conversions (windowed last-click form, both
+    * engines). Exact interpolated percentiles (percentile ≡
+    * quantile_cont — the equivalence q_percentiles pins); epoch-µs
+    * arithmetic is exact in both engines.
+    */
+  val funnelLatency = DeclaredQuery(
+    "q_funnel_latency",
+    """WITH cp AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |w AS (
+      |  SELECT user_id, event_type, ts_us,
+      |         max(CASE WHEN event_type = 'click' THEN ts_us END)
+      |           OVER (PARTITION BY user_id ORDER BY ts_us, event_type
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts_us,
+      |         max(CASE WHEN event_type = 'purchase' THEN ts_us END)
+      |           OVER (PARTITION BY user_id ORDER BY ts_us, event_type
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase
+      |  FROM cp),
+      |conv AS (
+      |  SELECT CAST(make_timestamp(ts_us) AS DATE) AS day,
+      |         ts_us - click_ts_us AS latency_us
+      |  FROM w
+      |  WHERE event_type = 'purchase' AND click_ts_us IS NOT NULL
+      |    AND (prev_purchase IS NULL OR prev_purchase < click_ts_us))
+      |SELECT day, count(*) AS n_conversions,
+      |       quantile_cont(latency_us, 0.5) AS p50_latency_us,
+      |       quantile_cont(latency_us, 0.95) AS p95_latency_us
+      |FROM conv GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_type"))
+    val upToNow = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val beforeNow = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("click_ts_us",
+        max(when(col("event_type") === "click", col("ts_us"))).over(upToNow))
+      .withColumn("prev_purchase",
+        max(when(col("event_type") === "purchase", col("ts_us"))).over(beforeNow))
+      .filter(col("event_type") === "purchase" && col("click_ts_us").isNotNull &&
+        (col("prev_purchase").isNull || col("prev_purchase") < col("click_ts_us")))
+      .groupBy(timestamp_micros(col("ts_us")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_conversions"),
+        percentile(col("ts_us") - col("click_ts_us"), lit(0.5))
+          .as("p50_latency_us"),
+        percentile(col("ts_us") - col("click_ts_us"), lit(0.95))
+          .as("p95_latency_us"))
+      .orderBy("day")
+  }
+
+  /** Dense per-minute event counts with gap filling — the time-spine
+    * pattern every monitoring dashboard needs (a bucket aggregate
+    * alone silently drops empty minutes). The spine generates from
+    * the corpus' own [min, max] minute bounds (one tiny aggregate,
+    * broadcast), left-joins the per-minute counts, zero-fills.
+    * ~43 k spine rows per month regardless of corpus size.
+    */
+  val denseMinutes = DeclaredQuery(
+    "q_dense_minutes",
+    """WITH b AS (SELECT min(date_trunc('minute', ts)) AS lo,
+      |                  max(date_trunc('minute', ts)) AS hi FROM events),
+      |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MINUTE))
+      |                      AS TIMESTAMP) AS minute FROM b),
+      |c AS (SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+      |             count(*) AS n FROM events GROUP BY 1)
+      |SELECT s.minute, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+      |FROM spine s LEFT JOIN c USING (minute)
+      |ORDER BY minute""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val spine = e
+      .agg(min(date_trunc("minute", col("ts"))).as("lo"),
+        max(date_trunc("minute", col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 MINUTE"))).as("minute"))
+    val counts = e.groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(counts, Seq("minute"), "left")
+      .select(col("minute"), coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("minute")
+  }
+
+  /** Linear (equal-share) multi-touch attribution: every click within
+    * the hour before a purchase shares that purchase's value equally,
+    * and credit aggregates to the CLICK's day — where budget
+    * decisions actually look. The candidate join is hour-bucketed
+    * (each purchase probes its own and the previous hour bucket) so
+    * it stays an equi-join at scale, never a theta join; exact-cents
+    * integer division keeps the credited sum order-independent and
+    * engine-identical (the deterministic floor is the documented
+    * semantic, same trade as q_stream_attribution's cents).
+    */
+  val linearAttribution = DeclaredQuery(
+    "q_linear_attribution",
+    """WITH e AS (SELECT event_id, user_id, event_type, value,
+      |            CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec FROM events),
+      |clicks AS (SELECT DISTINCT user_id, sec FROM e WHERE event_type = 'click'),
+      |purchases AS (SELECT event_id, user_id, sec,
+      |                     CAST(round(value * 100) AS BIGINT) AS cents
+      |              FROM e WHERE event_type = 'purchase'),
+      |cand AS (
+      |  SELECT p.event_id AS pid, p.cents, CAST(c.sec AS DATE) AS cday,
+      |         count(*) OVER (PARTITION BY p.event_id) AS n
+      |  FROM purchases p JOIN clicks c
+      |    ON c.user_id = p.user_id
+      |   AND c.sec BETWEEN p.sec - INTERVAL 3600 SECOND AND p.sec)
+      |SELECT cday AS day,
+      |       count(*) AS n_credited_clicks,
+      |       CAST(sum(cents // n) AS BIGINT) AS credited_cents
+      |FROM cand GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), date_trunc("second", col("ts")).as("sec"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec")).distinct()
+      .withColumn("hb", floor(unix_timestamp(col("sec")) / 3600))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("sec").as("psec"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("hb",
+        explode(array(floor(unix_timestamp(col("psec")) / 3600),
+          floor(unix_timestamp(col("psec")) / 3600) - 1)))
+    val cand = purchases.join(clicks, Seq("user_id", "hb"))
+      .filter(col("sec") <= col("psec") &&
+        unix_timestamp(col("psec")) - unix_timestamp(col("sec")) <= 3600)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("pid")))
+    cand.groupBy(col("sec").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_credited_clicks"),
+        sum(expr("cents div n")).as("credited_cents"))
+      .orderBy("day")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(attribution, rollingActives, bounceRate, valueHistogram, anomalyHours,
-      audienceOverlap, streamAttribution)
+      audienceOverlap, streamAttribution, funnelLatency, denseMinutes,
+      linearAttribution)
 }
