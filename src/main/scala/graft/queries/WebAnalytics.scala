@@ -435,8 +435,46 @@ object WebAnalytics {
       .orderBy("day")
   }
 
+  /** Read-time anomaly scoring over the STREAMING serving store: the
+    * real hourly-counter pipeline (file stream → watermarked agg →
+    * KV upsert, the q_stream_hourly_counters machinery) populates the
+    * store; the anomaly view then reads the snapshot back, folds the
+    * per-(type, hour) counters to per-hour totals, and applies the
+    * identical exact-integer z-score as q_anomaly_hours — whose
+    * oracle SQL gates this query verbatim. This is the reference's
+    * serving split: heavy aggregation maintained incrementally,
+    * analytics computed at read time over the tiny counter space.
+    */
+  val streamAnomalyHours = DeclaredQuery(
+    "q_stream_anomaly_hours",
+    anomalyHours.oracle.get) { (s, d) =>
+    import graft.streaming.{InMemoryServingStore, Serving}
+    import s.implicits._
+    val checkpoint = graft.SparkEnv.scratchDir("graft-stream-anom-ckpt")
+    val store = Serving.runPipeline(s, d, new InMemoryServingStore, checkpoint)
+    val hourly = store.snapshot().toDF()
+      .select(to_timestamp(element_at(split(col("key"), "/"), 3),
+        "yyyy-MM-dd-HH").as("hour"), col("nEvents"))
+      .groupBy("hour").agg(sum("nEvents").as("n"))
+    val fr = Window.orderBy(unix_timestamp(col("hour")))
+      .rangeBetween(-86400, -3600)
+    val mean = col("sum_w") / col("cnt_w").cast("double")
+    val zRaw = when(col("cnt_w") >= 2,
+      (col("n") - mean) /
+        sqrt((col("sumsq_w") - col("sum_w") * mean) / (col("cnt_w") - 1)))
+    hourly
+      .withColumn("cnt_w", count(lit(1)).over(fr))
+      .withColumn("sum_w", sum("n").over(fr))
+      .withColumn("sumsq_w", sum(col("n") * col("n")).over(fr))
+      .withColumn("z_raw", zRaw)
+      .select(col("hour"), col("n"),
+        round(col("z_raw"), 6).as("z"),
+        when(abs(col("z_raw")) > 3, 1).otherwise(0).as("is_anomaly"))
+      .orderBy("hour")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(attribution, rollingActives, bounceRate, valueHistogram, anomalyHours,
       audienceOverlap, streamAttribution, funnelLatency, denseMinutes,
-      linearAttribution)
+      linearAttribution, streamAnomalyHours)
 }
