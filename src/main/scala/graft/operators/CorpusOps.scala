@@ -32,11 +32,17 @@ object CorpusOps {
     * (not the df-bounded universe): the ceiling only bounds candidate
     * generation, the reported fraction keeps its textbook meaning.
     *
-    * 100 TB: two shuffles over the distinct-gram stream (doc-count
-    * join-back, gram buckets) + one over candidate pairs; all linear,
-    * ceiling-guarded. Reports ALL candidate pairs with their fraction
-    * — a τ cut is a downstream filter, and the fractional rows are
-    * exactly what makes the oracle gate bite.
+    * 100 TB: the corpus is scanned and shingled exactly ONCE — all
+    * grams' id-lists are collected first, the per-doc totals are
+    * re-derived by exploding those lists, and the buckets join the
+    * totals back on doc_id. The extra exchanges run over the
+    * distinct-gram stream, which is why this beats recomputing the
+    * scan+shingle subtree under both consumers (tools/ContainProf
+    * A/B/C at sf0.1, min of 3: recompute 1.18 s, persist 1.33 s,
+    * single-pass 0.85 s). All stages linear, ceiling-guarded.
+    * Reports ALL candidate pairs with their fraction — a τ cut is a
+    * downstream filter, and the fractional rows are exactly what
+    * makes the oracle gate bite.
     */
   val containmentPairs: DeclaredQuery = {
     val L = 5; val maxDf = 64
@@ -63,16 +69,20 @@ object CorpusOps {
          |JOIN cnt cb ON cb.doc_id = id_b
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val occ = docs
+      val dfAll = docs
         .filter(col("text").isNotNull && size(split(col("text"), " ", -1)) >= L)
         .select(col("doc_id"), expr(s"token_ngrams(text, $L)"))
         .select(col("doc_id"), xxhash64(col("shingle")).as("gh"))
         .distinct()
-      val cnt = occ.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
-      val buckets = occ.join(cnt, "doc_id")
+        .groupBy("gh").agg(collect_list(col("doc_id")).as("docs"))
+      val cnt = dfAll.select(explode(col("docs")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
+      val buckets = dfAll
+        .filter(size(col("docs")) >= 2 && size(col("docs")) <= maxDf)
+        .select(col("gh"), explode(col("docs")).as("doc_id"))
+        .join(cnt, "doc_id")
         .groupBy("gh")
         .agg(collect_list(struct(col("doc_id").as("id"), col("n").as("n"))).as("ids"))
-        .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
       buckets.select(expr("ordered_pairs(ids)"))
         .groupBy("id_a", "id_b")
         // lnf is constant within a pair (min of the two docs' totals);
