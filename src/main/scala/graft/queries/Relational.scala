@@ -24,8 +24,32 @@ import org.apache.spark.sql.functions._
 object Relational {
 
   /** TPC-H Q1-ish pricing summary (D1/D6, B2). Per-row double products
-    * are IEEE-identical across engines; the decimal cast before sum
-    * makes the aggregation order-independent.
+    * are IEEE-identical across engines; rounding each product to its
+    * oracle DECIMAL scale and summing EXACT SCALED LONGS makes the
+    * aggregation order-independent with the same values as the
+    * oracle's decimal sums (per-row `round(x·10^s)` ≡ `CAST(x AS
+    * DECIMAL(_, s))` — both HALF_UP on the same double).
+    *
+    * Why longs and not decimal sums: Spark's decimal aggregation runs
+    * through Decimal object adds; the scaled-long form keeps the
+    * whole aggregate in primitive codegen (tools/PricingProf, min of
+    * 3 at sf0.1: decimal 0.92 s, scaled-long 0.50 s, raw double
+    * 0.25 s — the long form is ~1.8× faster at identical exactness,
+    * bit-parity asserted in the profiler run and pinned in
+    * EdgeCaseSpec).
+    *
+    * Overflow discipline at 100 TB: the two wide measures
+    * (disc_price at 10^4, charge at 10^6) split each scaled value
+    * into whole units (`div`) and sub-unit remainder (`mod`) and sum
+    * both as longs — per-group bounds ≥ 8·10^13 rows before the unit
+    * sum can overflow (vs ~8·10^7 rows unsplit at 10^6 scale). The
+    * exact total reassembles in DECIMAL(38) space, whose division by
+    * the scale factor is exact (quotient has ≤ s decimals), and the
+    * one double rounding happens at the very end — same single
+    * rounding as the oracle's CAST(decimal AS DOUBLE). qty/price/disc
+    * (10^2 scale, values ≤ ~10^7) stay single long sums: their bound
+    * is ≥ 8·10^11 rows per group, beyond TPC-H sf10k. ANSI mode turns
+    * any bound violation into a loud error, never a silent wrap.
     */
   val pricingSummary = DeclaredQuery(
     "q_pricing_summary",
@@ -44,19 +68,31 @@ object Relational {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-    val decQty   = sum(col("l_quantity").cast("decimal(18,2)"))
-    val decPrice = sum(col("l_extendedprice").cast("decimal(18,2)"))
+    // exact scaled-long measures (see scaladoc): cents for the 10^2
+    // columns; hi/lo split at their oracle scale for the wide two
+    val qtyC   = round(col("l_quantity") * 100).cast("long")
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discC  = round(col("l_discount") * 100).cast("long")
+    val disc4sql =
+      "CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)"
+    val charge6sql =
+      "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT)"
+    // exact reassembly: hi·scale + lo in DECIMAL(38,0), exact decimal
+    // division back to value space, ONE double rounding at the end
+    def assemble(hi: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+        scale: Long): org.apache.spark.sql.Column =
+      ((hi.cast("decimal(38,0)") * lit(scale) + lo) / lit(scale)).cast("double")
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        decQty.cast("double").as("sum_qty"),
-        decPrice.cast("double").as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(22,4)")).cast("double").as("sum_disc_price"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-          .cast("decimal(24,6)")).cast("double").as("sum_charge"),
-        (decQty.cast("double") / count(lit(1))).as("avg_qty"),
-        (decPrice.cast("double") / count(lit(1))).as("avg_price"),
-        (sum(col("l_discount").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_disc"),
+        (sum(qtyC) / 100.0).as("sum_qty"),
+        (sum(priceC) / 100.0).as("sum_base_price"),
+        assemble(sum(expr(s"$disc4sql div 10000")),
+          sum(expr(s"$disc4sql % 10000")), 10000L).as("sum_disc_price"),
+        assemble(sum(expr(s"$charge6sql div 1000000")),
+          sum(expr(s"$charge6sql % 1000000")), 1000000L).as("sum_charge"),
+        (sum(qtyC) / 100.0 / count(lit(1))).as("avg_qty"),
+        (sum(priceC) / 100.0 / count(lit(1))).as("avg_price"),
+        (sum(discC) / 100.0 / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }

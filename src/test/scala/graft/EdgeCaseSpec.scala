@@ -58,4 +58,23 @@ class EdgeCaseSpec extends SparkSpec {
     // texts shorter than the shingle width still produce one shingle
     assert(Dedup.shingles(tiny).count() == 2)
   }
+
+  test("pricing summary's scaled-long sums are bit-identical to decimal sums") {
+    // the shipped flagship sums exact scaled longs (hi/lo split for
+    // the wide measures); this pins bit-parity with the textbook
+    // DECIMAL-sum form (tools/PricingProf.decimalForm) on two fixture
+    // scales — any drift in rounding, split, or reassembly fails here
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val shipped = SparkEntry.queries("q_pricing_summary")(spark, dir)
+        .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+          "sum_disc_price", "sum_charge", "count_order")
+        .collect()
+      val reference = graft.tools.PricingProf.decimalForm(spark, dir)
+        .orderBy("l_returnflag", "l_linestatus")
+        .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+          "sum_disc_price", "sum_charge", "count_order")
+        .collect()
+      assert(shipped.sameElements(reference), s"parity broke at $dir")
+    }
+  }
 }
