@@ -231,8 +231,8 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(
         countDistinct(col("o_orderkey")).as("n_orders"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(22,4)")).cast("double").as("revenue"))
+        graft.functions.ExactSum
+          .moneySum("l_extendedprice * (1 - l_discount)", 10000L).as("revenue"))
       .orderBy("o_orderpriority")
   }
 

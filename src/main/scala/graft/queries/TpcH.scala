@@ -27,6 +27,12 @@ object TpcH {
     .cast("decimal(22,4)")
   private val revSql =
     "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)"
+  /** ≡ the decimal revenue sum cast to double, but in primitive codegen — see
+    * [[graft.functions.ExactSum]]; every consumer stays gated by the
+    * unchanged decimal-sum oracle SQL above.
+    */
+  private val revSum =
+    graft.functions.ExactSum.moneySum("l_extendedprice * (1 - l_discount)", 10000L)
 
   /** Q3 shipping priority: unshipped high-value orders for one market
     * segment. Two fact scans with pushed date filters; the customer
@@ -51,7 +57,7 @@ object TpcH {
       .join(Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(sum(rev).cast("double").as("revenue"))
+      .agg(revSum.as("revenue"))
       .select("l_orderkey", "revenue", "o_orderdate")
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -116,7 +122,7 @@ object TpcH {
         col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "EUROPE")
       .groupBy("n_name")
-      .agg(sum(rev).cast("double").as("revenue"))
+      .agg(revSum.as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -138,8 +144,8 @@ object TpcH {
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(22,4)"))
-          .cast("double").as("revenue"),
+      .agg(graft.functions.ExactSum
+          .moneySum("l_extendedprice * l_discount", 10000L).as("revenue"),
         count(lit(1)).as("n"))
   }
 
@@ -170,7 +176,7 @@ object TpcH {
       .join(broadcast(Tables.nation(s, d)),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
-      .agg(sum(rev).cast("double").as("revenue"))
+      .agg(revSum.as("revenue"))
       .select("c_custkey", "c_name", "revenue", "n_name")
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
@@ -197,9 +203,10 @@ object TpcH {
         col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
       .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .agg((lit(100.0) *
-        sum(when(col("p_type") === "PROMO", rev)
-          .otherwise(lit(0).cast("decimal(22,4)"))).cast("double") /
-        sum(rev).cast("double")).as("promo_revenue_pct"))
+        graft.functions.ExactSum.moneySum(
+          "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END",
+          10000L) /
+        revSum).as("promo_revenue_pct"))
   }
 
   /** Q18 large-volume customers: group-HAVING on the fact, then
@@ -230,7 +237,7 @@ object TpcH {
       .join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .agg(graft.functions.ExactSum.moneySum("l_quantity", 100L).as("sum_qty"))
       .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice").cast("double").as("o_totalprice"), col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -263,7 +270,7 @@ object TpcH {
     Tables.lineitem(s, d)
       .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
       .filter(c1 || c2 || c3)
-      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n"))
+      .agg(revSum.as("revenue"), count(lit(1)).as("n"))
   }
 
   /** Q7 volume shipping: revenue between a nation PAIR in both
@@ -306,7 +313,7 @@ object TpcH {
         (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_20"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(sum(rev).cast("double").as("revenue"))
+      .agg(revSum.as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
@@ -388,7 +395,7 @@ object TpcH {
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey").as("supplier_no"))
-      .agg(sum(rev).cast("double").as("total_revenue"))
+      .agg(revSum.as("total_revenue"))
     // global-window max instead of a second aggregate subplan: the
     // post-agg relation is |suppliers| rows, so the single-partition
     // window is trivial, and the filtered lineitem scan+shuffle runs
@@ -489,9 +496,10 @@ object TpcH {
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
       .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
-      .agg((sum(when(col("nation") === "NATION_7", rev)
-          .otherwise(lit(0).cast("decimal(22,4)"))).cast("double") /
-        sum(rev).cast("double")).as("mkt_share"))
+      .agg((graft.functions.ExactSum.moneySum(
+          "CASE WHEN nation = 'NATION_7' THEN l_extendedprice * (1 - l_discount) ELSE 0 END",
+          10000L) /
+        revSum).as("mkt_share"))
       .orderBy("o_year")
   }
 
