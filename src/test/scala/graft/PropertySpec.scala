@@ -179,4 +179,30 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("ExactSum.moneySum: randomized bit-parity with decimal sums, grouped + split") {
+    // 10 trials × random 2-decimal money values (incl. negatives and
+    // values big enough that the double product is inexact): the
+    // scaled-long hi/lo form must equal the decimal-cast discipline
+    // bit-for-bit, per group, under random repartitioning.
+    import spark.implicits._
+    for (t <- 1 to 10) {
+      val n = 200 + rnd.nextInt(300)
+      val rows = Seq.fill(n)((rnd.nextInt(7).toString,
+        math.round(rnd.nextDouble() * 2e7 - 1e7) / 100.0,
+        math.round(rnd.nextDouble() * 10) / 100.0))
+      val df = rows.toDF("k", "price", "disc").repartition(1 + rnd.nextInt(6))
+      val got = df.groupBy("k")
+        .agg(graft.functions.ExactSum.moneySum("price * (1 - disc)", 10000L)
+          .as("v"))
+        .orderBy("k").as[(String, Double)].collect().toSeq
+      val want = df.groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "CAST(price * (1 - disc) AS DECIMAL(22,4))"))
+          .cast("double").as("v"))
+        .orderBy("k").as[(String, Double)].collect().toSeq
+      assert(got == want, s"trial $t diverged")
+    }
+  }
 }
