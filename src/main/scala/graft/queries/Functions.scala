@@ -80,7 +80,7 @@ object Functions {
       .filter(col("k") < 10)
       .groupBy("k")
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        graft.functions.ExactSum.moneySum("value", 100L).as("sum_value"))
       .orderBy("k")
   }
 
@@ -217,7 +217,7 @@ object Functions {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        graft.functions.ExactSum.moneySum("o_totalprice", 100L).as("revenue"))
       .orderBy("c_mktsegment")
   }
 

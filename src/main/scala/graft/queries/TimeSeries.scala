@@ -39,7 +39,7 @@ object TimeSeries {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        graft.functions.ExactSum.moneySum("value", 100L).as("sum_value"))
       .orderBy("bucket", "event_type")
   }
 
@@ -64,7 +64,7 @@ object TimeSeries {
         hour(col("ts")).cast("int").as("h"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        graft.functions.ExactSum.moneySum("value", 100L).as("sum_value"))
       .orderBy(
         col("y").asc_nulls_first, col("m").asc_nulls_first,
         col("dd").asc_nulls_first, col("h").asc_nulls_first)
@@ -110,7 +110,7 @@ object TimeSeries {
         col("event_type"), col("dd"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        graft.functions.ExactSum.moneySum("value", 100L).as("sum_value"))
       .orderBy(col("event_type").asc_nulls_first, col("dd").asc_nulls_first)
   }
 
@@ -264,7 +264,7 @@ object TimeSeries {
       .groupBy((get_json_object(col("props"), "$.k").cast("int") % 10).as("k_bucket"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        graft.functions.ExactSum.moneySum("value", 100L).as("sum_value"))
       .orderBy("k_bucket")
   }
 
