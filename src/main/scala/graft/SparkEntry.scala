@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.Pipeline.all ++ graft.operators.Importance.all ++
       graft.operators.BpeTrain.all ++ graft.operators.LanguageModel.all ++
       graft.operators.SubstringDedup.all ++ graft.sources.ClusteredLayout.all ++
-      graft.operators.CorpusOps.all ++ graft.queries.WebAnalytics.all
+      graft.operators.CorpusOps.all ++ graft.queries.WebAnalytics.all ++
+      graft.queries.Cohorts.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

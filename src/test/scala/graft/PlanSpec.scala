@@ -395,6 +395,34 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("cohort retention broadcasts the cohort-size relation") {
+    val p = planOf("q_cohort_retention")
+    // the triangle is calendar-bounded, so its join to cohort sizes
+    // must be a broadcast, not a shuffle of the big side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("event transitions: both windows are partitioned, none global") {
+    val p = planOf("q_event_transitions")
+    // exactly two windows: the per-user lead() and the per-from_type
+    // share — and both are PARTITIONed (an unpartitioned window would
+    // drag everything into one task)
+    assert("Window ".r.findAllIn(p).size == 2, p)
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(p.contains("windowspecdefinition(from_type"), p)
+  }
+
+  test("rfm quartiles come from broadcast cutpoints, not a global ntile sort") {
+    val p = planOf("q_user_rfm")
+    // no Window at all: bucket assignment is a per-row comparison
+    // against three broadcast percentile scalars
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed (bounded theta joins against
     // a broadcast side); an unbounded CartesianProduct never is.
