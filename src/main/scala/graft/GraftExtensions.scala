@@ -71,6 +71,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.ShingleScan.foldedInt(children(2), "winnow_fps w"))
       }))
     e.injectFunction((
+      FunctionIdentifier("winnow_fps_md5"),
+      new ExpressionInfo(classOf[graft.functions.WinnowFps].getName, "winnow_fps_md5"),
+      (children: Seq[Expression]) => {
+        checkArity("winnow_fps_md5", children, 3)
+        graft.functions.WinnowFps(children(0),
+          graft.functions.ShingleScan.foldedInt(children(1), "winnow_fps_md5 n"),
+          graft.functions.ShingleScan.foldedInt(children(2), "winnow_fps_md5 w"),
+          md5 = true)
+      }))
+    e.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => {

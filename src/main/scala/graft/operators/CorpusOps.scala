@@ -232,7 +232,7 @@ object CorpusOps {
          |                          ORDER BY sk, doc_id
          |                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
          |  FROM k)
-         |SELECT shard, start_tok // $B AS batch_id,
+         |SELECT shard, CAST(start_tok // $B AS BIGINT) AS batch_id,
          |       count(*) AS n_docs,
          |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM o GROUP BY shard, batch_id

@@ -468,14 +468,24 @@ object Dedup {
 
   /** Winnowing document fingerprints (rolling-hash family): shingle
     * hashes → min per sliding window of w — the classic MOSS scheme.
-    * Deterministic, but emitted as rows-only (set semantics are awkward
-    * to pin in portable SQL); ScalaTest asserts dup families share
-    * fingerprints.
+    * Deterministic, and with `portableHash` fully replayable in DuckDB
+    * SQL (the declared `q_winnow_fingerprints` is value-gated on that
+    * mode); ScalaTest asserts dup families share fingerprints and
+    * pins bit-parity between this relational form and the fused
+    * [[graft.functions.WinnowFps]] expression in BOTH hash modes.
     */
-  def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+  def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4,
+      portableHash: Boolean = false): DataFrame = {
     // positional shingles with duplicates — exactly the generator's
-    // native output (the old posexplode(transform(...)) shape)
-    val sh = shingleRows(docs, n).withColumn("h", xxhash64(col("shingle")))
+    // native output (the old posexplode(transform(...)) shape).
+    // portableHash selects the oracle-replayable 60-bit md5 prefix
+    // (the [[graft.functions.WinnowFps]] md5 mode contract) instead of
+    // the family xxhash64 — same winnow algebra either way.
+    val h =
+      if (portableHash)
+        expr("conv(substring(md5(shingle), 1, 15), 16, 10)").cast("long")
+      else xxhash64(col("shingle"))
+    val sh = shingleRows(docs, n).withColumn("h", h)
     val win = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(w - 1), Window.currentRow)
     sh.withColumn("fp", min("h").over(win))
@@ -499,7 +509,9 @@ object Dedup {
     * gram pipeline applies.
     */
   def passageOverlapPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
-      minShared: Int = 2, maxDf: Int = 64): DataFrame = {
+      minShared: Int = 2, maxDf: Int = 64,
+      portableHash: Boolean = false): DataFrame = {
+    val winnowFn = if (portableHash) "winnow_fps_md5" else "winnow_fps"
     // fused winnowing (one codegen'd pass per doc, no window sort);
     // each exploded row carries its doc's fingerprint count so the
     // overlap denominator needs no second scan or join. NULL text is
@@ -513,7 +525,7 @@ object Dedup {
     // out by [[graft.plans.SingleEvalExpensive]].
     val rows = docs
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), expr(s"winnow_fps(text, $n, $w)").as("fps"))
+      .select(col("doc_id"), expr(s"$winnowFn(text, $n, $w)").as("fps"))
       .select(col("doc_id"), size(col("fps")).as("nf"),
         explode(col("fps")).as("fp"))
     rows.groupBy("fp")
@@ -536,7 +548,9 @@ object Dedup {
         round(col("n_shared_fps").cast("double") / col("lnf"), 6).as("overlap"))
   }
 
-  // ---- declared queries (rows-only checks; ScalaTest is the gate) ----
+  // ---- declared queries (minhash/simhash rows-only — sketch values
+  // are algorithm-specific; winnow family oracle-gated via the
+  // portable md5-prefix hash) ----
 
   val qMinhash = DeclaredQuery.noOracle("q_minhash_near_dups") { (s, d) =>
     minhashNearDups(Tables.documents(s, d))
@@ -548,8 +562,37 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  val qWinnow = DeclaredQuery.noOracle("q_winnow_fingerprints") { (s, d) =>
-    // fused winnow_fps: per-doc fingerprint count is one codegen'd
+  /** Shared oracle fragment: positional n=3 shingles + the winnow
+    * trailing-window (w=4) minimum over the portable 60-bit md5-prefix
+    * hash — DuckDB's `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`
+    * is bit-identical to the [[graft.functions.WinnowFps]] md5 mode
+    * (and to Spark's `conv(substring(md5(s),1,15),16,10)`), which is
+    * what makes the declared winnow queries value-gateable at all
+    * (round-7 verdict #4: xxhash64 has no DuckDB twin).
+    */
+  private val winnowOracleCtes =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |           WHERE text IS NOT NULL),
+      |sh AS (
+      |  SELECT doc_id, i AS pos,
+      |         CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+      |              ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] END AS shingle
+      |  FROM t, LATERAL (
+      |    SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i) s),
+      |wm AS (
+      |  SELECT doc_id,
+      |         min(CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT))
+      |           OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      |  FROM sh)""".stripMargin
+
+  val qWinnow = DeclaredQuery(
+    "q_winnow_fingerprints",
+    s"""$winnowOracleCtes
+       |SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints
+       |FROM wm GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // fused winnow_fps_md5: per-doc fingerprint count is one codegen'd
     // scan — no shingle explode, no per-doc window sort, no distinct
     // exchange (SketchExprSpec asserts bit-parity with the relational
     // winnowFingerprints form). text.isNotNull replaces the old
@@ -559,13 +602,31 @@ object Dedup {
     // (round-5 verdict #1; PlanSpec counts occurrences)
     Tables.documents(s, d)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), expr("winnow_fps(text, 3, 4)").as("fps"))
+      .select(col("doc_id"), expr("winnow_fps_md5(text, 3, 4)").as("fps"))
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"))
       .orderBy("doc_id")
   }
 
-  val qPassageOverlap = DeclaredQuery.noOracle("q_passage_overlap") { (s, d) =>
-    passageOverlapPairs(Tables.documents(s, d))
+  val qPassageOverlap = DeclaredQuery(
+    "q_passage_overlap",
+    s"""$winnowOracleCtes,
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wm),
+       |cnt AS (SELECT doc_id, count(*) AS nf FROM fps GROUP BY doc_id),
+       |dfr AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |  FROM fps a JOIN dfr USING (fp)
+       |  JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  WHERE dfr.df BETWEEN 2 AND 64
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared_fps,
+       |       round(n_shared / CAST(least(ca.nf, cb.nf) AS DOUBLE), 6) AS overlap
+       |FROM pairs
+       |JOIN cnt ca ON ca.doc_id = id_a
+       |JOIN cnt cb ON cb.doc_id = id_b
+       |WHERE n_shared >= 2
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    passageOverlapPairs(Tables.documents(s, d), portableHash = true)
       .orderBy("id_a", "id_b")
   }
 

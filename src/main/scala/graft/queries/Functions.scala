@@ -319,24 +319,43 @@ object Functions {
   /** D8's third leg: the engine's OWN mergeable quantile sketch
     * ([[graft.functions.QuantileSketch]] — multi-level deterministic
     * compactor, O(k·log(n/k)) state) beside exact `percentile`
-    * (hash-gated) and `percentile_approx` (built-in GK). Rows-only
-    * like the GK twin (sketch boundaries are algorithm-specific);
-    * QuantileSketchSpec pins the rank-error bound vs exact and the
-    * merge algebra.
+    * (hash-gated) and `percentile_approx` (built-in GK). VALUE-gated
+    * like its streaming twin `q_stream_value_percentiles`: keyed by
+    * (returnflag, ship month), every group at the driver's sf0.01
+    * holds ≤ 280 values — below the k=256 sketch's 2k=512 exact
+    * capacity, so level 0 never compacts and finish is structurally
+    * the nearest-rank rule sorted[max(1, ceil(q·n))] (1-based), which
+    * the DuckDB oracle replays verbatim. Partial sketches still MERGE
+    * across the 32 scan partitions, so the gate exercises the real
+    * merge algebra, not a single-buffer degenerate. Past capacity the
+    * same pipeline degrades to the spec'd 2 % rank bound
+    * (QuantileSketchSpec) instead of failing; FixtureDriftSpec pins
+    * the ≤ 512 group-size precondition so fixture growth trips a
+    * named local failure, not a silent red gate.
     */
-  val sketchPercentiles = DeclaredQuery.noOracle("q_sketch_percentiles") { (s, d) =>
+  val sketchPercentiles = DeclaredQuery(
+    "q_sketch_percentiles",
+    Seq("0.50" -> "p50", "0.90" -> "p90", "0.99" -> "p99").map { case (q, nm) =>
+      s"""  list(l_extendedprice ORDER BY l_extendedprice)[greatest(1, CAST(ceil($q * count(*)) AS BIGINT))] AS $nm"""
+    }.mkString(
+      """SELECT l_returnflag,
+        |  strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |""".stripMargin, ",\n",
+      "\nFROM lineitem\nGROUP BY 1, 2\nORDER BY 1, 2")) { (s, d) =>
     Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
+      .groupBy(col("l_returnflag"),
+        date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM")
+          .as("ship_month"))
       .agg(
+        count(lit(1)).as("n"),
         graft.functions.QuantileSketch
-          .quantile_sketch(col("l_extendedprice"), Seq(0.5, 0.9, 0.99)).as("pcts"),
-        count(lit(1)).as("n"))
-      .select(col("l_returnflag"),
+          .quantile_sketch(col("l_extendedprice"), Seq(0.5, 0.9, 0.99)).as("pcts"))
+      .select(col("l_returnflag"), col("ship_month"), col("n"),
         element_at(col("pcts"), 1).as("p50"),
         element_at(col("pcts"), 2).as("p90"),
-        element_at(col("pcts"), 3).as("p99"),
-        col("n"))
-      .orderBy("l_returnflag")
+        element_at(col("pcts"), 3).as("p99"))
+      .orderBy("l_returnflag", "ship_month")
   }
 
   /** Training-pipeline stratified sampling: per-stratum fractions via

@@ -187,6 +187,11 @@ object Functions2 {
     * candidate set (same-source docs with near-equal lengths — the
     * blocking any 100 TB pipeline would do before paying O(n·m)
     * levenshtein; the quadratic pair space is bounded to one block).
+    * Blocking band (doc_id < 500, |Δchars| ≤ 10) is sized so the gate
+    * is NON-vacuous on current fixtures: ~260 pairs at both sf0.01 and
+    * sf0.1 (a 0-row result would pass the hash compare trivially —
+    * FixtureDriftSpec pins non-emptiness so fixture drift can't
+    * silently vacate the gate again).
     */
   val editDistancePairs = DeclaredQuery(
     "q_edit_distance",
@@ -194,16 +199,16 @@ object Functions2 {
       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
       |FROM documents a JOIN documents b
       |  ON a.source = b.source AND a.doc_id < b.doc_id
-      |WHERE a.doc_id < 60 AND b.doc_id < 60
-      |  AND abs(a.n_chars - b.n_chars) <= 3
+      |WHERE a.doc_id < 500 AND b.doc_id < 500
+      |  AND abs(a.n_chars - b.n_chars) <= 10
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
     val a = docs.select(col("doc_id").as("id_a"), col("source"),
       col("text").as("text_a"), col("n_chars").as("nc_a"))
     val b = docs.select(col("doc_id").as("id_b"), col("source").as("source_b"),
       col("text").as("text_b"), col("n_chars").as("nc_b"))
     a.join(b, col("source") === col("source_b") && col("id_a") < col("id_b") &&
-        abs(col("nc_a") - col("nc_b")) <= 3)
+        abs(col("nc_a") - col("nc_b")) <= 10)
       .select(col("id_a"), col("id_b"),
         levenshtein(col("text_a"), col("text_b")).cast("long").as("lev"))
       .orderBy("id_a", "id_b")

@@ -91,6 +91,24 @@ class FixtureDriftSpec extends SparkSpec {
     assert(r.getLong(3) == 500L, "all 500 sf0.001 texts must be distinct (exact-dedup sentinel)")
   }
 
+  test("q_edit_distance gate is non-vacuous at the driver's sf (round-7 bug: 0 rows both sides passes trivially)") {
+    for (dir <- Seq(sf01, sf1)) {
+      val n = queries.Functions2.editDistancePairs.fn(spark, dir).count()
+      assert(n > 0L, s"$dir: q_edit_distance blocking predicate selects no pairs — " +
+        "the oracle gate is vacuous; widen the doc_id cap / length band")
+    }
+  }
+
+  test("q_sketch_percentiles stays in the sketch's exact regime at the driver's sf " +
+      "(every (returnflag, month) group < 512 = 2k values, else the hash gate would drift)") {
+    val maxGroup = Tables.lineitem(spark, sf01)
+      .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")))
+      .count().agg(max("count")).head().getLong(0)
+    assert(maxGroup < 512L, s"sf0.01: largest (returnflag, month) lineitem group is " +
+      s"$maxGroup ≥ 512 — the k=256 quantile sketch would compact and the " +
+      "q_sketch_percentiles oracle gate stops being exact; re-key or raise k")
+  }
+
   test("orders/lineitem date columns stay ms-precision in the safe 1995-2001 window") {
     val o = Tables.orders(spark, sf001)
       .agg(min(year(col("o_orderdate"))), max(year(col("o_orderdate")))).head()

@@ -78,6 +78,46 @@ class SketchExprSpec extends SparkSpec {
     assert(tiny(1).isNullAt(1))
   }
 
+  test("winnow_fps_md5 equals the relational portable-hash form AND the " +
+      "driver-side md5-prefix reference (the oracle-gate hash contract)") {
+    // relational twin: conv(substring(md5(s),1,15),16,10) — the Spark
+    // SQL spelling of DuckDB's CAST('0x' || substr(md5(s),1,15) AS BIGINT)
+    val viaExpr = docs
+      .select(col("doc_id"), expr("winnow_fps_md5(text, 3, 4)").as("fps"))
+      .filter(col("fps").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val viaRel = Dedup.winnowFingerprints(docs, portableHash = true).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(viaExpr == viaRel)
+    // driver-side reference pins the exact 60-bit value (top 60 bits
+    // of the md5 digest = first 15 hex chars) on edge shapes
+    def md5fp(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var v = 0L
+      (0 until 8).foreach(i => v = (v << 8) | (d(i) & 0xffL))
+      v >>> 4
+    }
+    def ref(t: String, n: Int, w: Int): Seq[Long] = {
+      val toks = t.split(" ", -1)
+      val shingles =
+        if (toks.length < n) Seq(t) else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val hs = shingles.map(md5fp)
+      hs.indices.map(i => hs.slice(math.max(0, i - w + 1), i + 1).min)
+        .distinct.sorted
+    }
+    import spark.implicits._
+    val texts = Seq("", "one", "a  b", " lead", "trail ", "p q r s t u v w")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.selectExpr("doc_id", "winnow_fps_md5(text, 3, 4) AS fps")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t, 3, 4).toList, s"doc=$i text='$t'")
+    }
+    assert(ref("p q r s t u v w", 3, 4).forall(v => v >= 0L && v < (1L << 60)))
+  }
+
   test("winnow_fps randomized parity vs a driver-side reference (edge shapes)") {
     // seeded random corpora with the shapes the fixture lacks: empty
     // strings, single tokens, consecutive spaces (empty tokens),
