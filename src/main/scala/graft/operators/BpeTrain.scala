@@ -104,6 +104,92 @@ object BpeTrain {
     out.toSeq
   }
 
+  /** Batched merge rounds — the production-scale trainer (round-7
+    * verdict #6): [[trainMerges]] pays one argmax-collect +
+    * localCheckpoint PER MERGE, i.e. a 32k-vocab run is 32k sequential
+    * Spark jobs. This variant accepts up to `batchSize` merges per
+    * round while PROVABLY reproducing the exact 1-per-round sequence
+    * (BpeTrainSpec asserts equality against both [[trainMerges]] and
+    * the single-node reference):
+    *
+    *  - Candidates are read in total order (cnt desc, l, r). The batch
+    *    is the maximal SYMBOL-DISJOINT PREFIX: stop at the first
+    *    candidate sharing a symbol with an accepted pair (skipping
+    *    past it could diverge — the skipped pair's count may still
+    *    outrank later picks after earlier merges fire).
+    *  - Disjointness makes accepted counts invariant under the other
+    *    accepted merges (merging (a,b) can only change counts of pairs
+    *    containing a or b), and application order irrelevant.
+    *  - STRICT-DOMINANCE guard: beyond the head pair, keep only
+    *    accepted pairs with cnt STRICTLY greater than the first
+    *    rejected candidate's count c*. Every pair created or changed
+    *    by an accepted merge contains a touched symbol, so its count
+    *    is bounded by some conflicting (hence rejected, hence ≤ c*)
+    *    pair's old count — strictly below every kept pair, so the
+    *    1-per-round argmax provably picks the kept pairs in exactly
+    *    this order before any new pair can surface. (The tie case is
+    *    real: a new pair can tie c* and win the lexicographic
+    *    tiebreak — hence STRICT.)
+    *
+    * Worst case (every round collapses to 1 merge) equals the old
+    * cost; on natural corpora most rounds accept near batchSize, so
+    * driver round-trips drop ~batchSize×. A 32k vocabulary at
+    * batchSize 256 is ~125 rounds instead of 32k.
+    */
+  def trainMergesBatched(docs: DataFrame, numMerges: Int,
+      minCount: Long = 2L, batchSize: Int = 16): Seq[Merge] = {
+    require(batchSize >= 1, "trainMergesBatched: batchSize must be >= 1")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var words = wordSymbols(docs).localCheckpoint(true)
+    if (words.isEmpty) return Seq.empty
+    var done = false
+    while (out.size < numMerges && !done) {
+      val cap = math.min(batchSize, numMerges - out.size)
+      // fetch enough to always see the first non-accepted candidate
+      // (acceptance is capped at `cap` < `fetch`)
+      val fetch = cap * 4 + 1
+      val cand = pairCounts(words)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(fetch).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cand.isEmpty || cand(0)._3 < minCount) done = true
+      else {
+        val touched = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stopCnt = -1L // count of the first non-accepted candidate
+        var i = 0
+        var stopped = false
+        while (i < cand.length && !stopped) {
+          val (l, r, c) = cand(i)
+          if (accepted.size >= cap || c < minCount ||
+              touched.contains(l) || touched.contains(r)) {
+            stopCnt = c
+            stopped = true
+          } else {
+            accepted += ((l, r, c)); touched += l; touched += r
+          }
+          i += 1
+        }
+        // if the loop exhausted the candidate list without stopping,
+        // cand held EVERY pair (|pairs| < fetch) and none conflicts —
+        // then no accepted merge creates or changes any pair at all
+        // (a created pair (x, ab) needs an old conflicting (x, a)),
+        // and the whole batch is safe as-is
+        val safe =
+          if (!stopped) accepted.toSeq
+          else accepted.head +: accepted.tail.filter(_._3 > stopCnt).toSeq
+        safe.foreach { case (l, r, c) =>
+          out += Merge(out.size, l, r, c)
+        }
+        words = words.withColumn("syms",
+          safe.foldLeft(col("syms")) { case (acc, (l, r, _)) =>
+            toColumn(graft.functions.MergePair(toExpression(acc), l, r))
+          }).localCheckpoint(true)
+      }
+    }
+    out.toSeq
+  }
+
   /** Apply a learned merge table to a symbol-array column: left fold
     * in rank order (greedy BPE segmentation). Compiles to `|merges|`
     * chained codegen'd MergePair calls — one generated loop, no UDF.
@@ -122,7 +208,9 @@ object BpeTrain {
     val hit = mergeCache.get(cacheKey)
     if (hit != null) hit
     else {
-      val m = trainMerges(docs, numMerges)
+      // batched trainer: provably identical merge list, ~batchSize×
+      // fewer driver round-trips (see trainMergesBatched scaladoc)
+      val m = trainMergesBatched(docs, numMerges)
       val prev = mergeCache.putIfAbsent(cacheKey, m)
       if (prev != null) prev else m
     }

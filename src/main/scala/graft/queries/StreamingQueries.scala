@@ -60,6 +60,16 @@ object StreamingQueries {
     * same keys in SQL. State cardinality = accounts × metrics × days
     * (~8k at the graded sf) — the per-tenant dimensioning the other
     * streaming queries don't exercise.
+    *
+    * The sink is the DURABLE [[graft.streaming.ParquetServingStore]]
+    * (round-7 verdict #5): executors write each micro-batch straight
+    * into the gran/pday-partitioned layout, and the declared result is
+    * read back through the store's latest-batch-wins parquet path — a
+    * FileSourceScan over the partition tree (PlanSpec asserts the
+    * declared plan reads the partitioned store, not a driver-resident
+    * snapshot), the same read path whose per-prefix pruning ScaleSpec
+    * pins. At 100 TB the driver never holds the key space; the
+    * InMemory store remains a test double.
     */
   val streamAccountDaily = DeclaredQuery(
     "q_stream_account_daily",
@@ -70,10 +80,11 @@ object StreamingQueries {
       |FROM events
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>
-    import s.implicits._
     val checkpoint = graft.SparkEnv.scratchDir("graft-stream-acct-ckpt")
-    val store = Serving.runAccountPipeline(s, d, new InMemoryServingStore, checkpoint)
-    store.snapshot().toDF()
+    val store = new graft.streaming.ParquetServingStore(
+      s, graft.SparkEnv.scratchDir("graft-stream-acct-store"))
+    Serving.runAccountPipeline(s, d, store, checkpoint)
+    store.latest()
       .select(col("key"), col("nEvents").as("n_events"),
         col("sumValue").as("sum_value"))
       .orderBy("key")

@@ -110,6 +110,33 @@ class BpeTrainSpec extends SparkSpec {
     assert(got.size == 16, s"fixture corpus should support 16 merges, got ${got.size}")
   }
 
+  test("batched trainer reproduces the 1-per-round merge sequence exactly " +
+      "(fixture corpus, toy corpora, and every batch size)") {
+    val docs = Tables.documents(spark, sf)
+    val want = BpeTrain.trainMerges(docs, 16)
+    for (bs <- Seq(1, 2, 4, 16)) {
+      val got = BpeTrain.trainMergesBatched(docs, 16, batchSize = bs)
+      assert(got == want, s"batchSize=$bs: first divergence " +
+        got.zip(want).find(p => p._1 != p._2))
+    }
+    // the adversarial tie shape from the strict-dominance analysis:
+    // merging (a,c) creates (ac,y) which TIES the disjoint (b,b)
+    // count and wins the lexicographic tiebreak — a batch that kept
+    // (b,b) would diverge; the guard must collapse the round to 1
+    val tie = Seq((1L,
+      ("a c y " * 10) + ("b b " * 10) + ("a c " * 10), "en"))
+      .toDF("doc_id", "text", "lang")
+    val wantTie = BpeTrain.trainMerges(tie, 6)
+    val gotTie = BpeTrain.trainMergesBatched(tie, 6, batchSize = 8)
+    assert(gotTie == wantTie, s"tie corpus: got $gotTie want $wantTie")
+    // and the empty / early-stop edges
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(BpeTrain.trainMergesBatched(empty, 4).isEmpty)
+    val short = Seq((1L, "ab ab ab", "en")).toDF("doc_id", "text", "lang")
+    assert(BpeTrain.trainMergesBatched(short, 4, batchSize = 4) ==
+      BpeTrain.trainMerges(short, 4))
+  }
+
   test("training is deterministic under repartitioning") {
     val docs = Tables.documents(spark, sf)
     val a = BpeTrain.trainMerges(docs, 8)

@@ -11,6 +11,19 @@ class PlanSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("q_stream_account_daily's declared result reads the PARTITIONED parquet " +
+      "serving store, not a driver-resident snapshot (round-7 verdict #5)") {
+    // building the df runs the real streaming pipeline at the suite sf
+    // (cheap at sf0.001); the read side must be a partitioned
+    // FileSourceScan — PartitionFilters only prints for partition-aware
+    // file scans, and a LocalTableScan (InMemory snapshot) has neither
+    val p = planOf("q_stream_account_daily")
+    assert(p.contains("PartitionFilters"),
+      s"expected a partitioned file scan over the serving store:\n$p")
+    assert(!p.contains("LocalTableScan"),
+      s"declared plan still reads a driver-side snapshot:\n$p")
+  }
+
   test("pricing summary pushes the shipdate filter into the parquet scan") {
     val p = planOf("q_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
@@ -404,11 +417,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("event transitions: both windows are partitioned, none global") {
-    val p = planOf("q_event_transitions")
+    val qe = SparkEntry.queries("q_event_transitions")(spark, sf).queryExecution
     // exactly two windows: the per-user lead() and the per-from_type
-    // share — and both are PARTITIONed (an unpartitioned window would
-    // drag everything into one task)
-    assert("Window ".r.findAllIn(p).size == 2, p)
+    // share — counted STRUCTURALLY (round-7 advice: a 'Window ' string
+    // match is coupled to plan toString formatting), and both are
+    // PARTITIONed (an unpartitioned window would drag everything into
+    // one task)
+    val inner = qe.executedPlan match {
+      // AQE wraps the plan and collect() stops at the wrapper boundary
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val windows = inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, qe.executedPlan.toString)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window:\n${qe.executedPlan}")
+    val p = qe.executedPlan.toString
     assert(p.contains("windowspecdefinition(user_id"), p)
     assert(p.contains("windowspecdefinition(from_type"), p)
   }
