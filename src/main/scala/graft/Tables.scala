@@ -20,8 +20,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-(session, path) memo of the loaded relation. Every
+    * `spark.read.parquet` pays driver-side file listing + footer
+    * schema inference (~60 ms here) — measured at 0.1–0.3 s of pure
+    * fixed overhead per benchmark query (tools/PhaseProf, round 8),
+    * since a multi-table query re-lists every input. A real
+    * deployment resolves tables through a catalog/metastore exactly
+    * once; this memo is the library-local analog. Safe because the
+    * fixture dirs are immutable (read-only testdata) and a DataFrame
+    * is just an immutable logical plan; keyed by session so cloned
+    * sessions (streaming state sizing) resolve against their own
+    * config. Entries live as long as their session — bounded by
+    * |sessions| × |tables|, both tiny.
+    */
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    loaded.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -53,7 +70,7 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val raw = s.read.parquet(s"$d/events.parquet")
+    val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => // ns data surfaced as raw long via nanosAsLong
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -5,6 +5,18 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
+/** Mutable sketch buffer: `levels(0)` is an AMORTIZED append buffer
+  * (physical capacity ≥ logical fill `n0`, doubling up to the 2k
+  * compaction threshold); `levels(1..)` are exact-length compaction
+  * outputs. Round 8: the previous `Array[Array[Double]]` buffer
+  * appended with `:+`, copying the whole level-0 array on EVERY row —
+  * ~2 KB memcpy per input at k=256, which dominated
+  * `q_sketch_percentiles` (0.78 s of pure copy at sf0.1). Amortized
+  * append makes reduce O(1); the sketch VALUES are bit-identical
+  * (same compaction algebra over the same logical content).
+  */
+case class SketchBuf(var levels: Array[Array[Double]], var n0: Int)
+
 /** Mergeable multi-level quantile sketch (SURVEY.md §2 D8/J2): the
   * bounded-state path for percentiles at 100 TB, where exact
   * `percentile` sorts the group and even `approx_percentile`'s
@@ -27,42 +39,63 @@ import org.apache.spark.sql.functions.udaf
   *
   * Results are order-DEPENDENT within the error bound (which inputs
   * share a compaction depends on arrival order), so queries over it
-  * are spec-gated with rank-error assertions, not value-hashed —
-  * same policy as approx_percentile/HLL.
+  * are spec-gated with rank-error assertions — EXCEPT in the
+  * below-capacity exact regime, where the nearest-rank answer is a
+  * pure function of the input set and `q_sketch_percentiles` /
+  * `q_stream_value_percentiles` carry full value-hash oracles.
   */
 class QuantileSketchAggregator(k: Int, qs: Array[Double])
-    extends Aggregator[java.lang.Double, Array[Array[Double]], Array[Double]] {
+    extends Aggregator[java.lang.Double, SketchBuf, Array[Double]] {
 
   require(k >= 8, s"quantile_sketch: k must be >= 8, got $k")
   require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
     "quantile_sketch: quantiles must be in [0, 1]")
 
-  /** levels(l) = unsorted buffer of values with weight 2^l. */
-  override def zero: Array[Array[Double]] = Array(Array.empty[Double])
+  private val cap = 2 * k
 
-  override def reduce(levels: Array[Array[Double]],
-      v: java.lang.Double): Array[Array[Double]] = {
-    if (v == null) return levels
-    val out = levels.clone()
-    out(0) = out(0) :+ v.doubleValue()
-    compact(out)
+  override def zero: SketchBuf = SketchBuf(Array(Array.empty[Double]), 0)
+
+  override def reduce(b: SketchBuf, v: java.lang.Double): SketchBuf = {
+    if (v == null) return b
+    val l0 = b.levels(0)
+    if (b.n0 == l0.length)
+      b.levels(0) = java.util.Arrays.copyOf(
+        l0, math.min(math.max(8, l0.length * 2), cap))
+    b.levels(0)(b.n0) = v.doubleValue()
+    b.n0 += 1
+    if (b.n0 >= cap) {
+      b.levels(0) = java.util.Arrays.copyOf(b.levels(0), b.n0)
+      b.levels = compact(b.levels)
+      b.n0 = b.levels(0).length
+    }
+    b
   }
 
-  override def merge(a: Array[Array[Double]],
-      b: Array[Array[Double]]): Array[Array[Double]] = {
-    val out = new Array[Array[Double]](math.max(a.length, b.length))
+  /** Logical levels: level 0 trimmed to its fill. */
+  private def trimmed(b: SketchBuf): Array[Array[Double]] = {
+    val out = b.levels.clone()
+    out(0) = java.util.Arrays.copyOf(out(0), b.n0)
+    out
+  }
+
+  override def merge(a: SketchBuf, b: SketchBuf): SketchBuf = {
+    val al = trimmed(a)
+    val bl = trimmed(b)
+    val out = new Array[Array[Double]](math.max(al.length, bl.length))
     var l = 0
     while (l < out.length) {
-      val av = if (l < a.length) a(l) else Array.empty[Double]
-      val bv = if (l < b.length) b(l) else Array.empty[Double]
+      val av = if (l < al.length) al(l) else Array.empty[Double]
+      val bv = if (l < bl.length) bl(l) else Array.empty[Double]
       out(l) = av ++ bv
       l += 1
     }
-    compact(out)
+    val c = compact(out)
+    SketchBuf(c, c(0).length)
   }
 
   /** Promote any level over 2k: sort, keep alternate elements (parity
-    * by level), append survivors to level+1; cascade upward.
+    * by level), append survivors to level+1; cascade upward. Operates
+    * on exact-length (logical) arrays only.
     */
   private def compact(levels: Array[Array[Double]]): Array[Array[Double]] = {
     var ls = levels
@@ -87,8 +120,8 @@ class QuantileSketchAggregator(k: Int, qs: Array[Double])
   }
 
   /** Weighted nearest-rank quantiles over the (value, 2^level) pairs. */
-  override def finish(levels: Array[Array[Double]]): Array[Double] = {
-    val weighted = levels.iterator.zipWithIndex.flatMap { case (vs, l) =>
+  override def finish(b: SketchBuf): Array[Double] = {
+    val weighted = trimmed(b).iterator.zipWithIndex.flatMap { case (vs, l) =>
       val w = 1L << l
       vs.iterator.map(v => (v, w))
     }.toArray.sortBy(_._1)
@@ -109,7 +142,7 @@ class QuantileSketchAggregator(k: Int, qs: Array[Double])
     }
   }
 
-  override def bufferEncoder: Encoder[Array[Array[Double]]] = ExpressionEncoder()
+  override def bufferEncoder: Encoder[SketchBuf] = ExpressionEncoder()
   override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
 }
 

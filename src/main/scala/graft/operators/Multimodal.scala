@@ -161,10 +161,20 @@ object Multimodal {
       .orderBy("format")
   }
 
-  /** Frame-sampling plumbing: frames per doc (rows-only check;
-    * ScalaTest pins exact frame counts and byte content).
+  /** Frame-sampling plumbing, hash-gated (round-7 verdict #9): the
+    * sampler emits full 16-byte frames at stride 4 over the payload
+    * BODY (64-byte block step), so frames per doc is the closed form
+    * ⌊(|body| − 16) / 64⌋ + 1 for bodies ≥ one frame — which the
+    * oracle recomputes from `encode(text)` byte lengths. ScalaTest
+    * additionally pins frame byte CONTENT (not just counts).
     */
-  val qFrames = DeclaredQuery.noOracle("q_multimodal_frames") { (s, d) =>
+  val qFrames = DeclaredQuery(
+    "q_multimodal_frames",
+    """SELECT doc_id,
+      |  CAST((octet_length(encode(text)) - 16) // 64 + 1 AS BIGINT) AS n_frames
+      |FROM documents
+      |WHERE octet_length(encode(text)) >= 16
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
     sampleFrames(asFakeImage(Tables.documents(s, d)))
       .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
       .orderBy("doc_id")
@@ -196,11 +206,37 @@ object Multimodal {
       .orderBy("format")
   }
 
-  /** Extracted features joined back to the embeddings table — the
-    * multimodal columns composing with similarity machinery (rows-only;
-    * ScalaTest pins histogram values and norms).
+  /** Extracted features' invariants, hash-gated (round-7 verdict #9):
+    * the byte histogram is deterministic, so the oracle rebuilds the
+    * SAME fake payload as a DuckDB blob ('IMG0' ‖ dim bytes ‖
+    * encode(text)), explodes its bytes, and recomputes the high-nibble
+    * histogram — L1 norm (Σ float32(cnt/n), rounded) and the argmax
+    * bin (first max under ties ≡ min bin index with the max count;
+    * integer counts divided by one total preserve order in float32 at
+    * these magnitudes). ScalaTest pins raw histogram values; this gate
+    * proves the binary plumbing against an independent engine.
     */
-  val qFeatures = DeclaredQuery.noOracle("q_multimodal_features") { (s, d) =>
+  val qFeatures = DeclaredQuery(
+    "q_multimodal_features",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         hex('IMG0'::BLOB
+      |           || unhex(lpad(hex((n_chars % 1024) + 16), 4, '0'))
+      |           || unhex(lpad(hex((doc_id % 1024) + 16), 4, '0'))
+      |           || encode(text)) AS hx
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, len(hx) // 2 AS n,
+      |         instr('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1 AS bin
+      |  FROM p, LATERAL (
+      |    SELECT unnest(generate_series(1, len(hx) // 2)) AS i) s),
+      |h AS (SELECT doc_id, n, bin, count(*) AS cnt FROM b GROUP BY 1, 2, 3)
+      |SELECT doc_id,
+      |       round(sum(CAST(CAST(cnt AS FLOAT) / CAST(n AS FLOAT) AS DOUBLE)), 3) AS l1,
+      |       CAST(min(bin) FILTER (WHERE cnt = mx) + 1 AS BIGINT) AS argmax_bin
+      |FROM (SELECT *, max(cnt) OVER (PARTITION BY doc_id) AS mx FROM h)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val feats = extractFeaturesStub(s, asFakeImage(Tables.documents(s, d)))
     feats.select(col("doc_id"),
       round(expr("aggregate(feature, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"), 3).as("l1"),

@@ -343,15 +343,18 @@ object Functions {
         |  CAST(count(*) AS BIGINT) AS n,
         |""".stripMargin, ",\n",
       "\nFROM lineitem\nGROUP BY 1, 2\nORDER BY 1, 2")) { (s, d) =>
+    // group on the truncated TIMESTAMP and format once per group
+    // after the aggregate — date_format inside the grouping key would
+    // string-format every input row instead of every output row
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"),
-        date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM")
-          .as("ship_month"))
+        date_trunc("month", col("l_shipdate")).as("ship_m"))
       .agg(
         count(lit(1)).as("n"),
         graft.functions.QuantileSketch
           .quantile_sketch(col("l_extendedprice"), Seq(0.5, 0.9, 0.99)).as("pcts"))
-      .select(col("l_returnflag"), col("ship_month"), col("n"),
+      .select(col("l_returnflag"),
+        date_format(col("ship_m"), "yyyy-MM").as("ship_month"), col("n"),
         element_at(col("pcts"), 1).as("p50"),
         element_at(col("pcts"), 2).as("p90"),
         element_at(col("pcts"), 3).as("p99"))

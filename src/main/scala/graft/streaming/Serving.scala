@@ -171,6 +171,13 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
     * the scan).
     */
   private def latestWhere(pred: Option[org.apache.spark.sql.Column]): DataFrame = {
+    // an empty store (no batch ever committed — e.g. empty source) has
+    // no parquet footers to infer from; answer with the empty counter
+    // relation instead of UNABLE_TO_INFER_SCHEMA
+    if (!hasData) {
+      import spark.implicits._
+      return Seq.empty[ServingStore.CounterRow].toDF()
+    }
     val base = spark.read.parquet(path)
     pred.fold(base)(base.filter)
       .groupBy("key")
@@ -213,8 +220,15 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
   }
 
   private def hasData: Boolean = {
-    val files = new java.io.File(path).listFiles()
-    files != null && files.nonEmpty
+    // a zero-row micro-batch still creates its batch_id= dir (with no
+    // part files under it), so "dir non-empty" is not enough — look
+    // for an actual parquet footer anywhere in the tree
+    val root = java.nio.file.Paths.get(path)
+    java.nio.file.Files.exists(root) && {
+      val s = java.nio.file.Files.walk(root)
+      try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
   }
 
   override def snapshot(): Seq[ServingStore.CounterRow] = {

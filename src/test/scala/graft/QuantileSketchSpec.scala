@@ -68,10 +68,14 @@ class QuantileSketchSpec extends SparkSpec {
     val agg = new QuantileSketchAggregator(64, Array(0.5))
     var buf = agg.zero
     (1 to 100000).foreach(i => buf = agg.reduce(buf, i.toDouble))
-    val held = buf.map(_.length).sum
-    assert(held <= 64 * 2 * buf.length,
-      s"sketch holds $held values over ${buf.length} levels for 100k inputs")
-    assert(buf.length <= 14)
+    // logical content: level-0 fill (n0; its physical array is an
+    // amortized capacity buffer) + exact-length upper levels
+    val held = buf.n0 + buf.levels.drop(1).map(_.length).sum
+    assert(held <= 64 * 2 * buf.levels.length,
+      s"sketch holds $held values over ${buf.levels.length} levels for 100k inputs")
+    assert(buf.levels.length <= 14)
+    // amortized capacity never exceeds the compaction threshold
+    assert(buf.levels(0).length <= 2 * 64)
   }
 
   test("streaming two-batch aggregation stays within the rank bound") {
