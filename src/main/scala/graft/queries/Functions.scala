@@ -321,17 +321,21 @@ object Functions {
     * compactor, O(k·log(n/k)) state) beside exact `percentile`
     * (hash-gated) and `percentile_approx` (built-in GK). VALUE-gated
     * like its streaming twin `q_stream_value_percentiles`: keyed by
-    * (returnflag, ship month), every group at the driver's sf0.01
-    * holds ≤ 280 values — below the k=256 sketch's 2k=512 exact
-    * capacity, so level 0 never compacts and finish is structurally
-    * the nearest-rank rule sorted[max(1, ceil(q·n))] (1-based), which
-    * the DuckDB oracle replays verbatim. Partial sketches still MERGE
-    * across the 32 scan partitions, so the gate exercises the real
-    * merge algebra, not a single-buffer degenerate. Past capacity the
+    * (returnflag, ship month) with k=2048, every group at BOTH graded
+    * scales (≤ 280 values at sf0.01, ≤ 2619 at sf0.1) sits below the
+    * sketch's 2k=4096 exact capacity, so level 0 never compacts and
+    * finish is structurally the nearest-rank rule
+    * sorted[max(1, ceil(q·n))] (1-based), which the DuckDB oracle
+    * replays verbatim. Partial sketches still MERGE across the 32
+    * scan partitions, so the gate exercises the real merge algebra,
+    * not a single-buffer degenerate. Past capacity (sf ≳ 0.15) the
     * same pipeline degrades to the spec'd 2 % rank bound
-    * (QuantileSketchSpec) instead of failing; FixtureDriftSpec pins
-    * the ≤ 512 group-size precondition so fixture growth trips a
-    * named local failure, not a silent red gate.
+    * (QuantileSketchSpec pins that regime at k=256) instead of
+    * failing; FixtureDriftSpec pins the group-size precondition at
+    * both sfs so fixture growth trips a named local failure, not a
+    * silent red gate. k is the usual capacity/error knob — the gate
+    * sizes it to the graded scales the way a production job sizes it
+    * to its error budget.
     */
   val sketchPercentiles = DeclaredQuery(
     "q_sketch_percentiles",
@@ -352,7 +356,8 @@ object Functions {
       .agg(
         count(lit(1)).as("n"),
         graft.functions.QuantileSketch
-          .quantile_sketch(col("l_extendedprice"), Seq(0.5, 0.9, 0.99)).as("pcts"))
+          .quantile_sketch(col("l_extendedprice"), Seq(0.5, 0.9, 0.99), k = 2048)
+          .as("pcts"))
       .select(col("l_returnflag"),
         date_format(col("ship_m"), "yyyy-MM").as("ship_month"), col("n"),
         element_at(col("pcts"), 1).as("p50"),

@@ -99,14 +99,16 @@ class FixtureDriftSpec extends SparkSpec {
     }
   }
 
-  test("q_sketch_percentiles stays in the sketch's exact regime at the driver's sf " +
-      "(every (returnflag, month) group < 512 = 2k values, else the hash gate would drift)") {
-    val maxGroup = Tables.lineitem(spark, sf01)
-      .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")))
-      .count().agg(max("count")).head().getLong(0)
-    assert(maxGroup < 512L, s"sf0.01: largest (returnflag, month) lineitem group is " +
-      s"$maxGroup ≥ 512 — the k=256 quantile sketch would compact and the " +
-      "q_sketch_percentiles oracle gate stops being exact; re-key or raise k")
+  test("q_sketch_percentiles stays in the sketch's exact regime at both graded sfs " +
+      "(every (returnflag, month) group < 4096 = 2k values, else the hash gate would drift)") {
+    for (dir <- Seq(sf01, sf1)) {
+      val maxGroup = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")))
+        .count().agg(max("count")).head().getLong(0)
+      assert(maxGroup < 4096L, s"$dir: largest (returnflag, month) lineitem group is " +
+        s"$maxGroup ≥ 4096 — the k=2048 quantile sketch would compact and the " +
+        "q_sketch_percentiles oracle gate stops being exact; re-key or raise k")
+    }
   }
 
   test("orders/lineitem date columns stay ms-precision in the safe 1995-2001 window") {
