@@ -62,6 +62,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.ShingleScan.foldedInt(children(2), "minhash_sig k"))
       }))
     e.injectFunction((
+      FunctionIdentifier("minhash_sig_md5"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig_md5"),
+      (children: Seq[Expression]) => {
+        checkArity("minhash_sig_md5", children, 3)
+        graft.functions.MinHashSig(children(0),
+          graft.functions.ShingleScan.foldedInt(children(1), "minhash_sig_md5 n"),
+          graft.functions.ShingleScan.foldedInt(children(2), "minhash_sig_md5 k"),
+          md5 = true)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("simhash64_md5"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64_md5"),
+      (children: Seq[Expression]) => {
+        checkArity("simhash64_md5", children, 2)
+        graft.functions.SimHash64(children(0),
+          graft.functions.ShingleScan.foldedInt(children(1), "simhash64_md5 n"),
+          md5 = true)
+      }))
+    e.injectFunction((
       FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[graft.functions.WinnowFps].getName, "winnow_fps"),
       (children: Seq[Expression]) => {

@@ -74,6 +74,24 @@ private[graft] object ShingleScan {
     while (p < c.size) { f(c.slice(p)); p += 1 }
   }
 
+  /** The portable 60-bit fingerprint shared by every md5-mode sketch:
+    * top 60 bits of md5(prefix ‖ bytes) = its first 15 hex chars — the
+    * value DuckDB's `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`
+    * and Spark SQL's `conv(substring(md5(x), 1, 15), 16, 10)` produce,
+    * which is what lets the winnow/simhash/minhash declared queries
+    * carry full value-hash oracles (xxhash64 has no DuckDB twin).
+    */
+  def md5Fp60(digest: java.security.MessageDigest,
+      prefix: Array[Byte], s: UTF8String): Long = {
+    digest.reset()
+    if (prefix.length > 0) digest.update(prefix)
+    val d = digest.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   /** Evaluate a foldable INT argument at function-registration time. */
   def foldedInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be an INT literal")
@@ -88,14 +106,23 @@ private[graft] object ShingleScan {
 /** `minhash_sig(text, n, k)` → ARRAY<BIGINT>: k minhashes over the
   * doc's n-token shingles, bit-identical to the relational
   * `min(xxhash64(lit(i), xxhash64(shingle)))` pipeline.
+  *
+  * md5 mode (`minhash_sig_md5`): family i is the portable 60-bit
+  * md5-prefix of "i:" ‖ shingle — exactly DuckDB's
+  * `CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15)
+  * AS BIGINT)` — so the whole LSH pipeline replays in the oracle
+  * ([[graft.operators.Dedup]] `q_minhash_near_dups`). ~k md5s per
+  * shingle instead of k integer mixes: measurably slower, which is
+  * why the xxhash64 family stays the production default.
   */
-final case class MinHashSig(child: Expression, n: Int, k: Int)
+final case class MinHashSig(child: Expression, n: Int, k: Int,
+    md5: Boolean = false)
     extends UnaryExpression {
 
   require(n > 0 && k > 0, "minhash_sig: n and k must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_sig"
+  override def prettyName: String = if (md5) "minhash_sig_md5" else "minhash_sig"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -107,16 +134,29 @@ final case class MinHashSig(child: Expression, n: Int, k: Int)
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
 
+  @transient private lazy val md5Prefixes: Array[Array[Byte]] =
+    Array.tabulate(k)(i => s"$i:".getBytes("UTF-8"))
+
   /** Shared by interpreted eval and generated code (addReferenceObj). */
   def sig(t: UTF8String): GenericArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
+    val digest = if (md5) java.security.MessageDigest.getInstance("MD5") else null
     ShingleScan.foreachShingle(t, n) { sh =>
-      val base = XXH64.hashUTF8String(sh, 42L)
-      var i = 0
-      while (i < k) {
-        val h = XXH64.hashLong(base, seeds(i))
-        if (h < mins(i)) mins(i) = h
-        i += 1
+      if (md5) {
+        var i = 0
+        while (i < k) {
+          val h = ShingleScan.md5Fp60(digest, md5Prefixes(i), sh)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      } else {
+        val base = XXH64.hashUTF8String(sh, 42L)
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashLong(base, seeds(i))
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
       }
     }
     new GenericArrayData(mins)
@@ -273,17 +313,8 @@ final case class WinnowFps(child: Expression, n: Int, w: Int,
     var p = 0
     while (p < m) {
       hs(p) =
-        if (md5) {
-          // first 15 hex chars of md5 = top 60 bits of the first 8
-          // digest bytes (big-endian) — the value both engines' SQL
-          // hex-prefix casts produce (see class scaladoc)
-          digest.reset()
-          val d = digest.digest(c.slice(p).getBytes)
-          var v = 0L
-          var i = 0
-          while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-          v >>> 4
-        } else XXH64.hashUTF8String(c.slice(p), 42L)
+        if (md5) ShingleScan.md5Fp60(digest, Array.emptyByteArray, c.slice(p))
+        else XXH64.hashUTF8String(c.slice(p), 42L)
       p += 1
     }
     // sliding-window minimum via monotonic index deque — O(m) total
@@ -320,14 +351,20 @@ final case class WinnowFps(child: Expression, n: Int, w: Int,
 /** `simhash64(text, n)` → BIGINT: Charikar SimHash over the doc's
   * DISTINCT n-token-shingle fingerprints (per-bit ±1 vote, sign →
   * bit), matching the relational 64-sum-aggregate form bit-for-bit.
+  *
+  * md5 mode (`simhash64_md5`): votes over the portable 60-bit
+  * md5-prefix fingerprint instead of xxhash64, restricted to bits
+  * 0..59 (the fingerprint has no entropy above bit 59, so md5-mode
+  * simhashes have bits 60..63 = 0) — fully replayable in DuckDB SQL,
+  * which is what gates `q_simhash_near_dups`.
   */
-final case class SimHash64(child: Expression, n: Int)
+final case class SimHash64(child: Expression, n: Int, md5: Boolean = false)
     extends UnaryExpression {
 
   require(n > 0, "simhash64: n must be positive")
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = if (md5) "simhash64_md5" else "simhash64"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -341,11 +378,15 @@ final case class SimHash64(child: Expression, n: Int)
     // fine and dies young
     val seen = new java.util.HashSet[java.lang.Long]()
     val counts = new Array[Int](64)
+    val nBits = if (md5) 60 else 64
+    val digest = if (md5) java.security.MessageDigest.getInstance("MD5") else null
     ShingleScan.foreachShingle(t, n) { sh =>
-      val h = XXH64.hashUTF8String(sh, 42L)
+      val h =
+        if (md5) ShingleScan.md5Fp60(digest, Array.emptyByteArray, sh)
+        else XXH64.hashUTF8String(sh, 42L)
       if (seen.add(h)) {
         var b = 0
-        while (b < 64) {
+        while (b < nBits) {
           if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
           b += 1
         }
@@ -353,7 +394,7 @@ final case class SimHash64(child: Expression, n: Int)
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    while (b < nBits) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 

@@ -8,11 +8,17 @@ import org.apache.spark.sql.functions._
 /** Near-duplicate detection at scale (SURVEY.md §2 K2; prompt's
   * training-data dedup list): MinHash + banded LSH and SimHash.
   *
-  * Both are randomized-sketch algorithms, so they carry no SQL oracle
-  * (the driver does a rows-only check); their correctness story is the
-  * ScalaTest suite, which checks the candidate pairs they emit against
-  * the exact prefix-blocked Jaccard pairs (LlmOps.nearDupPairs — the
-  * planted ~5 % dup families in the fixtures).
+  * Both sketches are DETERMINISTIC given their hash family, and since
+  * round 8 the declared queries run the portable md5-prefix family
+  * (`minhash_sig_md5` / `simhash64_md5` — replayable as DuckDB SQL),
+  * so the full pipelines carry value-hash oracles: candidate
+  * generation, bucketing, and verification all gate against an
+  * independent engine. The xxhash64 family stays the production
+  * default (cheaper per shingle); its correctness story is the
+  * ScalaTest suite, which checks the candidate pairs against the
+  * exact prefix-blocked Jaccard pairs (LlmOps.nearDupPairs — the
+  * planted ~5 % dup families in the fixtures) — and the portable
+  * family passes the same planted-recall specs.
   *
   * Scale design: everything is explode → hash → groupBy — linear scans
   * plus equi-shuffles on (band, signature) bucket keys. No cross join
@@ -113,6 +119,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Oracle-replayable LSH candidates (round 8): the md5-mode minhash
+    * family (`minhash_sig_md5`, k=16) banded into 4 bands of r=4,
+    * bucketed by the raw 4-value band TUPLE instead of a band hash —
+    * DuckDB groups/joins on the same list value, so the candidate set
+    * (and hence the verified pair set) replays exactly in the
+    * `q_minhash_near_dups` oracle SQL. Same within-bucket ordered-pair
+    * expansion as [[minhashCandidates]]; the xxhash64 + hashed-band
+    * form stays the production default (cheaper per shingle, and the
+    * band hash shrinks the shuffle key).
+    */
+  def minhashCandidatesPortable(docs: DataFrame, k: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val r = k / bands
+    val sigs = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr(s"minhash_sig_md5(text, 3, $k)").as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band") +:
+        (1 to r).map(j => element_at(col("sig"), b * r + j).as(s"s$j")): _*)
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .groupBy(col("bb"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids) - 2), " +
+          "i -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "b -> struct(ids[i] AS id_a, b AS id_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+  }
+
   /** Exact set-Jaccard for a candidate pair set over any (doc_id, elem)
     * element relation — only candidates pay the set-intersection cost.
     */
@@ -197,7 +234,7 @@ object Dedup {
     * Implemented relationally (explode shingle × bit) so it scales the
     * same way as minhash; the bit loop is a 64-element array expr.
     */
-  def simhash(docs: DataFrame): DataFrame =
+  def simhash(docs: DataFrame, portableHash: Boolean = false): DataFrame =
     // whole-fingerprint expression: one codegen'd pass per doc, zero
     // shuffles (the round-3 form shuffled distinct (doc, hash) pairs
     // then 64 sum-aggregates; SketchExprSpec asserts bit-parity with
@@ -206,15 +243,21 @@ object Dedup {
     // artifact where every NULL-text doc got the same constant
     // fingerprint (xxhash64 of a NULL shingle = the seed) and so all
     // NULL-text docs paired with each other at Hamming distance 0.
+    // portableHash votes over the 60-bit md5-prefix fingerprint
+    // instead of xxhash64 (bits 60..63 = 0) — the oracle-replayable
+    // mode the declared q_simhash_near_dups runs in.
     docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), expr("simhash64(text, 3)").as("simhash"))
+      .select(col("doc_id"),
+        expr(s"${if (portableHash) "simhash64_md5" else "simhash64"}(text, 3)")
+          .as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using
     * 16-bit block bucketing (pigeonhole: dist ≤ 3 ⇒ ≥1 of 4 blocks
     * equal) — candidates from equi-joins, verified with bit_count.
     */
-  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sh = simhash(docs)
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+      portableHash: Boolean = false): DataFrame = {
+    val sh = simhash(docs, portableHash)
     val blocks = sh.select(col("doc_id"), col("simhash"),
       explode(expr(
         "transform(sequence(0, 3), b -> struct(b AS blk, " +
@@ -548,20 +591,6 @@ object Dedup {
         round(col("n_shared_fps").cast("double") / col("lnf"), 6).as("overlap"))
   }
 
-  // ---- declared queries (minhash/simhash rows-only — sketch values
-  // are algorithm-specific; winnow family oracle-gated via the
-  // portable md5-prefix hash) ----
-
-  val qMinhash = DeclaredQuery.noOracle("q_minhash_near_dups") { (s, d) =>
-    minhashNearDups(Tables.documents(s, d))
-      .orderBy("id_a", "id_b")
-  }
-
-  val qSimhash = DeclaredQuery.noOracle("q_simhash_near_dups") { (s, d) =>
-    simhashNearDups(Tables.documents(s, d))
-      .orderBy("id_a", "id_b")
-  }
-
   /** Shared oracle fragment: positional n=3 shingles + the winnow
     * trailing-window (w=4) minimum over the portable 60-bit md5-prefix
     * hash — DuckDB's `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`
@@ -585,6 +614,96 @@ object Dedup {
       |           OVER (PARTITION BY doc_id ORDER BY pos
       |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
       |  FROM sh)""".stripMargin
+
+  // ---- declared queries: the ENTIRE deterministic dedup family is
+  // oracle-gated via the portable md5-prefix hash (minhash-LSH,
+  // simhash, winnowing, passage overlap); xxhash64 forms remain the
+  // production defaults with spec gates ----
+
+  /** The full MinHash-LSH pipeline, VALUE-gated end-to-end (round 8):
+    * portable md5-family signatures → raw-tuple band buckets → exact
+    * shingle-set Jaccard verify at τ=0.5 — every stage replayed by
+    * the oracle SQL, so the gate covers candidate GENERATION (which
+    * pair even gets verified), not just the verification arithmetic
+    * that `q_near_dup_pairs` already pins. The xxhash64 production
+    * pipeline ([[minhashNearDups]]) keeps its planted-family spec
+    * gates and the streaming-twin equality check.
+    */
+  val qMinhash = DeclaredQuery(
+    "q_minhash_near_dups",
+    s"""$winnowOracleCtes,
+       |g AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       |mh AS (
+       |  SELECT s.doc_id, i.i,
+       |         min(CAST('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || s.shingle), 1, 15)
+       |             AS BIGINT)) AS mh
+       |  FROM sh s, LATERAL (SELECT unnest(generate_series(0, 15)) AS i) i
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS key
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN g a ON a.doc_id = c.id_a
+       |  JOIN g b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT i.id_a, i.id_b,
+       |       round(CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter), 6) AS jaccard
+       |FROM inter i
+       |JOIN cnt ca ON ca.doc_id = i.id_a
+       |JOIN cnt cb ON cb.doc_id = i.id_b
+       |WHERE CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cand = minhashCandidatesPortable(docs).persist()
+    verifyCandidates(docs, cand)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dups, VALUE-gated (round 8): md5-mode 60-bit votes,
+    * 16-bit block buckets, Hamming ≤ 3 — bucketing, vote signs, and
+    * the bit_count verify all replayed in the oracle. Production
+    * xxhash64 simhash keeps its spec gates.
+    */
+  val qSimhash = DeclaredQuery(
+    "q_simhash_near_dups",
+    s"""$winnowOracleCtes,
+       |f AS (SELECT DISTINCT doc_id,
+       |             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS fp
+       |      FROM sh),
+       |bits AS (
+       |  SELECT doc_id, b.b,
+       |         sum(CASE WHEN (fp >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM f, LATERAL (SELECT unnest(generate_series(0, 59)) AS b) b
+       |  GROUP BY 1, 2),
+       |simh AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+       |           AS BIGINT) AS sh64
+       |  FROM bits GROUP BY 1),
+       |blk AS (
+       |  SELECT doc_id, sh64, b.b AS blk, (sh64 >> (b.b * 16)) & 65535 AS blk_val
+       |  FROM simh, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) b),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.sh64 AS sa, b.sh64 AS sb
+       |  FROM blk a JOIN blk b
+       |    ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    simhashNearDups(Tables.documents(s, d), portableHash = true)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
 
   val qWinnow = DeclaredQuery(
     "q_winnow_fingerprints",

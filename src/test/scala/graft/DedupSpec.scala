@@ -45,6 +45,28 @@ class DedupSpec extends SparkSpec {
     assert(extras.isEmpty, s"false positives: $extras")
   }
 
+  test("portable (md5-family) LSH pipeline keeps the planted recall — the " +
+      "declared q_minhash_near_dups form detects what the production form does") {
+    val found = Dedup.verifyCandidates(docs,
+        Dedup.minhashCandidatesPortable(docs), tau = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // k=16/b=4/r=4 has P(miss) ≈ (1-0.89^4)^4 ≈ 2e-3 per planted pair;
+    // deterministic hashing makes the result stable run-to-run
+    assert(exactPairs.subsetOf(found), s"missed: ${exactPairs.diff(found)}")
+    assert(found.diff(exactPairs).isEmpty,
+      s"false positives: ${found.diff(exactPairs)}")
+  }
+
+  test("portable (md5) simhash pairs are high-Jaccard pairs too") {
+    val sim = Dedup.simhashNearDups(docs, maxDist = 3, portableHash = true)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.subsetOf(exactPairs), s"non-near-dup pairs: ${sim.diff(exactPairs)}")
+    assert(sim.size >= exactPairs.size / 2,
+      s"md5 simhash found only ${sim.size} of ${exactPairs.size}")
+  }
+
   test("dedup is idempotent (dropDuplicates fixpoint)") {
     val once = docs.dropDuplicates("text")
     assert(once.count() == once.dropDuplicates("text").count())

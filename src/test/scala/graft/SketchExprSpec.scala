@@ -118,6 +118,47 @@ class SketchExprSpec extends SparkSpec {
     assert(ref("p q r s t u v w", 3, 4).forall(v => v >= 0L && v < (1L << 60)))
   }
 
+  test("minhash_sig_md5 / simhash64_md5 equal driver-side references on edge shapes " +
+      "(the oracle-gate hash contract for the LSH and simhash pipelines)") {
+    import spark.implicits._
+    def md5fp(prefix: String, s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((prefix + s).getBytes("UTF-8"))
+      var v = 0L
+      (0 until 8).foreach(i => v = (v << 8) | (d(i) & 0xffL))
+      v >>> 4
+    }
+    def shinglesOf(t: String, n: Int): Seq[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < n) Seq(t) else toks.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    val texts = Seq("", "one", "a  b", " lead", "trail ",
+      "p q r s t u v w", "x x x x x x")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // minhash_sig_md5: family i = min over shingles of fp60("i:" + s)
+    val k = 8
+    val mh = df.selectExpr("doc_id", s"minhash_sig_md5(text, 3, $k) AS sig")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = (0 until k).map(fam =>
+        shinglesOf(t, 3).map(s => md5fp(s"$fam:", s)).min).toVector
+      assert(mh(i.toLong) == want, s"minhash doc=$i text='$t'")
+    }
+    // simhash64_md5: ±1 votes over DISTINCT fp60s, bits 0..59
+    val sh = df.selectExpr("doc_id", "simhash64_md5(text, 3) AS f")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val fps = shinglesOf(t, 3).map(s => md5fp("", s)).distinct
+      val want = (0 until 60).foldLeft(0L) { (acc, b) =>
+        val v = fps.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (v > 0) acc | (1L << b) else acc
+      }
+      assert(sh(i.toLong) == want, s"simhash doc=$i text='$t'")
+      assert((sh(i.toLong) >>> 60) == 0L, "md5-mode simhash must keep bits 60..63 clear")
+    }
+  }
+
   test("winnow_fps randomized parity vs a driver-side reference (edge shapes)") {
     // seeded random corpora with the shapes the fixture lacks: empty
     // strings, single tokens, consecutive spaces (empty tokens),

@@ -104,10 +104,15 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
-  test("q_stream_near_dups equals q_minhash_near_dups end-to-end") {
+  test("q_stream_near_dups equals the batch production pipeline end-to-end") {
+    // round 8: the DECLARED q_minhash_near_dups moved to the portable
+    // md5 hash family (oracle-gated); the streaming twin shares the
+    // xxhash64 production machinery, so equality is asserted against
+    // minhashNearDups — the same pipeline StreamDedup bands with
     val stream = SparkEntry.queries("q_stream_near_dups")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val batch = SparkEntry.queries("q_minhash_near_dups")(spark, sf)
+    val batch = graft.operators.Dedup
+      .minhashNearDups(Tables.documents(spark, sf))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(batch.nonEmpty)
     assert(stream == batch,
