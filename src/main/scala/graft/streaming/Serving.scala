@@ -149,6 +149,14 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
 
   private def writeBatch(keyed: DataFrame, batchId: Long): Unit =
     withPartitionCols(keyed)
+      // co-locate each (gran, pday) dir on one task before the
+      // partitioned write: without this every upstream task writes a
+      // sliver into every day directory (8 state partitions × 31 day
+      // dirs ≈ 250 small files PER BATCH — measured 0.5 s write
+      // premium + 0.4 s read-back at sf0.1; round 8). One small
+      // shuffle of the micro-batch beats a small-files store — the
+      // same compaction trade every partitioned-sink pipeline makes.
+      .repartition(col("gran"), col("pday"))
       .write.partitionBy("gran", "pday")
       .mode("overwrite").parquet(s"$path/batch_id=$batchId")
 
