@@ -92,6 +92,43 @@ private[graft] object ShingleScan {
     v >>> 4
   }
 
+  /** Mersenne prime 2^61 − 1 — the modulus of the portable
+    * Carter–Wegman hash family below.
+    */
+  val MERSENNE61: Long = (1L << 61) - 1
+
+  /** Exact (a·x + b) mod (2^61 − 1) for 0 ≤ a, x < 2^60, 0 ≤ b < 2^61:
+    * 128-bit product via multiplyHigh, folded with 2^61 ≡ 1 (so
+    * 2^64 ≡ 8). Bit-identical to DuckDB's
+    * `(CAST(a AS HUGEINT) * x + b) % 2305843009213693951` — the mix
+    * that gives the md5-mode minhash its k families from ONE md5 per
+    * shingle (k digests per shingle measured ~40 % of the whole
+    * q_minhash_near_dups wall time before this).
+    */
+  def mersenneMix(a: Long, x: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, x) // < 2^56 for a, x < 2^60
+    val lo = a * x                   // low 64 bits (unsigned semantics)
+    var r = hi * 8 + (lo >>> 61) + (lo & MERSENNE61) // < 2^62
+    r = (r >>> 61) + (r & MERSENNE61)
+    r += b
+    r = (r >>> 61) + (r & MERSENNE61)
+    while (r >= MERSENNE61) r -= MERSENNE61
+    r
+  }
+
+  /** The published family constants: a_i = fp60(md5("a:i")) | 1 (odd,
+    * nonzero), b_i = fp60(md5("b:i")) — derived identically inline in
+    * the oracle SQL, so both engines share the family by construction.
+    */
+  def familyConsts(k: Int): (Array[Long], Array[Long]) = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val a = Array.tabulate(k)(i => md5Fp60(digest, Array.emptyByteArray,
+      UTF8String.fromString(s"a:$i")) | 1L)
+    val b = Array.tabulate(k)(i => md5Fp60(digest, Array.emptyByteArray,
+      UTF8String.fromString(s"b:$i")))
+    (a, b)
+  }
+
   /** Evaluate a foldable INT argument at function-registration time. */
   def foldedInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be an INT literal")
@@ -107,13 +144,15 @@ private[graft] object ShingleScan {
   * doc's n-token shingles, bit-identical to the relational
   * `min(xxhash64(lit(i), xxhash64(shingle)))` pipeline.
   *
-  * md5 mode (`minhash_sig_md5`): family i is the portable 60-bit
-  * md5-prefix of "i:" ‖ shingle — exactly DuckDB's
-  * `CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15)
-  * AS BIGINT)` — so the whole LSH pipeline replays in the oracle
-  * ([[graft.operators.Dedup]] `q_minhash_near_dups`). ~k md5s per
-  * shingle instead of k integer mixes: measurably slower, which is
-  * why the xxhash64 family stays the production default.
+  * md5 mode (`minhash_sig_md5`): the portable Carter–Wegman family —
+  * ONE 60-bit md5-prefix fingerprint per shingle, mixed into k
+  * families by (a_i·x + b_i) mod (2^61 − 1) with a_i/b_i themselves
+  * md5-derived ([[ShingleScan.familyConsts]]) — every step exact
+  * HUGEINT SQL in DuckDB, so the whole LSH pipeline replays in the
+  * oracle ([[graft.operators.Dedup]] `q_minhash_near_dups`). The
+  * xxhash64 family stays the production default (no string md5 at
+  * all); an earlier md5-per-family variant cost ~40 % of the query —
+  * the single-digest + integer-mix form closes most of that.
   */
 final case class MinHashSig(child: Expression, n: Int, k: Int,
     md5: Boolean = false)
@@ -134,8 +173,7 @@ final case class MinHashSig(child: Expression, n: Int, k: Int,
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
 
-  @transient private lazy val md5Prefixes: Array[Array[Byte]] =
-    Array.tabulate(k)(i => s"$i:".getBytes("UTF-8"))
+  @transient private lazy val (famA, famB) = ShingleScan.familyConsts(k)
 
   /** Shared by interpreted eval and generated code (addReferenceObj). */
   def sig(t: UTF8String): GenericArrayData = {
@@ -143,9 +181,10 @@ final case class MinHashSig(child: Expression, n: Int, k: Int,
     val digest = if (md5) java.security.MessageDigest.getInstance("MD5") else null
     ShingleScan.foreachShingle(t, n) { sh =>
       if (md5) {
+        val base = ShingleScan.md5Fp60(digest, Array.emptyByteArray, sh)
         var i = 0
         while (i < k) {
-          val h = ShingleScan.md5Fp60(digest, md5Prefixes(i), sh)
+          val h = ShingleScan.mersenneMix(famA(i), base, famB(i))
           if (h < mins(i)) mins(i) = h
           i += 1
         }

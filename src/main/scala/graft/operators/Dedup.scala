@@ -636,8 +636,11 @@ object Dedup {
        |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
        |mh AS (
        |  SELECT s.doc_id, i.i,
-       |         min(CAST('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || s.shingle), 1, 15)
-       |             AS BIGINT)) AS mh
+       |         min(CAST((
+       |           CAST((CAST('0x' || substr(md5('a:' || i.i), 1, 15) AS BIGINT) | 1) AS HUGEINT)
+       |           * CAST('0x' || substr(md5(s.shingle), 1, 15) AS BIGINT)
+       |           + CAST('0x' || substr(md5('b:' || i.i), 1, 15) AS BIGINT)
+       |         ) % 2305843009213693951 AS BIGINT)) AS mh
        |  FROM sh s, LATERAL (SELECT unnest(generate_series(0, 15)) AS i) i
        |  GROUP BY 1, 2),
        |bands AS (

@@ -136,13 +136,19 @@ class SketchExprSpec extends SparkSpec {
       "p q r s t u v w", "x x x x x x")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
-    // minhash_sig_md5: family i = min over shingles of fp60("i:" + s)
+    // minhash_sig_md5: Carter–Wegman family over ONE fp60 per shingle
+    // — BigInt reference arithmetic pins the exact Mersenne-fold mod
     val k = 8
+    val P = BigInt((1L << 61) - 1)
     val mh = df.selectExpr("doc_id", s"minhash_sig_md5(text, 3, $k) AS sig")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
     texts.zipWithIndex.foreach { case (t, i) =>
-      val want = (0 until k).map(fam =>
-        shinglesOf(t, 3).map(s => md5fp(s"$fam:", s)).min).toVector
+      val want = (0 until k).map { fam =>
+        val a = BigInt(md5fp("", s"a:$fam") | 1L)
+        val b = BigInt(md5fp("", s"b:$fam"))
+        shinglesOf(t, 3)
+          .map(s => ((a * BigInt(md5fp("", s)) + b) mod P).toLong).min
+      }.toVector
       assert(mh(i.toLong) == want, s"minhash doc=$i text='$t'")
     }
     // simhash64_md5: ±1 votes over DISTINCT fp60s, bits 0..59
