@@ -36,11 +36,22 @@ object SparkEnv {
     root.getAbsolutePath
   }
 
-  /** Fresh scratch dir (checkpoints etc.) under the tmpfs root. */
-  def scratchDir(prefix: String): String =
-    java.nio.file.Files
+  /** Fresh scratch dir (checkpoints etc.) under the tmpfs root.
+    * Every dir this JVM creates is deleted at JVM exit through
+    * Spark's own TEMP_DIR-priority shutdown hook
+    * ([[org.apache.spark.GraftScratchBridge]]) — correctly ordered
+    * after stream/context shutdown. Round-8 review: declared queries
+    * mint per-run checkpoint / store / export dirs on tmpfs, and
+    * repeated bench/tool runs were accumulating RAM-backed copies in
+    * /dev/shm for the machine's lifetime. Only THIS process's dirs
+    * are registered — concurrent JVMs sharing the root are unaffected.
+    */
+  def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get(scratchRoot), prefix)
-      .toString
+    org.apache.spark.GraftScratchBridge.deleteOnExit(dir.toFile)
+    dir.toString
+  }
 
   /** Common config for every session this library creates: local-mode
     * parallelism from SPARK_GRAFT_CPUS (default = all cores), shuffle
@@ -63,15 +74,20 @@ object SparkEnv {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", scratchRoot)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // ObjectHashAggregate (typed UDAFs: quantile/KMV/MG sketches,
-      // TopK) falls back to SORT-based aggregation past this many
-      // in-memory groups — default 128, which made the 249-group
-      // q_sketch_percentiles pay a full 600k-row sort (measured
-      // 2.85 s → 1.21 s at 4096; tools/SketchProf). Every aggregator
-      // in this engine holds bounded O(k) state (~4 KB), so thousands
-      // of object buffers per task are memory-safe; at 100 TB this is
-      // the same knob sized to state-size × group-cardinality.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      // ObjectHashAggregate falls back to SORT-based aggregation past
+      // this many in-memory groups — default 128, which made the
+      // 249-group q_sketch_percentiles pay a full 600k-row sort
+      // (measured 2.85 → 1.21 s; tools/SketchProf). 1024, not higher:
+      // the knob is session-global and also governs UNBOUNDED object
+      // aggregates (collect_set bucket lists, exact percentile), whose
+      // worst-case concurrent buffer memory it multiplies — the
+      // engine's own sketch UDAFs hold bounded O(k) state (~4–32 KB)
+      // but the collect paths are only df-ceiling/bucket-bounded, so
+      // the sort fallback must stay reachable for them (round-8
+      // review). 1024 clears every declared >128-group sketch
+      // aggregation with headroom at 8× less exposure than 4096; at
+      // 100 TB size it to state-size × per-task group cardinality.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1024")
       .withExtensions(new GraftExtensions)
   }
 }

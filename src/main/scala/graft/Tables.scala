@@ -30,15 +30,24 @@ object Tables {
     * fixture dirs are immutable (read-only testdata) and a DataFrame
     * is just an immutable logical plan; keyed by session so cloned
     * sessions (streaming state sizing) resolve against their own
-    * config. Entries live as long as their session — bounded by
-    * |sessions| × |tables|, both tiny.
+    * config. LRU-bounded at 256 entries (round-8 review: an unbounded
+    * map pins every session a long-lived JVM ever created — the sbt
+    * test JVM makes dozens — for the process lifetime); an evicted
+    * entry just re-lists on next use, and DataFrames already handed
+    * out stay valid (immutable plans).
     */
   private val loaded =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > 256
+    }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    loaded.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
-      k => k._1.read.parquet(k._2))
+    loaded.synchronized {
+      loaded.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+        k => k._1.read.parquet(k._2))
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -123,13 +123,30 @@ object BpeTrain {
     *  - STRICT-DOMINANCE guard: beyond the head pair, keep only
     *    accepted pairs with cnt STRICTLY greater than the first
     *    rejected candidate's count c*. Every pair created or changed
-    *    by an accepted merge contains a touched symbol, so its count
-    *    is bounded by some conflicting (hence rejected, hence ≤ c*)
-    *    pair's old count — strictly below every kept pair, so the
-    *    1-per-round argmax provably picks the kept pairs in exactly
-    *    this order before any new pair can surface. (The tie case is
-    *    real: a new pair can tie c* and win the lexicographic
+    *    by an accepted NON-self merge contains a touched symbol and
+    *    derives from an old adjacency that itself conflicts (e.g. a
+    *    new (x, ab) needs an old (x, a); a new (ab, ab) needs an old
+    *    (b, a)), so its count is bounded by some rejected (hence
+    *    ≤ c*) pair's old count — strictly below every kept pair, so
+    *    the 1-per-round argmax provably picks the kept pairs in
+    *    exactly this order before any new pair can surface. (The tie
+    *    case is real: a new pair can tie c* and win the lexicographic
     *    tiebreak — hence STRICT.)
+    *  - SELF-pair stop: a merge (a, a) is the one case whose created
+    *    pair (aa, aa) derives from the ACCEPTED adjacency itself —
+    *    runs of ≥ 4 a's yield (aa, aa) counts bounded only by
+    *    cnt(a,a), which can outrank later accepted candidates (found
+    *    in round-8 review: 100×"aaaaaa" gives (a,a)=500 then
+    *    (aa,aa)=200 > a disjoint (b,c)=150 — the sequential trainer
+    *    picks (aa,aa) second, a naive batch keeps (b,c)). An accepted
+    *    self-pair therefore TERMINATES the batch: it is sound as the
+    *    final member (everything the earlier non-self merges create
+    *    is ≤ c* < its count), and whatever it spawns is recounted
+    *    next round. (The exhausted-candidate-list branch needs no
+    *    such guard: a self-pair (a,a) always coexists with some
+    *    conflicting (a, x≠a) pair — the run's last `a` pairs with its
+    *    successor or `</w>` — so a conflict-free full list contains
+    *    no self-pair at all.)
     *
     * Worst case (every round collapses to 1 merge) equals the old
     * cost; on natural corpora most rounds accept near batchSize, so
@@ -159,14 +176,16 @@ object BpeTrain {
         var stopCnt = -1L // count of the first non-accepted candidate
         var i = 0
         var stopped = false
+        var selfPairAccepted = false // see scaladoc: self-merge ends the batch
         while (i < cand.length && !stopped) {
           val (l, r, c) = cand(i)
-          if (accepted.size >= cap || c < minCount ||
+          if (accepted.size >= cap || selfPairAccepted || c < minCount ||
               touched.contains(l) || touched.contains(r)) {
             stopCnt = c
             stopped = true
           } else {
             accepted += ((l, r, c)); touched += l; touched += r
+            if (l == r) selfPairAccepted = true
           }
           i += 1
         }

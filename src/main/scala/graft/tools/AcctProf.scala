@@ -37,8 +37,6 @@ object AcctProf {
       graft.SparkEntry.queries("q_stream_account_daily")(spark, sfDir)
         .queryExecution.toRdd.count()
     }
-    // how many files did the partitioned store write?
-    val root = java.nio.file.Paths.get(lastStore.toString)
     spark.stop()
   }
 }

@@ -1,0 +1,15 @@
+package org.apache.spark
+
+/** Bridge to `private[spark]` ShutdownHookManager: register a scratch
+  * dir for deletion by Spark's own TEMP_DIR-priority shutdown hook —
+  * the same mechanism Spark uses for its block-manager temp dirs, so
+  * deletion is correctly ordered AFTER streaming-query / SparkContext
+  * shutdown (a hand-rolled `Runtime.addShutdownHook` races them).
+  * Lives in the `org.apache.spark` package solely to satisfy the
+  * access qualifier; the engine-facing surface is
+  * [[graft.SparkEnv.scratchDir]].
+  */
+object GraftScratchBridge {
+  def deleteOnExit(dir: java.io.File): Unit =
+    util.ShutdownHookManager.registerShutdownDeleteDir(dir)
+}

@@ -119,16 +119,42 @@ class BpeTrainSpec extends SparkSpec {
       assert(got == want, s"batchSize=$bs: first divergence " +
         got.zip(want).find(p => p._1 != p._2))
     }
-    // the adversarial tie shape from the strict-dominance analysis:
-    // merging (a,c) creates (ac,y) which TIES the disjoint (b,b)
-    // count and wins the lexicographic tiebreak — a batch that kept
-    // (b,b) would diverge; the guard must collapse the round to 1
-    val tie = Seq((1L,
-      ("a c y " * 10) + ("b b " * 10) + ("a c " * 10), "en"))
+    // the adversarial SELF-PAIR shape (round-8 review finding): after
+    // merging (a,a), runs of a's spawn (aa,aa) with count bounded only
+    // by the accepted pair itself — here (a,a)=500 then (aa,aa)=200
+    // outranks the disjoint (b,c)=150 a naive batch would also have
+    // kept; the self-pair batch-stop must collapse that round to the
+    // head merge alone
+    val selfCorpus = Seq(
+      (1L, Seq.fill(100)("aaaaaa").mkString(" "), "en"),
+      (2L, Seq.fill(80)("bcx").mkString(" "), "en"),
+      (3L, Seq.fill(70)("bcy").mkString(" "), "en"))
       .toDF("doc_id", "text", "lang")
-    val wantTie = BpeTrain.trainMerges(tie, 6)
-    val gotTie = BpeTrain.trainMergesBatched(tie, 6, batchSize = 8)
-    assert(gotTie == wantTie, s"tie corpus: got $gotTie want $wantTie")
+    val wantSelf = BpeTrain.trainMerges(selfCorpus, 8)
+    for (bs <- Seq(2, 8)) {
+      val gotSelf = BpeTrain.trainMergesBatched(selfCorpus, 8, batchSize = bs)
+      assert(gotSelf == wantSelf,
+        s"self-pair corpus bs=$bs: first divergence " +
+          gotSelf.zip(wantSelf).find(p => p._1 != p._2) +
+          s"\n got $gotSelf\nwant $wantSelf")
+    }
+    // randomized parity: multi-char words over a tiny alphabet with
+    // heavy character repetition — the shapes that exercise self-pair
+    // merges, created-pair ties, and the strict-dominance filter
+    val rnd = new scala.util.Random(29)
+    for (seed <- 1 to 3) {
+      val words = (1 to 25).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (1 to len).map(_ => "ab".charAt(rnd.nextInt(2))).mkString
+      }
+      val text = rnd.shuffle(words.flatMap(w =>
+        Seq.fill(1 + rnd.nextInt(9))(w))).mkString(" ")
+      val corpus = Seq((seed.toLong, text, "en")).toDF("doc_id", "text", "lang")
+      val want = BpeTrain.trainMerges(corpus, 10)
+      val got = BpeTrain.trainMergesBatched(corpus, 10, batchSize = 4)
+      assert(got == want, s"seed=$seed: first divergence " +
+        got.zip(want).find(p => p._1 != p._2))
+    }
     // and the empty / early-stop edges
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
     assert(BpeTrain.trainMergesBatched(empty, 4).isEmpty)
