@@ -118,6 +118,25 @@ class SketchExprSpec extends SparkSpec {
     assert(ref("p q r s t u v w", 3, 4).forall(v => v >= 0L && v < (1L << 60)))
   }
 
+  test("mersenneMix equals BigInt (a*x+b) mod 2^61-1 on boundary and random inputs") {
+    import graft.functions.ShingleScan.{mersenneMix, MERSENNE61}
+    val P = BigInt(MERSENNE61)
+    def ref(a: Long, x: Long, b: Long): Long =
+      ((BigInt(a) * BigInt(x) + BigInt(b)) mod P).toLong
+    val max60 = (1L << 60) - 1
+    val boundary = Seq(0L, 1L, 2L, (1L << 30) - 1, (1L << 30), (1L << 59),
+      max60 - 1, max60, MERSENNE61 - 1)
+    for (a <- boundary; x <- boundary; b <- Seq(0L, 1L, max60, MERSENNE61 - 1))
+      assert(mersenneMix(a, x, b) == ref(a, x, b), s"a=$a x=$x b=$b")
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val a = rnd.nextLong() >>> 4 // < 2^60
+      val x = rnd.nextLong() >>> 4
+      val b = rnd.nextLong() >>> 3 // < 2^61
+      assert(mersenneMix(a, x, b) == ref(a, x, b), s"a=$a x=$x b=$b")
+    }
+  }
+
   test("minhash_sig_md5 / simhash64_md5 equal driver-side references on edge shapes " +
       "(the oracle-gate hash contract for the LSH and simhash pipelines)") {
     import spark.implicits._
