@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.{DeclaredQuery, SparkEnv, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
 
 /** External text-format ingest (SURVEY.md §2 A-rows at the format
   * boundary; round-7 verdict #10): CSV and JSON Lines sources driven
@@ -73,5 +74,94 @@ object ExternalFormats {
       .orderBy("o_orderstatus")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qCsvSource, qJsonSource)
+  /** ORC ingest: the part table through Spark's built-in columnar ORC
+    * writer/reader (no extra schema pinning needed — ORC is
+    * self-describing like parquet), then a brand rollup. Proves the
+    * second columnar format end-to-end: type fidelity for int32
+    * (p_size), double (p_retailprice), and strings through ORC's
+    * encoder/decoder against the parquet-side oracle.
+    *
+    * Scale shape: identical to the parquet path — splittable columnar
+    * scan with predicate pushdown and column pruning (Spark's OrcScan
+    * supports both), map-only export, map-side-partial aggregate.
+    */
+  val qOrcSource = DeclaredQuery(
+    "q_orc_source",
+    """SELECT p_brand, count(*) AS n,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(sum(p_size) AS BIGINT) AS sum_size
+      |FROM part
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val src = Tables.part(s, d)
+    val dir = SparkEnv.scratchDir("graft-orc-src")
+    src.write.mode("overwrite").orc(dir)
+    // schema pinned (catalog pattern) — also keeps the read total on a
+    // zero-file export (an all-empty write emits no ORC files to infer
+    // from; EmptyInputSpec runs every declared query on empty tables)
+    s.read.schema(src.schema).orc(dir)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        sum(col("p_size").cast("long")).as("sum_size"))
+      .orderBy("p_brand")
+  }
+
+  /** Binary-file ingest — the multimodal corpus on-ramp. Real image /
+    * audio corpora arrive as object-store FILES, not parquet rows;
+    * `spark.read.format("binaryFile")` is Spark's source for that
+    * shape (one row per file: path, length, content). This query
+    * writes each fake-image payload (operators/Multimodal.asFakeImage:
+    * IMG0 magic + big-endian u16 dims + UTF-8 text bytes) as its own
+    * .img file from EXECUTOR-side tasks (foreachPartition — the
+    * production write shape; no driver collect), re-ingests the
+    * directory through binaryFile, recovers doc_id from the filename
+    * and the width from the actual header BYTES, and aggregates. The
+    * oracle recomputes both from the parquet originals (width ==
+    * n_chars % 1024 + 16 by construction; total bytes == 8 + UTF-8
+    * length), so the gate proves header layout + byte fidelity through
+    * the filesystem round trip.
+    *
+    * Scale shape: listing + scan parallelize per-file; files land in
+    * one task's partition each (binaryFile never splits a file —
+    * right for opaque blobs). doc_id < 1000 bounds the file count so
+    * the bench cost is the format path, not filesystem metadata churn;
+    * at 100 TB the same plan reads a manifest-listed object store
+    * prefix with thousands of partitions.
+    */
+  val qBinarySource = DeclaredQuery(
+    "q_binary_source",
+    """SELECT doc_id % 10 AS bucket, count(*) AS n_files,
+      |  CAST(sum(8 + octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  CAST(sum((n_chars % 1024) + 16) AS BIGINT) AS total_w
+      |FROM documents
+      |WHERE doc_id < 1000
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = SparkEnv.scratchDir("graft-bin-src")
+    graft.operators.Multimodal
+      .asFakeImage(Tables.documents(s, d).filter(col("doc_id") < 1000))
+      .select("doc_id", "payload")
+      .foreachPartition { (it: Iterator[Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${r.getLong(0)}.img"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+    s.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.img$", 1).cast("long").as("doc_id"),
+        col("length"),
+        // big-endian u16 width straight from header bytes 5-6 (1-based)
+        conv(hex(expr("substring(content, 5, 2)")), 16, 10).cast("long").as("width"))
+      .groupBy(pmod(col("doc_id"), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("length")).as("total_bytes"),
+        sum(col("width")).as("total_w"))
+      .orderBy("bucket")
+  }
+
+  val all: Seq[DeclaredQuery] =
+    Seq(qCsvSource, qJsonSource, qOrcSource, qBinarySource)
 }
