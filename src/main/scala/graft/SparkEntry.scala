@@ -18,7 +18,8 @@ object SparkEntry {
       graft.operators.BpeTrain.all ++ graft.operators.LanguageModel.all ++
       graft.operators.SubstringDedup.all ++ graft.sources.ClusteredLayout.all ++
       graft.operators.CorpusOps.all ++ graft.queries.WebAnalytics.all ++
-      graft.queries.Cohorts.all ++ graft.sources.ExternalFormats.all
+      graft.queries.Cohorts.all ++ graft.sources.ExternalFormats.all ++
+      graft.queries.Maintenance.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Maintenance
+
+/** Operator laws for the table-maintenance family, beyond the oracle
+  * gates: upsert's MERGE semantics on a hand-built delta, SCD2's
+  * interval algebra (contiguity + genuine change points), and the
+  * recursive spine's conservation of the fact-table totals.
+  */
+class MaintenanceSpec extends SparkSpec {
+
+  test("upsert: updates win, inserts append, untouched rows survive") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B2"), (9L, "new")).toDF("k", "v")
+    val out = Maintenance.upsert(base, updates, "k")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+  }
+
+  test("upsert result keys are unique even when delta repeats base keys") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val updates = Seq((1L, "A"), (2L, "B")).toDF("k", "v")
+    val out = Maintenance.upsert(base, updates, "k")
+    assert(out.count() == out.select("k").distinct().count())
+  }
+
+  test("scd2 intervals are contiguous per user and segments truly change") {
+    val rows = Maintenance.qScd2History.fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, r.getDate(3).toString))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, segs0) =>
+      val segs = segs0.sortBy(_._3)
+      segs.foreach { case (_, _, from, to) => assert(from < to) }
+      segs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, "valid_to must meet the next valid_from")
+          assert(a._2 != b._2, "consecutive segments must change type")
+        case _ =>
+      }
+      assert(segs.last._4 == "2024-12-31") // open segment sentinel
+    }
+  }
+
+  test("recursive spine conserves order totals and covers 84 months") {
+    val out = Maintenance.qRecursiveCte.fn(spark, sf)
+    assert(out.count() == 84)
+    val spineTotal = out.agg(sum("n_orders")).head.getLong(0)
+    assert(spineTotal == Tables.orders(spark, sf).count())
+  }
+}
