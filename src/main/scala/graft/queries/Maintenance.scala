@@ -131,11 +131,17 @@ object Maintenance {
     * generates every month of the orders' calendar range by recursion
     * and LEFT JOINs the monthly rollup, so empty months surface as
     * zero rows — the canonical reporting gap-fill that a plain GROUP
-    * BY cannot produce. The recursion is 84 spine rows on the driver
-    * side of the plan (UnionLoop); the orders aggregate underneath is
-    * the usual partial+final hash aggregate, and the join broadcasts
-    * the tiny spine — recursion depth never touches the fact-table
-    * scan count.
+    * BY cannot produce. The orders aggregate underneath is the usual
+    * partial+final hash aggregate, and the join broadcasts the tiny
+    * spine — recursion depth never touches the fact-table scan count.
+    *
+    * Iteration shape: each WITH RECURSIVE step is a separate loop
+    * round under Spark's UnionLoop, so depth is wall-clock — a
+    * 1-month step is 84 rounds (measured 1.0 s at sf0.1), seeding all
+    * twelve months of the first year and stepping by whole YEARS is 7
+    * rounds for the identical 84-row spine (measured 0.54 s, same
+    * TimeQuery protocol). Same rule for production recursions: widen
+    * the step, multiply the seed.
     */
   val qRecursiveCte = DeclaredQuery(
     "q_recursive_cte",
@@ -156,9 +162,10 @@ object Maintenance {
     Tables.orders(s, d).createOrReplaceTempView("orders_rec")
     s.sql(
       """WITH RECURSIVE spine(m) AS (
-        |  SELECT DATE '1995-01-01'
+        |  SELECT explode(sequence(DATE '1995-01-01', DATE '1995-12-01',
+        |                          INTERVAL 1 MONTH)) AS m
         |  UNION ALL
-        |  SELECT add_months(m, 1) FROM spine WHERE m < DATE '2001-12-01'
+        |  SELECT add_months(m, 12) FROM spine WHERE m < DATE '2001-01-01'
         |), monthly AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
         |         count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
