@@ -177,5 +177,79 @@ object Maintenance {
         |ORDER BY month""".stripMargin)
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qUpsertMerge, qScd2History, qRecursiveCte)
+  /** Data-quality audit — the validation sweep every ingest runs
+    * before promoting a batch: one row per constraint with its
+    * violation count (a count of ZERO is the healthy result, and the
+    * row still surfaces, so the gate is never vacuous). Checks:
+    * duplicate primary keys, referential orphans (orders→customer,
+    * lineitem→orders), domain violations (non-positive extended
+    * price), and null keys.
+    *
+    * Scale shape: each check is a key-shuffled aggregate or anti-join
+    * probe — the orphan checks move only key columns (column pruning
+    * reaches the scans), the dup check is a partial-aggregated
+    * groupBy; the final UNION of five 1-row aggregates is free. No
+    * check materializes violating ROWS (counts only) — at 100 TB the
+    * audit output is five numbers regardless of table size.
+    */
+  val qDqAudit = DeclaredQuery(
+    "q_dq_audit",
+    """SELECT 'dup_order_keys' AS check_name,
+      |       CAST(COALESCE(sum(cnt - 1), 0) AS BIGINT) AS n_bad
+      |FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey
+      |      HAVING count(*) > 1)
+      |UNION ALL
+      |SELECT 'lineitem_orphans',
+      |       CAST(count(*) AS BIGINT)
+      |FROM lineitem l WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'null_custkeys', CAST(count(*) AS BIGINT)
+      |FROM orders WHERE o_custkey IS NULL
+      |UNION ALL
+      |SELECT 'nonpositive_price', CAST(count(*) AS BIGINT)
+      |FROM lineitem WHERE l_extendedprice <= 0
+      |UNION ALL
+      |SELECT 'order_orphans', CAST(count(*) AS BIGINT)
+      |FROM orders o2 WHERE NOT EXISTS
+      |  (SELECT 1 FROM customer c WHERE c.c_custkey = o2.o_custkey)
+      |ORDER BY check_name""".stripMargin) { (s, d) =>
+    dqAudit(Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))
+  }
+
+  /** The audit relation itself, table inputs injectable so the spec
+    * can prove every check FIRES on planted violations (the fixtures
+    * are clean — all five counts are 0 there, which the oracle pins,
+    * but a gate that can only ever see zeros proves nothing about the
+    * detectors).
+    */
+  def dqAudit(orders: DataFrame, lineitem: DataFrame,
+      customer: DataFrame): DataFrame = {
+    def check(name: String, n: DataFrame): DataFrame =
+      n.select(lit(name).as("check_name"), col("n_bad"))
+    val dupKeys = orders.groupBy("o_orderkey")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+      .agg(coalesce(sum(col("cnt") - 1), lit(0L)).as("n_bad"))
+    val liOrphans = lineitem.select("l_orderkey")
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+    val nullKeys = orders.filter(col("o_custkey").isNull)
+      .agg(count(lit(1)).as("n_bad"))
+    val badPrice = lineitem.filter(col("l_extendedprice") <= 0)
+      .agg(count(lit(1)).as("n_bad"))
+    val orderOrphans = orders.select("o_custkey")
+      .join(customer.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+    check("dup_order_keys", dupKeys)
+      .unionByName(check("lineitem_orphans", liOrphans))
+      .unionByName(check("null_custkeys", nullKeys))
+      .unionByName(check("nonpositive_price", badPrice))
+      .unionByName(check("order_orphans", orderOrphans))
+      .orderBy("check_name")
+  }
+
+  val all: Seq[DeclaredQuery] =
+    Seq(qUpsertMerge, qScd2History, qRecursiveCte, qDqAudit)
 }

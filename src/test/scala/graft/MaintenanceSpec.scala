@@ -47,6 +47,30 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("dq audit detectors fire on planted violations") {
+    import spark.implicits._
+    // orders: key 1 duplicated (3 copies -> 2 extra), order 5 has a
+    // custkey with no customer, order 6 a NULL custkey
+    val orders = Seq(
+      (1L, java.lang.Long.valueOf(10L)), (1L, java.lang.Long.valueOf(10L)),
+      (1L, java.lang.Long.valueOf(10L)), (2L, java.lang.Long.valueOf(11L)),
+      (5L, java.lang.Long.valueOf(999L)), (6L, null.asInstanceOf[java.lang.Long]))
+      .toDF("o_orderkey", "o_custkey")
+    // lineitem: orderkey 77 has no order; one non-positive price
+    val lineitem = Seq((1L, 5.0), (77L, 6.0), (2L, -1.0))
+      .toDF("l_orderkey", "l_extendedprice")
+    val customer = Seq(10L, 11L).toDF("c_custkey")
+    val got = queries.Maintenance.dqAudit(orders, lineitem, customer)
+      .as[(String, Long)].collect().toMap
+    assert(got("dup_order_keys") == 2)
+    assert(got("lineitem_orphans") == 1)
+    assert(got("null_custkeys") == 1)
+    assert(got("nonpositive_price") == 1)
+    // NULL custkey never equi-joins, so order 6 counts as an orphan
+    // too - the audit reports it under BOTH its checks, deliberately
+    assert(got("order_orphans") == 2)
+  }
+
   test("recursive spine conserves order totals and covers 84 months") {
     val out = Maintenance.qRecursiveCte.fn(spark, sf)
     assert(out.count() == 84)
