@@ -450,6 +450,45 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("upsert plans the delta as a broadcast LeftAnti probe") {
+    val p = planOf("q_upsert_merge")
+    // MERGE shape: one anti-join keyed on c_custkey with the (small)
+    // delta on the build side — never a full-outer coalesce rewrite
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("FullOuter"), p)
+  }
+
+  test("scd2 daily argmax rides WindowGroupLimit and shares the user exchange") {
+    val p = planOf("q_scd2_history")
+    // rn=1 argmax gets the group-limit pushdown (partial top-1 before
+    // the shuffle), and the lag/lead pair over (user ORDER BY day)
+    // plans as two Window nodes on ONE user-keyed exchange
+    assert(p.contains("WindowGroupLimit"), p)
+    // user-ONLY partitioning (the lag/lead pair) — not the (user, day)
+    // aggregate/argmax exchanges, which legitimately also exist
+    val userExchanges = "hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r
+      .findAllIn(p).size
+    assert(userExchanges == 1,
+      s"expected one user-keyed exchange shared by both windows, got $userExchanges:\n$p")
+  }
+
+  test("recursive spine never re-scans the fact table per iteration") {
+    val p = planOf("q_recursive_cte")
+    // recursion iterates the spine only; orders is scanned once for
+    // the monthly rollup no matter the loop depth
+    val ordersScans = "Location.*orders".r.findAllIn(p).size
+    assert(ordersScans == 1, s"orders scanned $ordersScans times:\n$p")
+  }
+
+  test("dq audit orphan probes are keys-only anti-joins") {
+    val p = planOf("q_dq_audit")
+    assert("LeftAnti".r.findAllIn(p).size == 2, p)
+    // probe sides prune to the key column: the audit moves keys, not rows
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p)
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint>"), p)
+  }
+
   test("no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed (bounded theta joins against
     // a broadcast side); an unbounded CartesianProduct never is.
