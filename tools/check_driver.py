@@ -19,9 +19,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def norm(v):
+    # DATE columns: DuckDB .df() surfaces pandas Timestamp, pyarrow
+    # read_parquet surfaces datetime.date — same value, different repr.
+    # The real driver compares these equal (q_attribution et al. are
+    # green with DATE outputs), so fold both to the ISO day string
+    # before the repr compare. Timestamps keep full precision.
+    import datetime
+    import pandas as pd
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        if v.time() == datetime.time() and v.tzinfo is None:
+            return repr(v.date().isoformat())
+        return repr(v.isoformat(sep=" "))
+    if isinstance(v, datetime.date):
+        return repr(v.isoformat())
+    return repr(v)
+
+
 def cells(df):
     df = df[sorted(df.columns)]
-    rows = sorted(tuple(repr(v) for v in row) for row in df.itertuples(index=False))
+    rows = sorted(tuple(norm(v) for v in row) for row in df.itertuples(index=False))
     return list(df.columns), rows
 
 
