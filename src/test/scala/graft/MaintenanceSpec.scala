@@ -47,6 +47,22 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("upsert laws: idempotent, and sequential deltas compose last-writer-wins") {
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().sortBy(_._1).toSeq
+    val base = (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v")
+    val u1 = Seq((3L, "u1-3"), (4L, "u1-4"), (30L, "u1-30")).toDF("k", "v")
+    val u2 = Seq((4L, "u2-4"), (31L, "u2-31")).toDF("k", "v")
+    val once = Maintenance.upsert(base, u1, "k")
+    // idempotent: the same delta applied twice changes nothing
+    assert(canon(Maintenance.upsert(once, u1, "k")) == canon(once))
+    // associativity: (base ⊕ u1) ⊕ u2 == base ⊕ (u1 ⊕ u2) — deltas
+    // can be pre-merged offline and applied in one pass
+    assert(canon(Maintenance.upsert(once, u2, "k")) ==
+      canon(Maintenance.upsert(base, Maintenance.upsert(u1, u2, "k"), "k")))
+  }
+
   test("dq audit detectors fire on planted violations") {
     import spark.implicits._
     // orders: key 1 duplicated (3 copies -> 2 extra), order 5 has a
