@@ -250,6 +250,63 @@ object Maintenance {
       .orderBy("check_name")
   }
 
+  /** Snapshot diff — corpus version drift between two releases: which
+    * docs were added / removed / changed / unchanged, sliced by
+    * language. v2 is a deterministic transform of the fixture corpus
+    * (every 97th doc dropped, every 101st doc's text edited, every
+    * 103rd doc re-added under a shifted id), so the diff is exactly
+    * reproducible in the oracle. Change detection compares md5 TEXT
+    * FINGERPRINTS, not text — the form that scales: a 100 TB diff
+    * shuffles 32-char digests and ids, never documents; both engines
+    * compute the identical hex md5.
+    *
+    * Shape: one full-outer key join (both sides hash-partitioned on
+    * doc_id — co-partitioned releases make this a zipped local join),
+    * CASE classification, then a tiny rollup.
+    */
+  val qSnapshotDiff = DeclaredQuery(
+    "q_snapshot_diff",
+    """WITH v1 AS (
+      |  SELECT doc_id, lang, md5(text) AS fp FROM documents
+      |), v2 AS (
+      |  SELECT CASE WHEN doc_id % 103 = 0 THEN doc_id + 100000
+      |              ELSE doc_id END AS doc_id,
+      |         lang,
+      |         CASE WHEN doc_id % 101 = 0 THEN md5(text || ' v2')
+      |              ELSE md5(text) END AS fp
+      |  FROM documents WHERE doc_id % 97 <> 0
+      |)
+      |SELECT COALESCE(v2.lang, v1.lang) AS lang,
+      |       CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |            WHEN v2.doc_id IS NULL THEN 'removed'
+      |            WHEN v1.fp <> v2.fp THEN 'changed'
+      |            ELSE 'unchanged' END AS change_type,
+      |       count(*) AS n
+      |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val v1 = docs.select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+    val v2 = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(
+        when(col("doc_id") % 103 === 0, col("doc_id") + 100000L)
+          .otherwise(col("doc_id")).as("doc_id"),
+        col("lang"),
+        when(col("doc_id") % 101 === 0, md5(concat(col("text"), lit(" v2"))))
+          .otherwise(md5(col("text"))).as("fp"))
+    v1.alias("v1")
+      .join(v2.alias("v2"), col("v1.doc_id") === col("v2.doc_id"), "full_outer")
+      .select(
+        coalesce(col("v2.lang"), col("v1.lang")).as("lang"),
+        when(col("v1.doc_id").isNull, "added")
+          .when(col("v2.doc_id").isNull, "removed")
+          .when(col("v1.fp") =!= col("v2.fp"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy("lang", "change_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "change_type")
+  }
+
   val all: Seq[DeclaredQuery] =
-    Seq(qUpsertMerge, qScd2History, qRecursiveCte, qDqAudit)
+    Seq(qUpsertMerge, qScd2History, qRecursiveCte, qDqAudit, qSnapshotDiff)
 }

@@ -162,6 +162,46 @@ object ExternalFormats {
       .orderBy("bucket")
   }
 
+  /** Schema evolution across batches — the 100 TB reality that a
+    * corpus written over months drifts columns: an early batch lacks
+    * a field later batches carry. Batch 1 (doc_id < 2500) is written
+    * WITHOUT `quality`; batch 2 adds it. `mergeSchema=true` unions
+    * the footers so the evolved read surfaces `quality` as NULL for
+    * the old batch, and the aggregate null-fills with a sentinel.
+    * The oracle recomputes the same from the original table with the
+    * batch predicate inlined, so the gate proves the union-schema
+    * read path end-to-end (missing-column null semantics included).
+    *
+    * Scale note: mergeSchema's footer union is a one-time planning
+    * cost per batch-add; production pins the evolved schema in a
+    * catalog and reads with an explicit schema — the same null-fill
+    * semantics, no per-query footer sweep. The data path (splittable
+    * columnar scan, partial aggregate) is identical either way.
+    */
+  val qSchemaEvolution = DeclaredQuery(
+    "q_schema_evolution",
+    """SELECT lang, count(*) AS n,
+      |  CAST(sum(CASE WHEN doc_id >= 2500 THEN n_chars % 7 ELSE -1 END)
+      |       AS BIGINT) AS sum_q
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val dir = SparkEnv.scratchDir("graft-evolve")
+    docs.filter(col("doc_id") < 2500)
+      .select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    docs.filter(col("doc_id") >= 2500)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("n_chars") % 7).as("quality"))
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("quality"), lit(-1L))).as("sum_q"))
+      .orderBy("lang")
+  }
+
   val all: Seq[DeclaredQuery] =
-    Seq(qCsvSource, qJsonSource, qOrcSource, qBinarySource)
+    Seq(qCsvSource, qJsonSource, qOrcSource, qBinarySource, qSchemaEvolution)
 }

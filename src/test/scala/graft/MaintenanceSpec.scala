@@ -87,6 +87,16 @@ class MaintenanceSpec extends SparkSpec {
     assert(got("order_orphans") == 2)
   }
 
+  test("snapshot diff fires all four change categories (never vacuous)") {
+    import org.apache.spark.sql.functions._
+    val byType = Maintenance.qSnapshotDiff.fn(spark, sf)
+      .groupBy("change_type").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("added", "removed", "changed", "unchanged").foreach { t =>
+      assert(byType.getOrElse(t, 0L) > 0, s"category '$t' is empty: $byType")
+    }
+  }
+
   test("recursive spine conserves order totals and covers 84 months") {
     val out = Maintenance.qRecursiveCte.fn(spark, sf)
     assert(out.count() == 84)
