@@ -93,7 +93,10 @@ object ExternalFormats {
       |FROM part
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>
-    val src = Tables.part(s, d)
+    // pre-select the referenced columns (like the CSV/JSON twins):
+    // the format gate should pay encode/decode for the bytes the
+    // query reads, not the whole table
+    val src = Tables.part(s, d).select("p_brand", "p_retailprice", "p_size")
     val dir = SparkEnv.scratchDir("graft-orc-src")
     src.write.mode("overwrite").orc(dir)
     // schema pinned (catalog pattern) — also keeps the read total on a

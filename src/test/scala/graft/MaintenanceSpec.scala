@@ -87,8 +87,22 @@ class MaintenanceSpec extends SparkSpec {
     assert(got("order_orphans") == 2)
   }
 
-  test("snapshot diff fires all four change categories (never vacuous)") {
+  test("snapshot diff id-shift invariant holds on the fixtures") {
     import org.apache.spark.sql.functions._
+    // v2's +100000 shift assumes shifted ids can't collide with real
+    // ones, and doc_id % (101*103) == 0 would make a shifted row
+    // changed-eligible; both engines would compute the same WRONG
+    // classification (gate stays green), so pin the precondition here
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val maxId = Tables.documents(spark, d)
+        .agg(max("doc_id")).head.getLong(0)
+      assert(maxId < 101L * 103L, s"doc_id range grew to $maxId in $d — " +
+        "revisit q_snapshot_diff's shift constant and modulus choices")
+    }
+  }
+
+  test("snapshot diff fires all four change categories (never vacuous)") {
     val byType = Maintenance.qSnapshotDiff.fn(spark, sf)
       .groupBy("change_type").agg(sum("n").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -27,6 +27,11 @@ def norm(v):
     # before the repr compare. Timestamps keep full precision.
     import datetime
     import pandas as pd
+    # NULL dates: DuckDB .df() surfaces pd.NaT (which IS a
+    # datetime.datetime subtype but raises on .time()), pyarrow
+    # surfaces None — fold both to None's repr
+    if v is pd.NaT:
+        return repr(None)
     if isinstance(v, pd.Timestamp):
         v = v.to_pydatetime()
     if isinstance(v, datetime.datetime):
