@@ -88,7 +88,6 @@ class MaintenanceSpec extends SparkSpec {
   }
 
   test("snapshot diff id-shift invariant holds on the fixtures") {
-    import org.apache.spark.sql.functions._
     // v2's +100000 shift assumes shifted ids can't collide with real
     // ones, and doc_id % (101*103) == 0 would make a shifted row
     // changed-eligible; both engines would compute the same WRONG
