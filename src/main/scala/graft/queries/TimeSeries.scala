@@ -294,11 +294,17 @@ object TimeSeries {
   /** Heavy hitters per day via the DataSketches frequent-items
     * sketch (approx_top_k) — the reference's "top pages" serving op
     * in its 100 TB form: mergeable sketch state, single pass, no
-    * per-key exact counting. Rows-only (sketch estimates are
-    * engine-specific; the exact twin is q_top_types_per_user's
-    * window form); output is exploded to scalar columns —
-    * min(k, distinct items) rows per day, deterministic for a given
-    * fixture, so the rows-check is stable.
+    * per-key exact counting. Rows-only — and measurably NOT gateable
+    * even in the sketch's exact regime (≤5 distinct types/day, far
+    * below capacity, so counts are exact): the fixtures carry
+    * rank-3/4 boundary COUNT TIES (6 at sf0.001, 1 at sf0.01, 1 at
+    * sf0.1, measured 2026-08-14), and which tied item approx_top_k
+    * surfaces is sketch-internal while a SQL oracle must pick by
+    * ORDER BY — the two engines legitimately disagree on the tied
+    * row. The exact twin with deterministic tie-break is
+    * q_top_types_per_user's window form, gated above. Output is
+    * exploded to scalar columns — min(k, distinct items) rows per
+    * day, deterministic row COUNT, so the rows-check is stable.
     */
   val heavyHitters = DeclaredQuery.noOracle("q_heavy_hitters") { (s, d) =>
     Tables.events(s, d).createOrReplaceTempView("events_hh")
