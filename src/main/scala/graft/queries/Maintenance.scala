@@ -21,6 +21,12 @@ object Maintenance {
     * size), NOT a full-outer join with per-column coalesce: the
     * anti-join form moves only keys for the probe and rewrites
     * nothing of the surviving base rows.
+    *
+    * Precondition (ANSI MERGE parity): `updates` must be key-unique —
+    * SQL MERGE raises on a row matched twice, and here duplicate
+    * update keys would BOTH land in the result. CDC streams compact
+    * first (latest row per key, e.g. max-version argmax via the same
+    * WindowGroupLimit shape q_scd2_history uses) and then upsert.
     */
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
     base.join(updates.select(key), Seq(key), "left_anti").unionByName(updates)

@@ -110,6 +110,23 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("scd2 and snapshot diff are invariant under input repartitioning") {
+    // full deterministic tie-breaks mean the declared results cannot
+    // depend on physical layout — the property that makes the gates
+    // replayable on any cluster shape
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    for (name <- Seq("q_scd2_history", "q_snapshot_diff")) {
+      val base = canon(SparkEntry.queries(name)(spark, sf))
+      val parts = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        assert(canon(SparkEntry.queries(name)(spark, sf)) == base,
+          s"$name changed under a different partition count")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", parts)
+    }
+  }
+
   test("recursive spine conserves order totals and covers 84 months") {
     val out = Maintenance.qRecursiveCte.fn(spark, sf)
     assert(out.count() == 84)
