@@ -473,8 +473,65 @@ object WebAnalytics {
       .orderBy("hour")
   }
 
+  /** Time-weighted average value per (day, event type) — the metrics
+    * op for IRREGULARLY sampled series (a gauge holds its value until
+    * the next observation, so the plain mean over-weights bursts):
+    * each event's value is weighted by the seconds until the same
+    * user's next event (lead over the user timeline), and the
+    * weighted mean is exact-integer arithmetic end to end —
+    * cents × seconds summed as BIGINTs, one double division + round
+    * at the very end, so the result is order-independent and
+    * bit-identical across engines. Same-second repeat events carry
+    * zero weight and are dropped identically in both engines; each
+    * user's LAST event has no horizon and is excluded (standard
+    * half-open TWA).
+    *
+    * Scale shape: one user-keyed window (the same exchange the
+    * attribution/session family rides) then a (day, type) partial
+    * aggregate — no self-join, no range join; at 100 TB the window
+    * state is one row of lookahead per user.
+    */
+  val timeWeightedAvg = DeclaredQuery(
+    "q_time_weighted_avg",
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |         CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |iv AS (
+      |  SELECT event_type, sec, cents,
+      |         epoch(lead(sec) OVER (PARTITION BY user_id
+      |                               ORDER BY sec, event_id))
+      |           - epoch(sec) AS dt
+      |  FROM e)
+      |SELECT CAST(sec AS DATE) AS day, event_type,
+      |       count(*) AS n_intervals,
+      |       CAST(sum(dt) AS BIGINT) AS total_secs,
+      |       round(CAST(sum(cents * dt) AS DOUBLE) / sum(dt) / 100, 6)
+      |         AS twa_value
+      |FROM iv
+      |WHERE dt IS NOT NULL AND dt > 0
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("sec"), col("event_id"))
+    val e = Tables.events(s, d).select(
+      col("user_id"), col("event_type"), col("event_id"),
+      date_trunc("second", col("ts")).as("sec"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    e.withColumn("dt",
+        unix_timestamp(lead("sec", 1).over(byUser)) - unix_timestamp(col("sec")))
+      .filter(col("dt").isNotNull && col("dt") > 0)
+      .groupBy(to_date(col("sec")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("total_secs"),
+        round(sum(col("cents") * col("dt")).cast("double") /
+          sum(col("dt")) / 100, 6).as("twa_value"))
+      .orderBy("day", "event_type")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(attribution, rollingActives, bounceRate, valueHistogram, anomalyHours,
       audienceOverlap, streamAttribution, funnelLatency, denseMinutes,
-      linearAttribution, streamAnomalyHours)
+      linearAttribution, streamAnomalyHours, timeWeightedAvg)
 }
