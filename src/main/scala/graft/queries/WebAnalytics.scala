@@ -491,8 +491,7 @@ object WebAnalytics {
     * aggregate — no self-join, no range join; at 100 TB the window
     * state is one row of lookahead per user.
     */
-  val timeWeightedAvg = DeclaredQuery(
-    "q_time_weighted_avg",
+  private val twaOracleSql =
     """WITH e AS (
       |  SELECT user_id, event_type, event_id,
       |         CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec,
@@ -512,7 +511,10 @@ object WebAnalytics {
       |FROM iv
       |WHERE dt IS NOT NULL AND dt > 0
       |GROUP BY 1, 2
-      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      |ORDER BY 1, 2""".stripMargin
+
+  val timeWeightedAvg = DeclaredQuery(
+    "q_time_weighted_avg", twaOracleSql) { (s, d) =>
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("sec"), col("event_id"))
     val e = Tables.events(s, d).select(
@@ -530,8 +532,20 @@ object WebAnalytics {
       .orderBy("day", "event_type")
   }
 
+  /** The REAL streaming pipeline behind the TWA report
+    * (`streaming/TimeWeighted.scala`: per-user carried-interval
+    * transformWithState, interval emitted when the next observation
+    * arrives), gated by the IDENTICAL oracle SQL as the batch query —
+    * the same twin discipline as q_stream_attribution.
+    */
+  val streamTimeWeighted = DeclaredQuery(
+    "q_stream_time_weighted", twaOracleSql) { (s, d) =>
+    graft.streaming.TimeWeighted.dailyReport(s, d)
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(attribution, rollingActives, bounceRate, valueHistogram, anomalyHours,
       audienceOverlap, streamAttribution, funnelLatency, denseMinutes,
-      linearAttribution, streamAnomalyHours, timeWeightedAvg)
+      linearAttribution, streamAnomalyHours, timeWeightedAvg,
+      streamTimeWeighted)
 }

@@ -10,6 +10,41 @@ import org.apache.spark.sql.{Encoders, SparkSession}
   */
 class TransformWithStateSpec extends SparkSpec {
 
+  test("TWA processor stitches intervals across micro-batches via carried state") {
+    import spark.implicits._
+    import graft.streaming.TimeWeighted.{Ev, Interval, Processor}
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = mem.toDS().groupByKey(_.user)
+        .transformWithState(new Processor, TimeMode.None(), OutputMode.Append())
+        .writeStream.format("memory").queryName("twa_t")
+        .outputMode("append").start()
+      // batch 1: user 7 at t=100 (cents 500) then t=160 (cents 700);
+      // same-second pair for user 8 must emit nothing (dt = 0)
+      mem.addData(Seq(Ev(7L, 100L, 1L, "view", 500L),
+        Ev(7L, 160L, 2L, "view", 700L),
+        Ev(8L, 100L, 3L, "click", 100L), Ev(8L, 100L, 4L, "click", 200L)))
+      q.processAllAvailable()
+      // batch 2: user 7's next event CLOSES the interval the carried
+      // state holds (t=160, 700 cents, held 40 s)
+      mem.addData(Seq(Ev(7L, 200L, 5L, "purchase", 900L)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("twa_t").as[Interval].collect().toSet
+      assert(got == Set(Interval(100L, "view", 60L, 500L),
+        Interval(160L, "view", 40L, 700L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState keeps per-key running counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
