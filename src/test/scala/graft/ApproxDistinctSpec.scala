@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The named gates behind the two HLL rows-only queries: their
+  * estimates must agree with the exact COUNT(DISTINCT) within the
+  * configured error bound on real fixture data, and the DataSketches
+  * union must equal sketching the union directly (the mergeability
+  * that justifies the per-(day,type) partial-sketch design).
+  */
+class ApproxDistinctSpec extends SparkSpec {
+
+  test("q_events_approx_users: HLL daily estimates within rsd bound of exact") {
+    import spark.implicits._
+    val approx = queries.TimeSeries.eventsApproxUsers.fn(spark, sf)
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .agg(countDistinct("user_id").as("n"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (day, n) =>
+      val a = approx(day)
+      // rsd 0.02 requested; allow 5 sigma (worst-case days are small,
+      // where HLL is near-exact anyway)
+      assert(math.abs(a - n).toDouble / n <= 0.10,
+        s"$day: approx=$a exact=$n")
+    }
+  }
+
+  test("q_hll_sketch_users: per-type sketch union equals direct daily sketch") {
+    import spark.implicits._
+    val viaUnion = queries.Functions2.hllSketch.fn(spark, sf)
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    val direct = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .cast("long").as("approx_users"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    // mergeability: unioning per-(day,type) partial sketches must give
+    // the same estimate as sketching each day's users in one pass
+    assert(viaUnion == direct)
+    val exact = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct("user_id").as("n"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    exact.foreach { case (day, n) =>
+      assert(math.abs(viaUnion(day) - n).toDouble / n <= 0.10,
+        s"$day: approx=${viaUnion(day)} exact=$n")
+    }
+  }
+}
