@@ -28,6 +28,29 @@ class ApproxDistinctSpec extends SparkSpec {
     }
   }
 
+  test("q_approx_percentiles: GK estimates honor the rank-error guarantee") {
+    import spark.implicits._
+    // percentile_approx(accuracy = 1000) guarantees rank error
+    // <= n / 1000; verify each reported quantile's TRUE rank lands
+    // inside the guaranteed band around q*n on real fixture data
+    val approx = queries.Functions.approxPercentiles.fn(spark, sf)
+      .select("l_returnflag", "p50", "p90", "p99")
+      .as[(String, Double, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (flag, p50, p90, p99) =>
+      val vals = Tables.lineitem(spark, sf)
+        .filter(col("l_returnflag") === flag)
+        .select("l_extendedprice").as[Double].collect().sorted
+      val n = vals.length
+      val tol = n.toDouble / 1000 + 1
+      for ((q, v) <- Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99)) {
+        val rank = vals.count(_ <= v)
+        assert(math.abs(rank - q * n) <= tol,
+          s"$flag q=$q: value $v has rank $rank of $n (tol $tol)")
+      }
+    }
+  }
+
   test("q_hll_sketch_users: per-type sketch union equals direct daily sketch") {
     import spark.implicits._
     val viaUnion = queries.Functions2.hllSketch.fn(spark, sf)
