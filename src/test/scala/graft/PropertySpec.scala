@@ -205,4 +205,21 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"trial $t diverged")
     }
   }
+
+  test("TWA conservation: interval seconds exactly cover each user's observed span") {
+    import spark.implicits._
+    // every user's timeline is tiled by half-open intervals, so the
+    // total weighted seconds must equal sum over users of
+    // (last second - first second) — zero-dt same-second repeats
+    // contribute nothing on either side
+    val totalSecs = queries.WebAnalytics.timeWeightedAvg.fn(spark, sf)
+      .agg(sum("total_secs")).as[Long].head()
+    val spans = Tables.events(spark, sf)
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("t"))
+      .groupBy("user_id")
+      .agg((max("t") - min("t")).as("span"))
+      .agg(sum("span")).as[Long].head()
+    assert(totalSecs == spans, s"intervals $totalSecs != spans $spans")
+  }
 }
