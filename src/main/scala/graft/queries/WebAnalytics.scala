@@ -543,9 +543,59 @@ object WebAnalytics {
     graft.streaming.TimeWeighted.dailyReport(s, d)
   }
 
+  /** Path analysis — the MATCH_RECOGNIZE-shaped product-analytics op:
+    * which 3-step event sequences do users actually walk? Each event
+    * starts a candidate trigram with its user's next two events
+    * (lead ×2 over one user window); the trigram counts iff both hops
+    * stay within the 30-minute session gap (the same strict-gap rule
+    * the sessionization family uses). Full daily path counts are
+    * emitted — bounded by |event types|³ × days, no top-k tie-break
+    * to diverge on. One user-keyed exchange serves all four leads;
+    * no self-join (the naive 3-way join per step would shuffle the
+    * events table three times).
+    */
+  val eventPaths = DeclaredQuery(
+    "q_event_paths",
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |         CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, sec, event_type,
+      |         lead(event_type) OVER u AS t1,
+      |         lead(event_type, 2) OVER u AS t2,
+      |         epoch(lead(sec) OVER u) - epoch(sec) AS g1,
+      |         epoch(lead(sec, 2) OVER u) - epoch(lead(sec) OVER u) AS g2
+      |  FROM e
+      |  WINDOW u AS (PARTITION BY user_id ORDER BY sec, event_id))
+      |SELECT CAST(sec AS DATE) AS day,
+      |       event_type || '>' || t1 || '>' || t2 AS path,
+      |       count(*) AS n
+      |FROM w
+      |WHERE t2 IS NOT NULL AND g1 <= 1800 AND g2 <= 1800
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val u = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val e = Tables.events(s, d).select(
+      col("user_id"), col("event_type"), col("event_id"),
+      date_trunc("second", col("ts")).as("sec"))
+    e.select(col("sec"), col("event_type"),
+        lead("event_type", 1).over(u).as("t1"),
+        lead("event_type", 2).over(u).as("t2"),
+        (unix_timestamp(lead("sec", 1).over(u)) -
+          unix_timestamp(col("sec"))).as("g1"),
+        (unix_timestamp(lead("sec", 2).over(u)) -
+          unix_timestamp(lead("sec", 1).over(u))).as("g2"))
+      .filter(col("t2").isNotNull && col("g1") <= 1800 && col("g2") <= 1800)
+      .groupBy(to_date(col("sec")).as("day"),
+        concat_ws(">", col("event_type"), col("t1"), col("t2")).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day", "path")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(attribution, rollingActives, bounceRate, valueHistogram, anomalyHours,
       audienceOverlap, streamAttribution, funnelLatency, denseMinutes,
       linearAttribution, streamAnomalyHours, timeWeightedAvg,
-      streamTimeWeighted)
+      streamTimeWeighted, eventPaths)
 }
