@@ -196,6 +196,44 @@ object Cohorts {
       .orderBy("r_q", "f_q", "m_q")
   }
 
+  /** Daily active-user decomposition into new vs returning — the
+    * standard DAU split (a user is "new" on their first active day,
+    * "returning" on every later active day). One (user, day) distinct
+    * pass, then the user's first day via a min() window over the same
+    * user key — no join back to a firsts relation; both shuffles move
+    * (user, day) pairs only. Sliced from the same machinery as the
+    * cohort triangle but reported on the calendar-day axis operators
+    * actually watch.
+    */
+  val newVsReturning = DeclaredQuery(
+    "q_new_vs_returning",
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |tagged AS (
+      |  SELECT day, min(day) OVER (PARTITION BY user_id) AS first_day
+      |  FROM days)
+      |SELECT day,
+      |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS new_users,
+      |  CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS returning_users
+      |FROM tagged
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id")
+    Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("first_day", min("day").over(byUser))
+      .groupBy("day")
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("new_users"),
+        sum(when(col("day") > col("first_day"), 1L).otherwise(0L))
+          .as("returning_users"))
+      .orderBy("day")
+  }
+
   val all: Seq[DeclaredQuery] =
-    Seq(cohortRetention, eventTransitions, userRfm)
+    Seq(cohortRetention, eventTransitions, userRfm, newVsReturning)
 }
