@@ -492,9 +492,62 @@ object Relational {
     }
   }
 
+  /** Market-basket co-occurrence: which part-brand PAIRS ship together
+    * in one order, with support counts — the affinity-analysis shape
+    * behind "frequently bought together". The pair space comes from a
+    * self-join of the DISTINCT (order, brand) relation on the order
+    * key with brand_a < brand_b: the join key is the order, so the
+    * fanout per key is C(basket brands, 2) ≤ C(7, 2) on TPC-H-shaped
+    * baskets — bounded by BASKET SIZE, never by table size, which is
+    * what makes the classic co-occurrence join linear at 100 TB
+    * (contrast the doc-dedup family, where baskets are unbounded and
+    * the df-ceiling + ordered_pairs generator take over). part is
+    * broadcast into the distinct step; output is |brands|²-bounded.
+    */
+  val brandAffinity = DeclaredQuery(
+    "q_brand_affinity",
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey, p_brand
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey)
+      |SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+      |       count(*) AS n_orders
+      |FROM ob a JOIN ob b
+      |  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    // basket-local pair expansion instead of the oracle's self-join:
+    // one (order → basket) shuffle, then the ≤ C(7,2) pairs per
+    // basket are generated in-pipeline and partial-aggregated before
+    // the |brands|²-bounded final shuffle. The self-join form
+    // measures the same at sf0.1 (~1.3-1.4 s — both are dominated by
+    // the basket shuffle) but shuffles the distinct relation TWICE,
+    // which is the term that grows with the table; the basket form
+    // ships each order's brands once. (A dictionary-code variant was
+    // measured and rejected: fixture brands are 'Brand#1'..'Brand#25'
+    // with variable digit counts, so numeric order ≠ lexicographic
+    // order and the pair orientation diverges from the oracle's
+    // brand_a < brand_b; sorting must stay on the strings.)
+    val baskets = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+          |  transform(slice(bs, i + 2, size(bs)),
+          |            y -> struct(x AS brand_a, y AS brand_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.brand_a"), col("p.brand_b"))
+      .groupBy("brand_a", "brand_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("brand_a", "brand_b")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     pricingSummary, joinStar, topkCustomers, windowRank, semiJoin,
     antiJoin, leftJoinAgg, orderLineitemJoin, setop, unionDistinct,
     thetaJoin, stringFuncs, dateFuncs, percentiles, windowAnalytic,
-    saltedJoin, scalarSubquery, cteQuery, filterClause, namedWindow)
+    saltedJoin, scalarSubquery, cteQuery, filterClause, namedWindow,
+    brandAffinity)
 }
