@@ -593,9 +593,79 @@ object WebAnalytics {
       .orderBy("day", "path")
   }
 
+  /** Floor-clamped running balance — the inventory/credit-wallet op
+    * (balance += purchase, −= click, never below zero) that LOOKS
+    * like it needs a stateful per-row scan (b_n = max(0, b_{n−1} +
+    * x_n) is not associative), but has the classic closed form
+    *   b_n = S_n − min(0, min_{j≤n} S_j)
+    * — a cumulative sum and a running min of that sum, two ordinary
+    * window aggregates over ONE user-keyed sort. (Induction: max(0,
+    * S_n − m_{n−1}) splits on whether S_n dips below the old min.)
+    * So the declared plan is plain windows — no UDAF, no recursion,
+    * no per-row driver loop — and the oracle replays the identical
+    * algebra. Exact integer cents throughout; one double division at
+    * the end.
+    */
+  val runningBalance = DeclaredQuery(
+    "q_running_balance",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |         CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec,
+      |         CASE WHEN event_type = 'purchase'
+      |              THEN CAST(round(value * 100) AS BIGINT)
+      |              ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+      |  FROM events WHERE user_id < 500),
+      |s AS (
+      |  SELECT user_id,
+      |         CAST(sum(delta) OVER w AS BIGINT) AS cum,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY sec DESC, event_id DESC) AS rdesc
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |b AS (
+      |  SELECT user_id, rdesc,
+      |         cum - least(CAST(0 AS BIGINT),
+      |                     CAST(min(cum) OVER (PARTITION BY user_id
+      |                       ORDER BY rdesc DESC
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                       AS BIGINT)) AS bal
+      |  FROM s)
+      |SELECT user_id, count(*) AS n_events,
+      |       round(CAST(max(CASE WHEN rdesc = 1 THEN bal END) AS DOUBLE)
+      |             / 100, 2) AS final_balance,
+      |       round(CAST(max(bal) AS DOUBLE) / 100, 2) AS peak_balance
+      |FROM b
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cents = round(col("value") * 100).cast("long")
+    val e = Tables.events(s, d)
+      .filter(col("user_id") < 500)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("sec"),
+        when(col("event_type") === "purchase", cents)
+          .otherwise(-cents).as("delta"))
+    val withCum = e
+      .withColumn("cum", sum("delta").over(byUser))
+      .withColumn("rdesc", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("sec").desc, col("event_id").desc)))
+      .withColumn("bal", col("cum") -
+        least(lit(0L), min("cum").over(byUser)))
+    withCum
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(max(when(col("rdesc") === 1, col("bal"))).cast("double") / 100, 2)
+          .as("final_balance"),
+        round(max("bal").cast("double") / 100, 2).as("peak_balance"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(attribution, rollingActives, bounceRate, valueHistogram, anomalyHours,
       audienceOverlap, streamAttribution, funnelLatency, denseMinutes,
       linearAttribution, streamAnomalyHours, timeWeightedAvg,
-      streamTimeWeighted, eventPaths)
+      streamTimeWeighted, eventPaths, runningBalance)
 }

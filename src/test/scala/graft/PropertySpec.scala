@@ -206,6 +206,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("clamped-balance closed form equals the sequential recurrence") {
+    import spark.implicits._
+    // b_n = max(0, b_{n-1} + x_n) computed naively on the driver from
+    // each user's ordered deltas must equal the windowed closed form
+    // S_n - min(0, min S_j) the declared query uses
+    val e = Tables.events(spark, sf)
+      .filter(col("user_id") < 500)
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("t"),
+        col("event_id"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))
+          .otherwise(-round(col("value") * 100).cast("long")).as("delta"))
+      .as[(Long, Long, Long, Long)].collect()
+    val naive = e.groupBy(_._1).map { case (u, rows) =>
+      var bal = 0L; var peak = 0L
+      rows.sortBy(r => (r._2, r._3)).foreach { r =>
+        bal = math.max(0L, bal + r._4); peak = math.max(peak, bal)
+      }
+      u -> ((bal, peak))
+    }
+    val declared = queries.WebAnalytics.runningBalance.fn(spark, sf)
+      .select(col("user_id"),
+        (col("final_balance") * 100).cast("long"),
+        (col("peak_balance") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(naive.nonEmpty && naive.size == declared.size)
+    naive.foreach { case (u, bp) =>
+      assert(declared(u) == bp, s"user $u: naive $bp vs declared ${declared(u)}")
+    }
+  }
+
   test("TWA conservation: interval seconds exactly cover each user's observed span") {
     import spark.implicits._
     // every user's timeline is tiled by half-open intervals, so the
