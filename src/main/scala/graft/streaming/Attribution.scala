@@ -67,14 +67,10 @@ object Attribution {
     * attribution report (same columns as the batch query).
     */
   def dailyReport(spark: SparkSession, sfDir: String): DataFrame = {
-    // cloned session: transformWithState needs the RocksDB provider,
-    // and state partition count is sized to the stream, not the CPU
-    // count (same pattern as the other stateful stream queries)
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
-    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // cloned session via the shared bootstrap: transformWithState
+    // needs the RocksDB provider, and state partition count is sized
+    // to the stream, not the CPU count
+    val s2 = Serving.stateSession(spark, rocksdb = true)
     import s2.implicits._
     val tagged = Ingest.eventStream(s2, sfDir)
       .filter(col("event_type").isin("click", "purchase"))

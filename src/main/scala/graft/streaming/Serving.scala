@@ -298,13 +298,17 @@ object Serving {
     * the stream on a cloned session with a right-sized setting. On a
     * real cluster this is the same knob, sized to state volume instead.
     */
-  private def stateSession(spark: SparkSession): SparkSession = {
+  private[streaming] def stateSession(spark: SparkSession,
+      rocksdb: Boolean = false): SparkSession = {
     val s2 = spark.newSession()
     // test-prop override exists solely for tools/StreamProf's
     // same-JVM A/B (env is fixed per process)
     s2.conf.set("spark.sql.shuffle.partitions",
       sys.props.getOrElse("graft.test.stateParts",
         sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8")))
+    // transformWithState pipelines require the RocksDB provider
+    if (rocksdb) s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     s2
   }
 

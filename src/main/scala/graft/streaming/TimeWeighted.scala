@@ -40,11 +40,18 @@ object TimeWeighted {
 
     override def handleInputRows(key: Long, rows: Iterator[Ev],
         timerValues: TimerValues): Iterator[Interval] = {
-      val batch = rows.toArray.sortBy(e => (e.t, e.eventId))
+      val batch = rows.toArray
       if (batch.isEmpty) return Iterator.empty
       val carried = if (last.exists()) Some(last.get()) else None
-      last.update(batch.last)
-      val chain = carried.toArray ++ batch
+      // sort the carried event INTO the batch, not in front of it: an
+      // event straddling triggers with a smaller (t, event_id) than
+      // the open interval's start must land before it, exactly where
+      // the batch window's ORDER BY would place it — prepending
+      // unsorted would silently diverge from the shared oracle
+      // (review finding; straddle case pinned in
+      // TransformWithStateSpec)
+      val chain = (carried.toArray ++ batch).sortBy(e => (e.t, e.eventId))
+      last.update(chain.last)
       (1 until chain.length).iterator.flatMap { i =>
         val a = chain(i - 1); val b = chain(i)
         val dt = b.t - a.t
@@ -58,11 +65,7 @@ object TimeWeighted {
     * TWA report (same columns as the batch query).
     */
   def dailyReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
-    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val s2 = Serving.stateSession(spark, rocksdb = true)
     import s2.implicits._
     val evs = Ingest.eventStream(s2, sfDir)
       .select(col("user_id").as("user"),

@@ -33,10 +33,22 @@ class TransformWithStateSpec extends SparkSpec {
       // state holds (t=160, 700 cents, held 40 s)
       mem.addData(Seq(Ev(7L, 200L, 5L, "purchase", 900L)))
       q.processAllAvailable()
+      // batch 3 straddle (review finding): user 9's trigger boundary
+      // splits a same-second pair — the later-arriving event has the
+      // SMALLER (t, event_id), so it must sort BEFORE the carried
+      // event, exactly where the batch window's ORDER BY puts it
+      mem.addData(Seq(Ev(9L, 100L, 11L, "view", 700L)))
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(9L, 100L, 10L, "click", 100L),
+        Ev(9L, 200L, 12L, "purchase", 900L)))
+      q.processAllAvailable()
       q.stop()
       val got = spark.table("twa_t").as[Interval].collect().toSet
       assert(got == Set(Interval(100L, "view", 60L, 500L),
-        Interval(160L, "view", 40L, 700L)))
+        Interval(160L, "view", 40L, 700L),
+        // user 9: (id10, id11) dt=0 suppressed; (id11 "view", id12)
+        // carries id11's 700 cents over [100, 200) — NOT id10's 100
+        Interval(100L, "view", 100L, 700L)))
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
