@@ -199,9 +199,13 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, tau: Double = 0.5): DataFrame = {
     // cand feeds the semi-join id set and both verify join probes —
-    // persist so the LSH pipeline runs once. NB CacheManager holds
-    // the blocks until unpersist/clearCache (Bench clears per run).
-    val cand = minhashCandidates(docs).persist()
+    // eager localCheckpoint so the LSH pipeline runs once. NOT
+    // persist(): CacheManager would pin the blocks until an explicit
+    // unpersist/clearCache (a declared-query fn has no after-the-action
+    // hook to call it, so repeated invocations leaked cached RDDs —
+    // round-8 advice); checkpoint blocks are instead freed by the
+    // ContextCleaner when the returned plan is GC'd.
+    val cand = minhashCandidates(docs).localCheckpoint(true)
     verifyCandidates(docs, cand, tau)
   }
 
@@ -209,14 +213,35 @@ object Dedup {
     * candidate relation (batch LSH candidates, the streaming dedup
     * gate's output, an external blocker): re-shingles only candidate
     * docs, joins per-doc fingerprint sets, keeps pairs ≥ tau.
+    *
+    * `portableHash` fingerprints shingles with the 60-bit md5 prefix —
+    * `conv(substring(md5(s),1,15),16,10)` — the same family the
+    * declared oracle replays, so in portable mode EVERY stage of the
+    * pipeline (not just candidate generation) is oracle-identical
+    * (round-8 advice: the xxhash64 verify left one unreplayed step).
+    * xxhash64 stays the production default (no md5 string round-trip).
+    *
+    * The per-doc fingerprint-set relation feeds BOTH pair probes; the
+    * two join sides carry different exprIds, so ReuseExchange cannot
+    * dedupe the subtree and the candidate docs would be re-shingled
+    * twice (round-8 plan digest: 7 parquet scans). Eager
+    * localCheckpoint materializes it once — bounded: candidate docs
+    * only, O(doc shingles) per row, the same working set the exploded
+    * exact-Jaccard form shuffles.
     */
-  def verifyCandidates(docs: DataFrame, cand: DataFrame, tau: Double = 0.5): DataFrame = {
+  def verifyCandidates(docs: DataFrame, cand: DataFrame, tau: Double = 0.5,
+      portableHash: Boolean = false): DataFrame = {
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
     val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
+    val fp =
+      if (portableHash)
+        expr("conv(substring(md5(shingle), 1, 15), 16, 10)").cast("long")
+      else xxhash64(col("shingle"))
     val sets = shingleRows(candDocs) // collect_set dedups — one shuffle
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .select(col("doc_id"), fp.as("h"))
       .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+      .localCheckpoint(true)
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
@@ -632,7 +657,9 @@ object Dedup {
   val qMinhash = DeclaredQuery(
     "q_minhash_near_dups",
     s"""$winnowOracleCtes,
-       |g AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |g AS (SELECT DISTINCT doc_id,
+       |             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+       |      FROM sh),
        |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
        |mh AS (
        |  SELECT s.doc_id, i.i,
@@ -654,7 +681,7 @@ object Dedup {
        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
        |  FROM cand c
        |  JOIN g a ON a.doc_id = c.id_a
-       |  JOIN g b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+       |  JOIN g b ON b.doc_id = c.id_b AND b.h = a.h
        |  GROUP BY 1, 2)
        |SELECT i.id_a, i.id_b,
        |       round(CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter), 6) AS jaccard
@@ -664,8 +691,10 @@ object Dedup {
        |WHERE CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val cand = minhashCandidatesPortable(docs).persist()
-    verifyCandidates(docs, cand)
+    // eager localCheckpoint, not persist: blocks are freed when this
+    // plan is GC'd instead of pinning the CacheManager (round-8 advice)
+    val cand = minhashCandidatesPortable(docs).localCheckpoint(true)
+    verifyCandidates(docs, cand, portableHash = true)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
   }

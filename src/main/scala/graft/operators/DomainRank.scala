@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Domain-level quality weighting via fixed-iteration PageRank
+  * (SURVEY.md §2 LLM family; round-8 verdict missing #4): corpus
+  * curation commonly weights documents by the rank of their SOURCE in
+  * a link/co-occurrence graph (the CommonCrawl harmonic-centrality /
+  * PageRank recipe), so the engine needs an iterative-rank operator,
+  * not just connected components.
+  *
+  * Graph derivation (deterministic, fixture-native): the documents
+  * table has no explicit hyperlinks, so each doc contributes one
+  * weighted "citation" edge source(doc) → sources[fp60(md5(text)) mod
+  * |sources|] — a content-hash-directed target over the ranked
+  * distinct-source dictionary. That is arbitrary as linkage but
+  * EXACTLY replayable in DuckDB (same md5-prefix family every portable
+  * dedup query uses), which is the point: the gate value-checks the
+  * RANK ARITHMETIC end to end, while a real deployment swaps in its
+  * parsed hyperlink relation with the same (src, dst, w) shape.
+  * Self-loops are kept: they guarantee every node has out-degree ≥ 1
+  * (no dangling-mass redistribution step), and removing a uniform
+  * self-citation fraction does not change the ranking story the
+  * operator exists to test.
+  *
+  * Exactness (the q_dsir_weights pattern): per-edge contributions
+  * rank·w/outw are computed in IEEE doubles (identical op order in
+  * both engines), rounded to 9 decimals, and quantized to
+  * DECIMAL(18,9); per-node accumulation is then a DECIMAL sum — exact,
+  * associative, partition-order-independent — and the damping update
+  * 0.15/N + 0.85·Σ is rounded/quantized the same way. Every iteration
+  * is therefore value-stable under repartitioning, and the oracle
+  * unrolls the SAME five iterations as chained CTEs (no recursive
+  * aggregate needed, and nothing engine-internal survives into the
+  * output).
+  *
+  * Scale shape: the edge relation is derived in ONE corpus scan
+  * (project source + text hash, broadcast-join the domain dictionary,
+  * partial-aggregated groupBy (src,dst)) and checkpointed; iterations
+  * then touch only O(V+E) rank/edge rows — each is one join keyed by
+  * src plus one groupBy dst, the textbook distributed PageRank
+  * schedule. Rank state is localCheckpoint'd per iteration (the
+  * BpeTrain lineage-cut pattern) so the plan does not grow with
+  * iteration count. At 100 TB: corpus scan dominates, the V-node
+  * graph persists bucketed by src, and the five (or fifty) iterations
+  * shuffle only the rank table. The domain dictionary's row_number
+  * runs over DISTINCT sources — a single-partition window over the
+  * dictionary only, never the corpus (a billion-domain deployment
+  * would zipWithIndex the dictionary instead; the dictionary is still
+  * ~10⁶ rows, not corpus-sized).
+  */
+object DomainRank {
+
+  val damping = 0.85
+  val iterations = 5
+
+  /** (src, dst, w, outw) weighted domain edges + (source, idx)
+    * dictionary + |V|. One corpus scan; everything else is
+    * dictionary-sized.
+    */
+  def sourceGraph(docs: DataFrame): (DataFrame, DataFrame, Long) = {
+    val srcs = docs.select("source").distinct()
+      .withColumn("idx", row_number().over(Window.orderBy("source")) - 1)
+      .localCheckpoint(true) // dictionary-sized; feeds 3 consumers
+    // driver-side |V|: bounded by the domain-dictionary cardinality
+    // (20 here, ~10⁶ in production) — a scalar hyperparameter of the
+    // update rule, not corpus data
+    val n = srcs.count()
+    val e0 = docs.filter(col("text").isNotNull)
+      .select(col("source").as("src"),
+        (expr("conv(substring(md5(text), 1, 15), 16, 10)").cast("long") % n)
+          .as("idx"))
+      .join(broadcast(srcs.select(col("idx"), col("source").as("dst"))), "idx")
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val outw = e0.groupBy("src").agg(sum("w").as("outw"))
+    // edge relation is |E|-sized (≤ |V|² groups); checkpoint so the
+    // iteration loop never re-derives the corpus subtree
+    val e = e0.join(outw, "src").localCheckpoint(true)
+    (e, srcs, n)
+  }
+
+  /** `iters` damped-PageRank steps over a checkpointed (src, dst, w,
+    * outw) edge relation, DECIMAL(18,9)-quantized per step (see
+    * object scaladoc) — returns (node, rank DECIMAL(18,9)).
+    */
+  def pageRank(e: DataFrame, nodes: DataFrame, n: Long,
+      iters: Int = iterations): DataFrame = {
+    var ranks = nodes
+      .select(col("source").as("node"),
+        round(lit(1.0 / n), 9).cast("decimal(18,9)").as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst"),
+          round(col("rank").cast("double") * col("w") / col("outw"), 9)
+            .cast("decimal(18,9)").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("cs"))
+      ranks = nodes
+        .select(col("source").as("node"))
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(lit(0.15 / n) +
+            lit(damping) * coalesce(col("cs"), lit(0)).cast("double"), 9)
+            .cast("decimal(18,9)").as("rank"))
+        .localCheckpoint(true) // lineage cut per step (BpeTrain pattern)
+    }
+    ranks
+  }
+
+  private def oracleStep(i: Int): String =
+    s"""r$i AS (
+       |  SELECT s.source AS node,
+       |         CAST(round(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+       |                    CAST(COALESCE(sum(c.contrib), 0) AS DOUBLE), 9)
+       |              AS DECIMAL(18,9)) AS rank
+       |  FROM srcs s CROSS JOIN nn
+       |  LEFT JOIN (
+       |    SELECT e.dst,
+       |           CAST(round(CAST(r.rank AS DOUBLE) * e.w / e.outw, 9)
+       |                AS DECIMAL(18,9)) AS contrib
+       |    FROM e JOIN r${i - 1} r ON r.node = e.src) c ON c.dst = s.source
+       |  GROUP BY 1, nn.n)""".stripMargin
+
+  /** Hash-gated declared query: 5-iteration domain rank over the
+    * content-hash citation graph, every iteration replayed verbatim by
+    * the oracle's unrolled CTE chain.
+    */
+  val qDomainRank = DeclaredQuery(
+    "q_domain_rank",
+    s"""WITH srcs AS (
+       |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx
+       |  FROM (SELECT DISTINCT source FROM documents)),
+       |nn AS (SELECT count(*) AS n FROM srcs),
+       |e0 AS (
+       |  SELECT d.source AS src, s2.source AS dst, count(*) AS w
+       |  FROM documents d CROSS JOIN nn
+       |  JOIN srcs s2
+       |    ON s2.idx = CAST('0x' || substr(md5(d.text), 1, 15) AS BIGINT) % nn.n
+       |  WHERE d.text IS NOT NULL
+       |  GROUP BY 1, 2),
+       |ow AS (SELECT src, sum(w) AS outw FROM e0 GROUP BY 1),
+       |e AS (SELECT e0.src, e0.dst, e0.w, o.outw FROM e0 JOIN ow o ON e0.src = o.src),
+       |r0 AS (
+       |  SELECT source AS node,
+       |         CAST(round(CAST(1 AS DOUBLE) / nn.n, 9) AS DECIMAL(18,9)) AS rank
+       |  FROM srcs CROSS JOIN nn),
+       |${(1 to iterations).map(oracleStep).mkString(",\n")}
+       |SELECT node AS source, CAST(rank AS DOUBLE) AS rank
+       |FROM r$iterations
+       |ORDER BY rank DESC, source""".stripMargin) { (s, d) =>
+    val (e, srcs, n) = sourceGraph(Tables.documents(s, d))
+    pageRank(e, srcs, n)
+      .select(col("node").as("source"), col("rank").cast("double").as("rank"))
+      .orderBy(col("rank").desc, col("source"))
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qDomainRank)
+}

@@ -146,10 +146,18 @@ object ExternalFormats {
       .asFakeImage(Tables.documents(s, d).filter(col("doc_id") < 1000))
       .select("doc_id", "payload")
       .foreachPartition { (it: Iterator[Row]) =>
+        // Hadoop FileSystem, not java.nio (round-8 advice): executor
+        // tasks must write to a path every host can read back — on a
+        // cluster the unqualified dir resolves through the default FS
+        // (HDFS/object store); java.nio would land files on each
+        // executor's LOCAL disk and the re-ingest would silently miss
+        // them. Here (local mode) both resolve to the same tmpfs dir.
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
         it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, s"${r.getLong(0)}.img"),
-            r.getAs[Array[Byte]](1))
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(dir, s"${r.getLong(0)}.img"), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
         }
       }
     s.read.format("binaryFile").load(dir)

@@ -111,6 +111,44 @@ class FixtureDriftSpec extends SparkSpec {
     }
   }
 
+  test("q_upsert_merge insert keys (20000 + s_suppkey) stay outside the customer " +
+      "keyspace at every graded sf (round-8 advice: key-unique MERGE precondition)") {
+    // The declared delta inserts suppliers at 20000 + s_suppkey; if
+    // customer keys ever reach 20000 (they do at sf>=1: 150k
+    // customers) the "insert" keys collide with real customers,
+    // duplicate update keys violate the documented MERGE precondition,
+    // and BOTH rows land in the result. Pin the precondition where the
+    // gates run so a fixture-scale bump fails a NAMED test instead of
+    // silently degrading the query's semantics.
+    for (dir <- Seq(sf001, sf01, sf1)) {
+      val maxCust = Tables.customer(spark, dir)
+        .agg(max(col("c_custkey"))).head().getLong(0)
+      val minIns = 20000L + Tables.supplier(spark, dir)
+        .agg(min(col("s_suppkey"))).head().getLong(0)
+      assert(maxCust < 20000L,
+        s"$dir: max(c_custkey)=$maxCust >= 20000 — q_upsert_merge insert keys " +
+          "collide with the customer keyspace; re-site the insert key offset")
+      assert(minIns > maxCust,
+        s"$dir: insert keys start at $minIns <= max customer key $maxCust")
+    }
+  }
+
+  test("q_heavy_hitters stays in the sketch's exact all-items regime: " +
+      "fewer than k=10 distinct event types at every graded sf") {
+    // The round-9 gate relies on approx_top_k(event_type, 10) returning
+    // EVERY type per day with exact counts — true only while the type
+    // universe stays below k (no rank-k boundary for a tie to make
+    // sketch-internal) and far below map capacity. A fixture that grows
+    // the type universe past 10 must fail here, not silently re-open
+    // the round-7 tie blocker.
+    for (dir <- Seq(sf001, sf01, sf1)) {
+      val n = Tables.events(spark, dir)
+        .select(countDistinct(col("event_type"))).head().getLong(0)
+      assert(n < 10L, s"$dir: $n distinct event types >= k=10 — " +
+        "q_heavy_hitters leaves the exact regime")
+    }
+  }
+
   test("orders/lineitem date columns stay ms-precision in the safe 1995-2001 window") {
     val o = Tables.orders(spark, sf001)
       .agg(min(year(col("o_orderdate"))), max(year(col("o_orderdate")))).head()
