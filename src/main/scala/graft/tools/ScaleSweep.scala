@@ -28,6 +28,7 @@ object ScaleSweep {
     "q_winnow_fingerprints", "q_passage_overlap", "q_containment_pairs",
     "q_substring_spans", "q_token_df", "q_dsir_weights",
     "q_lsh_semantic_dedup", "q_dedup_clusters", "q_chunk_documents",
+    "q_domain_rank",
     // embeddings-shaped
     "q_cosine_topk", "q_embed_near_dup")
 
