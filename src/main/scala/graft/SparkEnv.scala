@@ -69,7 +69,16 @@ object SparkEnv {
       Runtime.getRuntime.availableProcessors().toString)
     SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      // AQE stays ON by default (the 100 TB posture: runtime
+      // coalescing, skew-join splitting). SPARK_GRAFT_AQE=false is the
+      // measured interactive-latency lever for sub-second inputs: each
+      // AQE stage is a separate job with a materialization barrier, a
+      // pure fixed cost when every shuffle is already KB-sized
+      // (tools/PhaseProf A/B, round 9).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", scratchRoot)

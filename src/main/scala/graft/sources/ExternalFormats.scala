@@ -152,12 +152,29 @@ object ExternalFormats {
         // (HDFS/object store); java.nio would land files on each
         // executor's LOCAL disk and the re-ingest would silently miss
         // them. Here (local mode) both resolve to the same tmpfs dir.
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // Resolve the path through the Hadoop FileSystem API (round-8
+        // advice): on a cluster the unqualified dir hits the default
+        // FS (HDFS/object store) and blobs land on SHARED storage every
+        // host can re-ingest — java.nio would scatter them across
+        // executor-local disks and the read-back would silently miss
+        // them. The local FS keeps a java.nio fast path: without
+        // native Hadoop libs, even RawLocalFileSystem.create execs a
+        // chmod per file (measured 0.4 -> 4.3 s on 1000 blobs,
+        // round 9), pure harness overhead a real cluster FS never pays.
+        val hp = new org.apache.hadoop.fs.Path(dir)
+        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val localFast = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+          fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
         it.foreach { r =>
-          val out = fs.create(
-            new org.apache.hadoop.fs.Path(dir, s"${r.getLong(0)}.img"), true)
-          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+          if (localFast)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, s"${r.getLong(0)}.img"),
+              r.getAs[Array[Byte]](1))
+          else {
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(hp, s"${r.getLong(0)}.img"), true)
+            try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+          }
         }
       }
     s.read.format("binaryFile").load(dir)
