@@ -40,9 +40,8 @@ def main():
     a("  external load, so min is the throughput estimate). Reproduce:")
     a("  `python3 tools/bench_duckdb_full.py <sf> <oracle_sql.json> <out>`.")
     a(f"- Spark: `graft.Bench` (local[32], {spark.get('passes', 3)} passes, per-query min,")
-    a("  toRdd.count of the full declared plan, AQE off — the measured")
-    a("  sub-second-input lever, see Bench.scala; the library default keeps")
-    a("  AQE on and Verify gates correctness under it).")
+    a("  toRdd.count of the full declared plan, AQE on — the round-9 A/B")
+    a("  measured AQE-off as a net loss across the suite, see Bench.scala).")
     a("- Totals compare the COMMON query set only (both engines ran the")
     a("  identical semantics; `no_oracle` queries are excluded).")
     a("")
