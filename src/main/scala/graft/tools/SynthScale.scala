@@ -21,10 +21,17 @@ import org.apache.spark.sql.functions._
   *    within-replica dup families are preserved exactly; shingle sets
   *    across replicas are disjoint (the ~30-word vocabulary shares no
   *    rotated words).
-  *  - embeddings: per-replica deterministic ±1 sign pattern per
-  *    dimension (murmur3 of (dim, replica)) — within-replica cosine
-  *    geometry is EXACTLY invariant (elementwise sign cancels in
-  *    a·b), cross-replica dot products pseudo-randomly cancel.
+  *  - embeddings: per-replica deterministic dimension ROTATION (shift
+  *    by 7·replica mod 64) composed with a ±1 sign pattern per
+  *    dimension (murmur3 of (dim, replica)) — both are orthogonal
+  *    transforms, so within-replica cosine geometry is EXACTLY
+  *    invariant, while cross-replica dot products of the same vector
+  *    become lagged autocorrelations with scrambled signs. Sign flips
+  *    alone were measured insufficient: the fixture's cluster vectors
+  *    concentrate mass in a few dimensions, so Σ v_i² ε_i stayed near
+  *    ±1 often enough that q_embed_near_dup's output grew 107× (the
+  *    13.5× wall-clock decade recorded in round 9's first sweep was a
+  *    synthesis artifact — more TRUE pairs — not operator behavior).
   *
   *   sbt "runMain graft.tools.SynthScale [query ...]"
   */
@@ -57,7 +64,9 @@ object SynthScale {
     val embReplicas = (0 until replicas).map { r =>
       emb.select(
         (col("vec_id") + lit(r * idOffset)).as("vec_id"),
-        expr(s"transform(embedding, (x, i) -> x * CAST(1 - 2 * pmod(hash(i, $r), 2) AS FLOAT))")
+        expr(s"transform(embedding, (x, i) -> " +
+          s"element_at(embedding, pmod(i + 7 * $r, 64) + 1) * " +
+          s"CAST(1 - 2 * pmod(hash(i, $r), 2) AS FLOAT))")
           .as("embedding"),
         col("label"))
     }
