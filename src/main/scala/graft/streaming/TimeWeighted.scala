@@ -64,7 +64,17 @@ object TimeWeighted {
   /** Run the file-source stream to completion and return the daily
     * TWA report (same columns as the batch query).
     */
-  def dailyReport(spark: SparkSession, sfDir: String): DataFrame = {
+  def dailyReport(spark: SparkSession, sfDir: String): DataFrame =
+    dailyReportMetered(spark, sfDir)._1
+
+  /** [[dailyReport]] + per-batch [[StreamMetrics]] — the
+    * transformWithState pipeline's state is ONE carried interval per
+    * user (RocksDB ValueState), the custom-state analog of the
+    * hash-agg pipelines' metered runners; StreamScaleSweep reads the
+    * numRowsTotal decade from here.
+    */
+  def dailyReportMetered(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[StreamMetrics.BatchMetrics]) = {
     val s2 = Serving.stateSession(spark, rocksdb = true)
     import s2.implicits._
     val evs = Ingest.eventStream(s2, sfDir)
@@ -89,11 +99,12 @@ object TimeWeighted {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s2.table(name)
+    val report = s2.table(name)
       .select(date_from_unix_date(col("epochDay")).as("day"),
         col("event_type"), col("n_intervals"), col("total_secs"),
         round(col("cd").cast("double") / col("total_secs") / 100, 6)
           .as("twa_value"))
       .orderBy("day", "event_type")
+    (report, StreamMetrics.history(q))
   }
 }

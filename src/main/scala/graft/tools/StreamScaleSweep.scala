@@ -32,6 +32,11 @@ object StreamScaleSweep {
       "q_stream_account_daily" -> { sf =>
         Serving.runAccountPipelineMetered(spark, sf, new InMemoryServingStore,
           SparkEnv.scratchDir("sweep-acct"))._2
+      },
+      // transformWithState custom state (RocksDB): one carried
+      // interval per user — state must track ACCOUNTS, not events
+      "q_stream_time_weighted" -> { sf =>
+        graft.streaming.TimeWeighted.dailyReportMetered(spark, sf)._2
       })
 
     println("| pipeline | sf | input rows | state rows | state MB | wall s |")
