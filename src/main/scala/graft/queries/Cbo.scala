@@ -125,5 +125,60 @@ object Cbo {
     cboSession(s).sql(reorderSql(s, d))
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qCboJoinReorder)
+  /** Session with the bloom runtime filter live at fixture scale:
+    * thresholds lowered from the 10 GB deployment default, broadcast
+    * off (the rule only fires for probable shuffle joins — the
+    * both-sides-huge regime it exists for). Memoized like cboSession.
+    */
+  private val rfSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  def runtimeFilterSession(parent: SparkSession): SparkSession =
+    rfSessions.computeIfAbsent(parent, p => {
+      val c = p.newSession()
+      c.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1KB")
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c
+    })
+
+  /** Declared runtime-filter query (round 9): per-order revenue
+    * rollup (the fact-side shuffle) joined to a selectively-filtered
+    * dim. Under [[runtimeFilterSession]] the optimizer injects a
+    * bloom_filter_agg on the dim side and a might_contain probe BELOW
+    * the fact aggregate — rows for non-urgent orders never enter the
+    * shuffle. At 100 TB that filter removes ~60% of the fact shuffle
+    * for a 2-of-5 priority slice; RuntimeFilterSpec pins the plan
+    * shape and its measured preconditions (the application side must
+    * already shuffle; broadcast-able joins are excluded). The oracle
+    * replays the semantics — the rewrite must be invisible in values.
+    */
+  val qRuntimeFilterJoin = DeclaredQuery(
+    "q_runtime_filter_join",
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(order_rev) AS DOUBLE) AS revenue
+      |FROM (SELECT l_orderkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS order_rev
+      |      FROM lineitem GROUP BY 1) r
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val s2 = runtimeFilterSession(s)
+    val perOrder = s2.read.parquet(s"$d/lineitem.parquet")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("order_rev"))
+    val urgent = s2.read.parquet(s"$d/orders.parquet")
+      .filter(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+      .select("o_orderkey", "o_orderpriority")
+    perOrder.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("order_rev").cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qCboJoinReorder, qRuntimeFilterJoin)
 }
