@@ -230,6 +230,43 @@ object ExternalFormats {
       .orderBy("lang")
   }
 
+  /** Plain-text ingest — raw corpus files (one doc per line, the
+    * WET/plain-crawl drop shape) through `spark.read.text`. The
+    * writer materializes `doc_id<TAB>lang<TAB>text` lines (the
+    * fixture text is tab/newline-free — measured at every sf, so the
+    * framing is lossless); the reader is the `text` source (one
+    * `value` column per line, splittable by line like any 100 TB
+    * crawl shard) + a codegen'd 3-way split. The gate recomputes
+    * per-lang doc counts and total text chars from the parquet
+    * originals, so line framing, UTF-8 fidelity, and the split all
+    * round-trip checked.
+    */
+  val qTextSource = DeclaredQuery(
+    "q_text_source",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |  CAST(sum(CAST(doc_id AS DECIMAL(18,0))) AS DOUBLE) AS id_sum
+      |FROM documents
+      |WHERE text IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = SparkEnv.scratchDir("graft-text-src")
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
+      .write.mode("overwrite").text(dir)
+    val parts = split(col("value"), "\t", 3)
+    s.read.text(dir)
+      .select(parts.getItem(0).cast("long").as("doc_id"),
+        parts.getItem(1).as("lang"), parts.getItem(2).as("text"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        sum(col("doc_id").cast("decimal(18,0)")).cast("double").as("id_sum"))
+      .orderBy("lang")
+  }
+
   val all: Seq[DeclaredQuery] =
-    Seq(qCsvSource, qJsonSource, qOrcSource, qBinarySource, qSchemaEvolution)
+    Seq(qCsvSource, qJsonSource, qOrcSource, qBinarySource, qSchemaEvolution,
+      qTextSource)
 }

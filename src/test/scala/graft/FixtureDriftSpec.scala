@@ -149,6 +149,17 @@ class FixtureDriftSpec extends SparkSpec {
     }
   }
 
+  test("documents.text is tab- and newline-free at every graded sf " +
+      "(q_text_source's line-framing precondition)") {
+    for (dir <- Seq(sf001, sf01, sf1)) {
+      val bad = Tables.documents(spark, dir)
+        .filter(col("text").contains("\t") || col("text").contains("\n"))
+        .count()
+      assert(bad == 0L, s"$dir: $bad docs carry tab/newline — " +
+        "q_text_source's doc_id\\tlang\\ttext framing would be lossy")
+    }
+  }
+
   test("orders/lineitem date columns stay ms-precision in the safe 1995-2001 window") {
     val o = Tables.orders(spark, sf001)
       .agg(min(year(col("o_orderdate"))), max(year(col("o_orderdate")))).head()
