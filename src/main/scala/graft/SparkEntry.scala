@@ -20,7 +20,9 @@ object SparkEntry {
       graft.operators.CorpusOps.all ++ graft.queries.WebAnalytics.all ++
       graft.queries.Cohorts.all ++ graft.sources.ExternalFormats.all ++
       graft.queries.Maintenance.all ++ graft.operators.DomainRank.all ++
-      graft.queries.Cbo.all ++ graft.sources.BucketedTables.all
+      graft.queries.Cbo.all ++ graft.sources.BucketedTables.all ++
+      graft.operators.GraphOps.all ++ graft.operators.Retrieval.all ++
+      graft.queries.Frontier.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

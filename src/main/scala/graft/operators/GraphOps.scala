@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relations derived from the fixtures — round-9
+  * coverage of the triangle-motif family that complements the existing
+  * connected-components ([[Dedup]]) and PageRank ([[DomainRank]])
+  * operators.
+  *
+  * The declared query counts triangles in the supplier co-occurrence
+  * graph: suppliers are adjacent when they co-supply at least
+  * [[GraphOps.EdgeSupport]] distinct orders. Co-occurrence triangles
+  * are the standard clustering / community-strength signal (a dense
+  * supplier triangle = a stable sourcing clique), and for an LLM-data
+  * pipeline the identical shape computes co-citation / co-link
+  * triangle density used for domain-quality weighting.
+  *
+  * 100 TB shape, in order of the three classic blow-ups it avoids:
+  *
+  *  1. '''Pair explosion''' — edges come from basket-local expansion
+  *     (collect_set per order, then an array HOF producing the
+  *     C(k,2) in-basket pairs), never a fact×fact self-join; one
+  *     shuffle by order key, pair count bounded by Σ C(basket,2)
+  *     (the q_brand_affinity precedent, measured A/B there).
+  *  2. '''Hay edges''' — the support threshold (HAVING count ≥ 5) is
+  *     applied in the same aggregate that deduplicates pairs, so the
+  *     downstream graph is the ~10% of edges that repeat, not the
+  *     random-co-occurrence noise floor.
+  *  3. '''Wedge explosion''' — triangle enumeration uses
+  *     degree-ordered orientation (each edge directed from its
+  *     lower-(degree, id) endpoint): every triangle is generated from
+  *     exactly one wedge at its lowest-degree apex, bounding wedges by
+  *     Σ C(outdeg,2) with outdeg ≤ O(√m) on any graph — the
+  *     arboricity bound behind every production triangle counter —
+  *     instead of Σ C(deg,2) at hub nodes. The closing-edge probe is
+  *     an equi-join on the oriented edge relation.
+  *
+  * The DuckDB oracle replays the same graph with the naive a<b<c
+  * orientation — a DIFFERENT enumeration order over the same triangle
+  * set — so the gate proves the oriented algorithm exact, not just
+  * replayed. Integer counts, no floats anywhere.
+  */
+object GraphOps {
+
+  /** Minimum distinct co-supplied orders for a graph edge. 5 keeps the
+    * graph at the ~10% repeated-pair core at sf0.1 (47,703 of 453,588
+    * candidate pairs, measured) while staying complete at the small
+    * sfs where every pair repeats (mean pair support 18 at sf0.01).
+    */
+  val EdgeSupport = 5
+
+  /** Undirected support-filtered edges (a < b) of the supplier
+    * co-occurrence graph.
+    */
+  def supplierEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    // collect_set both dedupes suppliers within an order and gives the
+    // basket-local pair expansion its sorted operand (a < b for free)
+    val baskets = li.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    // sequence() guard: size >= 2 above keeps sequence(0, size-2)
+    // ascending (Spark's sequence DESCENDS for start > stop — a 1-item
+    // basket would silently produce [0,-1], not an empty list)
+    baskets.select(explode(expr(
+      """flatten(transform(sequence(0, size(ss) - 2),
+        |  i -> transform(sequence(i + 1, size(ss) - 1),
+        |         j -> struct(ss[i] AS a, ss[j] AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= EdgeSupport)
+      .select("a", "b")
+      // edges feed THREE consumers (degrees, orientation, the closing
+      // probe) — cut lineage once here so the basket expansion runs a
+      // single time, not per consumer (round-8 q_minhash lesson)
+      .localCheckpoint()
+  }
+
+  /** Triangle rows (u, v, w) via degree-ordered wedge enumeration.
+    * Endpoints of each triangle appear once, ordered by (degree, id).
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    // degrees live on O(nodes) rows — broadcast-sized even when the
+    // edge relation is huge (1000-node fixture graph; at 100 TB a
+    // domain graph is ~1e8 nodes and this becomes a shuffle join, but
+    // the wedge bound below is what actually matters)
+    val withDeg = edges
+      .join(broadcast(deg.select(col("v").as("a"), col("dg").as("da"))), "a")
+      .join(broadcast(deg.select(col("v").as("b"), col("dg").as("db"))), "b")
+    // orient every edge from its lower-(degree, id) endpoint; keep the
+    // head's degree so wedge canonicalization needs no extra join
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("x"), col("db").as("dx")))
+        .otherwise(struct(col("b").as("u"), col("a").as("x"), col("da").as("dx"))).as("e"))
+      .select(col("e.u"), col("e.x"), col("e.dx"))
+      // three consumers again (both wedge legs + closing probe)
+      .localCheckpoint()
+    val o1 = oriented.select(col("u"), col("x").as("v"), col("dx").as("dv"))
+    val o2 = oriented.select(col("u"), col("x").as("w"), col("dx").as("dw"))
+    // wedges at the lowest-(deg,id) apex; (v, w) canonical in the same
+    // total order so each triangle closes exactly once
+    val wedges = o1.join(o2, Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val closing = oriented.select(col("u").as("v"), col("x").as("w"))
+    wedges.join(closing, Seq("v", "w")).select("u", "v", "w")
+  }
+
+  /** Top-20 suppliers by triangle participation in the co-supply
+    * graph. Oracle: naive a<b<c three-way join over the identical
+    * edge relation — same triangle set, independently enumerated.
+    */
+  val qTriangleCount = DeclaredQuery(
+    "q_triangle_count",
+    s"""WITH b AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS (
+       |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM b x JOIN b y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $EdgeSupport),
+       |t AS (
+       |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |n AS (
+       |  SELECT u AS node FROM t
+       |  UNION ALL SELECT v FROM t
+       |  UNION ALL SELECT w FROM t)
+       |SELECT s_suppkey, s_name, count(*) AS n_tri
+       |FROM n JOIN supplier ON node = s_suppkey
+       |GROUP BY 1, 2
+       |ORDER BY n_tri DESC, s_suppkey
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    val tris = triangles(supplierEdges(s, d))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .join(broadcast(sup), col("node") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_tri"))
+      .orderBy(col("n_tri").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qTriangleCount)
+}

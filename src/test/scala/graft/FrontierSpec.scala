@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Independent correctness gates for the round-9 frontier/graph/
+  * retrieval operators. The DuckDB oracles for q_skyline and
+  * q_peak_concurrency replay the same (scalable) algorithm, so these
+  * tests hold the NAIVE definitions — quadratic dominance, per-day
+  * interval recount, unoriented triangle enumeration, plain-Scala
+  * BM25 — against the declared results at sf0.001.
+  */
+class FrontierSpec extends SparkSpec {
+
+  test("q_skyline equals the brute-force NOT-EXISTS dominance set") {
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_size", "p_retailprice")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val brute = parts.filter { case (_, sy, py) =>
+      !parts.exists { case (_, sx, px) =>
+        px <= py && sx >= sy && (px < py || sx > sy)
+      }
+    }.map(_._1).toSet
+    val declared = SparkEntry.queries("q_skyline")(spark, sf)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(declared === brute)
+  }
+
+  test("q_peak_concurrency peaks match a per-day interval recount") {
+    import java.time.LocalDate
+    val iv = Tables.orders(spark, sf)
+      .select(col("o_orderdate").cast("date").as("sd"), col("o_orderkey"))
+      .collect()
+      .map { r =>
+        val sd = r.getDate(0).toLocalDate
+        (sd, sd.plusDays((r.getLong(1) % 90) + 1))
+      }
+    val lo = iv.map(_._1).min((a: LocalDate, b: LocalDate) => a.compareTo(b))
+    val hi = iv.map(_._2).max((a: LocalDate, b: LocalDate) => a.compareTo(b))
+    // concurrency at day d = intervals with sd <= d < ed, evaluated on
+    // EVERY calendar day (not just event days) — the padding rows in
+    // the declared query exist precisely so carried levels at month
+    // starts are observable; this recount would catch their absence
+    val days = Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi)).toSeq
+    val byMonth = days.groupBy(d => d.withDayOfMonth(1)).map { case (m, ds) =>
+      m -> ds.map(d => iv.count { case (sd, ed) =>
+        !sd.isAfter(d) && d.isBefore(ed)
+      }).max
+    }
+    val declared = SparkEntry.queries("q_peak_concurrency")(spark, sf)
+      .select("month", "peak_open").collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    // recount covers months intersecting [lo, hi]; declared months are
+    // exactly the event-day months — same set
+    assert(declared.keySet === byMonth.keySet)
+    byMonth.foreach { case (m, peak) =>
+      assert(declared(m) === peak.toLong, s"month $m")
+    }
+  }
+
+  test("q_triangle_count matches naive unoriented a<b<c enumeration") {
+    val edges = graft.operators.GraphOps.supplierEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val eset = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val naive = for {
+      a <- nodes; b <- nodes if a < b && eset((a, b))
+      c <- nodes if b < c && eset((b, c)) && eset((a, c))
+    } yield (a, b, c)
+    val perNode = naive.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val declaredTris = graft.operators.GraphOps
+      .triangles(graft.operators.GraphOps.supplierEdges(spark, sf))
+      .collect().map(r => {
+        val s = Seq(r.getLong(0), r.getLong(1), r.getLong(2)).sorted
+        (s(0), s(1), s(2))
+      })
+    assert(declaredTris.length === naive.length)
+    assert(declaredTris.toSet === naive.toSet)
+    // and each triangle exactly once (no double-enumeration)
+    assert(declaredTris.distinct.length === declaredTris.length)
+    val declaredTop = SparkEntry.queries("q_triangle_count")(spark, sf)
+      .select("s_suppkey", "n_tri").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    declaredTop.foreach { case (k, n) => assert(perNode(k) === n, s"supp $k") }
+  }
+
+  test("q_bm25_topk matches a plain-Scala BM25 scorer") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val terms = graft.operators.Retrieval.QueryTerms
+    val n = texts.length.toDouble
+    val avgdl = texts.map(_._2.length.toDouble).sum / texts.length
+    def q9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val idf = terms.map { t =>
+      val df = texts.count(_._2.contains(t)).toDouble
+      t -> q9(math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+    }.toMap
+    val scored = texts.flatMap { case (id, ws) =>
+      val dl = ws.length.toDouble
+      val cs = terms.flatMap { t =>
+        val tf = ws.count(_ == t).toDouble
+        if (tf == 0) None
+        else Some(q9(idf(t).toDouble *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))))
+      }
+      if (cs.isEmpty) None else Some((id, cs.size.toLong, cs.sum.toDouble))
+    }
+    val expected = scored.sortBy { case (id, _, s) => (-s, id) }.take(25)
+    val declared = SparkEntry.queries("q_bm25_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(declared.toSeq === expected.toSeq)
+  }
+}
