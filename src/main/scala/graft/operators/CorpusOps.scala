@@ -252,7 +252,59 @@ object CorpusOps {
     }
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (round 9):
+    * the Efraimidis–Spirakis A-ES scheme — each item draws
+    * u ∈ (0,1) and is ranked by key = −ln(u)/w; the k smallest keys
+    * are a weighted sample without replacement (equivalently the
+    * u^(1/w) max form). A training-data pipeline uses exactly this to
+    * draw a length-weighted corpus subsample in ONE distributed pass:
+    * the selection is a global top-k (TakeOrderedAndProject — partial
+    * per-partition top-k, no global sort), never a sequential draw.
+    *
+    * Determinism discipline: u derives from the 52-bit md5 prefix of
+    * the doc id (the portable `CAST('0x'||substr(md5,1,13))` family
+    * the dedup oracles replay), so u = (fp52 + 0.5) / 2^52 is an
+    * EXACT double, identical in both engines; the one transcendental
+    * (−ln u) is divided by the weight and quantized round(·,9) →
+    * DECIMAL(18,9) (the q_lm_perplexity discipline). The declared
+    * output carries only integers (doc_id, n_chars, rank) — the key
+    * orders the sample but never leaves the engine as a float.
+    *
+    * Weight = n_chars: longer documents proportionally likelier —
+    * token-budget-aware subsampling.
+    */
+  val weightedSample: DeclaredQuery = DeclaredQuery(
+    "q_weighted_sample",
+    """WITH u AS (
+      |  SELECT doc_id, n_chars,
+      |         ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 13))
+      |             AS BIGINT) + 0.5) / 4503599627370496.0) AS uni
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST(round(-ln(uni) / n_chars, 9) AS DECIMAL(18,9)) AS key
+      |  FROM u),
+      |r AS (
+      |  SELECT doc_id, n_chars,
+      |         row_number() OVER (ORDER BY key, doc_id) AS rank
+      |  FROM k)
+      |SELECT doc_id, n_chars, rank FROM r
+      |WHERE rank <= 50 ORDER BY rank""".stripMargin) { (s, d) =>
+    val u = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      ((expr("conv(substring(md5(concat(cast(doc_id AS string), ':ws')), 1, 13), 16, 10)")
+        .cast("long") + 0.5) / lit(4503599627370496.0)).as("uni"))
+    val keyed = u.select(col("doc_id"), col("n_chars"),
+      round(-log(col("uni")) / col("n_chars"), 9).cast("decimal(18,9)").as("key"))
+      // top-k by key = the sample; fused TakeOrderedAndProject, then a
+      // rank over the k selected rows only (never a global sort)
+      .orderBy(col("key"), col("doc_id")).limit(50)
+    val w = Window.orderBy("key", "doc_id")
+    keyed.withColumn("rank", row_number().over(w))
+      .select("doc_id", "n_chars", "rank")
+      .orderBy("rank")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(containmentPairs, chunkDocuments, corpusShuffle, tokenBudget,
-      epochBatches)
+      epochBatches, weightedSample)
 }
