@@ -80,6 +80,13 @@ object GraphOps {
 
   /** Triangle rows (u, v, w) via degree-ordered wedge enumeration.
     * Endpoints of each triangle appear once, ordered by (degree, id).
+    *
+    * The oriented relation is deliberately NOT checkpointed even
+    * though three consumers read it (both wedge legs + the closing
+    * probe): it derives from the already-checkpointed edge relation
+    * with one tiny groupBy + two broadcast joins, and re-deriving it
+    * per consumer is cheaper than a materialization barrier (measured
+    * at sf0.1: 2.74 s with the second checkpoint, 1.92 s without).
     */
   def triangles(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
@@ -99,8 +106,6 @@ object GraphOps {
         struct(col("a").as("u"), col("b").as("x"), col("db").as("dx")))
         .otherwise(struct(col("b").as("u"), col("a").as("x"), col("da").as("dx"))).as("e"))
       .select(col("e.u"), col("e.x"), col("e.dx"))
-      // three consumers again (both wedge legs + closing probe)
-      .localCheckpoint()
     val o1 = oriented.select(col("u"), col("x").as("v"), col("dx").as("dv"))
     val o2 = oriented.select(col("u"), col("x").as("w"), col("dx").as("dw"))
     // wedges at the lowest-(deg,id) apex; (v, w) canonical in the same

@@ -278,7 +278,42 @@ object Functions2 {
       .orderBy("l_returnflag")
   }
 
+  /** Ordered string aggregation (round 9): `listagg ... WITHIN GROUP
+    * (ORDER BY ...)` (new in Spark 4) ≡ DuckDB's ordered
+    * `string_agg`. The WITHIN-GROUP order is what makes the
+    * concatenation deterministic and therefore hash-gateable — an
+    * unordered listagg varies with partition order and could never
+    * pass the gate. Per region: the ordered nation roster and the
+    * region's customer count (counts aggregated BEFORE the roster
+    * join, so the listagg input stays one row per nation).
+    */
+  val listaggRoster = DeclaredQuery(
+    "q_listagg",
+    """SELECT r_name,
+      |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |       CAST(sum(n_cust) AS BIGINT) AS n_customers
+      |FROM (SELECT n.n_regionkey, n.n_name, count(c.c_custkey) AS n_cust
+      |      FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |      GROUP BY 1, 2) x
+      |JOIN region ON r_regionkey = n_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+    val perNation = Tables.nation(s, d).as("n")
+      .join(Tables.customer(s, d).as("c"),
+        col("c.c_nationkey") === col("n.n_nationkey"), "left")
+      .groupBy(col("n.n_regionkey"), col("n.n_name"))
+      .agg(count(col("c.c_custkey")).as("n_cust"))
+    perNation
+      .join(broadcast(Tables.region(s, d)),
+        col("r_regionkey") === col("n_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+        sum("n_cust").cast("long").as("n_customers"))
+      .orderBy("r_name")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     regexpFuncs, hofFuncs, dateArith, condNullFuncs, windowRangeFrame,
-    bitwiseMedian, editDistancePairs, posexplodeTokens, hllSketch, tryArith)
+    bitwiseMedian, editDistancePairs, posexplodeTokens, hllSketch, tryArith,
+    listaggRoster)
 }

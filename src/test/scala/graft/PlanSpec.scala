@@ -506,6 +506,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<o_custkey:bigint>"), p)
   }
 
+  test("q_bm25_topk's declared plan reads the corpus at most once " +
+      "(the per-doc pivot is checkpointed; scoring+constants reuse it)") {
+    val p = planOf("q_bm25_topk")
+    assert("Scan parquet".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_weighted_sample selects via fused top-k, not a global sort") {
+    val p = planOf("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_triangle_count never self-joins the fact table: at most the " +
+      "supplier dim + one lineitem scan reach the final plan") {
+    // edges and oriented edges are localCheckpoint'd — the basket
+    // expansion runs once; remaining parquet scans are the supplier
+    // dim join (broadcast) and at most one pre-checkpoint fragment
+    val p = planOf("q_triangle_count")
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed (bounded theta joins against
     // a broadcast side); an unbounded CartesianProduct never is.
