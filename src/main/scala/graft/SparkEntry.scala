@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Maintenance.all ++ graft.operators.DomainRank.all ++
       graft.queries.Cbo.all ++ graft.sources.BucketedTables.all ++
       graft.operators.GraphOps.all ++ graft.operators.Retrieval.all ++
-      graft.queries.Frontier.all ++ graft.queries.Regression.all
+      graft.queries.Frontier.all ++ graft.queries.Regression.all ++
+      graft.queries.Analytics3.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -397,5 +397,59 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qLangId, qQuality, qBpeTokens, qCharNgrams, qQualityClassifier)
+  /** Gopher-style repetition filter (round 9): per-doc duplicate-bigram
+    * fraction and top-bigram mass — the "repetitious document" signals
+    * from the Gopher data-curation rules (Rae et al. 2021, public):
+    * boilerplate/spam pages repeat the same n-grams, and a corpus
+    * filter drops docs whose duplicate-n-gram fraction exceeds a
+    * threshold. Two signals per doc from ONE gram-count relation:
+    * `dup_frac` = 1 − distinct/total bigrams, `top_frac` = modal
+    * bigram count / total.
+    *
+    * 100 TB shape: the codegen'd [[graft.functions.TokenNGrams]]
+    * generator streams bigrams without materializing per-doc arrays;
+    * counts ride a (doc_id, shingle) hash aggregate whose map-side
+    * partial collapses within-partition repeats, then one per-doc
+    * rollup — two shuffles both keyed by doc-prefixed keys, linear in
+    * corpus size, no joins. The whole-text fallback for sub-2-token
+    * docs (one gram = the text itself, dup_frac 0) matches the
+    * generator's documented clamp, replayed in the oracle via the
+    * same `greatest(len-1, 1)` + clamped-slice idiom as
+    * `q_decontaminate`.
+    */
+  val qGopherRepetition = DeclaredQuery(
+    "q_gopher_repetition",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram
+      |      FROM t, LATERAL (
+      |        SELECT unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i) s),
+      |cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      |per AS (SELECT doc_id,
+      |               CAST(sum(c) AS BIGINT) AS n_grams,
+      |               CAST(count(*) AS BIGINT) AS n_distinct,
+      |               CAST(max(c) AS BIGINT) AS top_count
+      |        FROM cnt GROUP BY 1)
+      |SELECT doc_id, n_grams, n_distinct, top_count,
+      |  round(CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS dup_frac,
+      |  round(CAST(top_count AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS top_frac
+      |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("token_ngrams(text, 2)"))
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").cast("long").as("n_grams"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        max("c").cast("long").as("top_count"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"), col("top_count"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"), 6)
+          .as("dup_frac"),
+        round(col("top_count").cast("double") / col("n_grams").cast("double"), 6)
+          .as("top_frac"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qLangId, qQuality, qBpeTokens, qCharNgrams, qQualityClassifier,
+    qGopherRepetition)
 }

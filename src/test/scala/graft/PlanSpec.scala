@@ -528,6 +528,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q_unpivot plans an Expand over the aggregated relation — the " +
+      "wide→long fan-out is task-local, never a shuffle or generator") {
+    val p = planOf("q_unpivot")
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_lateral_topk's decorrelated lateral limit plans a " +
+      "WindowGroupLimit (per-group top-k pruned map-side, before the " +
+      "rank exchange) with the region side broadcast") {
+    val p = planOf("q_lateral_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_ewma computes all seven lags in ONE window pass") {
+    assert(windowExecs("q_ewma").size == 1)
+    assert("Scan parquet".r.findAllIn(planOf("q_ewma")).size == 1)
+  }
+
+  test("q_chi2_independence builds margins and grid from the " +
+      "checkpointed per-cell counts — zero re-scans of the corpus") {
+    val p = planOf("q_chi2_independence")
+    assert("Scan parquet".r.findAllIn(p).isEmpty, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_gopher_repetition is one corpus scan through the codegen'd " +
+      "bigram generator — no joins, both rollups hash aggregates") {
+    val p = planOf("q_gopher_repetition")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed (bounded theta joins against
     // a broadcast side); an unbounded CartesianProduct never is.
