@@ -192,5 +192,152 @@ object Analytics3 {
           .cast("decimal(28,9)")).cast("double").as("chi2"))
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qUnpivot, qLateralTopk, qEwma, qChi2)
+  /** Rolling exact median (7-day ROWS frame) of daily revenue per
+    * return flag — the robust-location counterpart of the rolling
+    * means elsewhere (outlier-insensitive smoothing). Spark's exact
+    * `percentile` runs as a WINDOW aggregate over the ROWS frame; the
+    * frame is a FIXED 7 rows (emitted only where complete, rn ≥ 7),
+    * so the median is the 4th order statistic of 7 exact
+    * DECIMAL(18,2) values — no interpolation, and its double image is
+    * exact at these magnitudes. At scale the frame recomputes per row
+    * over ≤7 values inside one partition-local window pass — never a
+    * self-join. DuckDB replays via `quantile_cont` over the identical
+    * frame.
+    */
+  val qRollingMedian = DeclaredQuery(
+    "q_rolling_median",
+    """WITH rev AS (
+      |  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |f AS (
+      |  SELECT l_returnflag, day,
+      |         quantile_cont(CAST(rev AS DOUBLE), 0.5)
+      |           OVER (PARTITION BY l_returnflag ORDER BY day
+      |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med,
+      |         row_number() OVER (PARTITION BY l_returnflag ORDER BY day) AS rn
+      |  FROM rev)
+      |SELECT l_returnflag, day, round(med, 6) AS rolling_median
+      |FROM f WHERE rn >= 7
+      |ORDER BY l_returnflag, day""".stripMargin) { (s, d) =>
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_shipdate").cast("date").as("day"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)").as("rev"))
+    val frame = Window.partitionBy("l_returnflag").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    val rank = Window.partitionBy("l_returnflag").orderBy("day")
+    rev.select(col("l_returnflag"), col("day"),
+        expr("percentile(CAST(rev AS DOUBLE), 0.5)").over(frame).as("med"),
+        row_number().over(rank).as("rn"))
+      .filter(col("rn") >= 7)
+      .select(col("l_returnflag"), col("day"),
+        round(col("med"), 6).as("rolling_median"))
+      .orderBy("l_returnflag", "day")
+  }
+
+  /** Revenue-concentration metrics per market segment: Gini
+    * coefficient and Herfindahl–Hirschman index of per-customer
+    * revenue — the concentration diagnostics corpus curation runs
+    * over source/domain token mass (`q_source_cap`'s motivating
+    * statistic) and analytics runs over customer revenue. Both reduce
+    * to exact sufficient statistics: HHI = Σx²/(Σx)² needs only two
+    * order-free decimal sums; Gini's rank-weighted form
+    * (2Σi·x)/(n·Σx) − (n+1)/n needs one ascending rank per segment
+    * (ONE window pass; ties broken by key, though Σi·x is
+    * tie-order-invariant) then a plain aggregate. x is cast to
+    * DECIMAL(12,2) before squaring so products stay far inside
+    * precision 38 (the D10 discipline); the final formulas are
+    * fixed-shape double arithmetic on exact aggregates, round(·,6).
+    */
+  val qConcentration = DeclaredQuery(
+    "q_concentration",
+    """WITH rev AS (
+      |  SELECT c.c_mktsegment, c.c_custkey,
+      |         CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS x
+      |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT c_mktsegment, x,
+      |         row_number() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY x, c_custkey) AS i
+      |  FROM rev),
+      |agg AS (
+      |  SELECT c_mktsegment,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         sum(x) AS sx,
+      |         sum(x * x) AS sxx,
+      |         sum(CAST(i AS DECIMAL(10,0)) * x) AS six
+      |  FROM ranked GROUP BY 1)
+      |SELECT c_mktsegment, n,
+      |  round(CAST(2 AS DOUBLE) * CAST(six AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      - (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS gini,
+      |  round(CAST(sxx AS DOUBLE) / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS hhi
+      |FROM agg ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val rev = Tables.customer(s, d).as("c")
+      .join(Tables.orders(s, d).as("o"), col("o.o_custkey") === col("c.c_custkey"))
+      .groupBy(col("c.c_mktsegment"), col("c.c_custkey"))
+      .agg(sum(col("o.o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(12,2)").as("x"))
+    val w = Window.partitionBy("c_mktsegment").orderBy("x", "c_custkey")
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    rev.select(col("c_mktsegment"), col("x"), row_number().over(w).as("i"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("i").cast("decimal(10,0)") * col("x")).as("six"))
+      .select(col("c_mktsegment"), col("n"),
+        round(lit(2).cast("double") * dbl(col("six"))
+            / (dbl(col("n")) * dbl(col("sx")))
+          - (dbl(col("n")) + lit(1).cast("double")) / dbl(col("n")), 6).as("gini"),
+        round(dbl(col("sxx")) / (dbl(col("sx")) * dbl(col("sx"))), 6).as("hhi"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Benford first-digit audit of l_extendedprice — the classic
+    * data-quality screen for fabricated or truncated numeric columns.
+    * The leading digit comes from the DECIMAL's canonical string form
+    * (identical rendering both engines — never from log10, whose
+    * last-ulp differences across libm implementations could flip a
+    * floor at exact powers of ten); the nine Benford expectations are
+    * 9-decimal LITERALS in the query text, not computed logs, for the
+    * same reason. One scan, a 9-group aggregate, and a 1-row total
+    * broadcast via a frameless window.
+    */
+  val qBenford = DeclaredQuery(
+    "q_benford",
+    """WITH d AS (
+      |  SELECT substring(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS digit
+      |  FROM lineitem),
+      |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      |t AS (SELECT digit, n, sum(n) OVER () AS total FROM c)
+      |SELECT digit, n,
+      |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+      |  CAST(CASE digit WHEN '1' THEN 0.301029996 WHEN '2' THEN 0.176091259
+      |    WHEN '3' THEN 0.124938737 WHEN '4' THEN 0.096910013
+      |    WHEN '5' THEN 0.079181246 WHEN '6' THEN 0.066946790
+      |    WHEN '7' THEN 0.057991947 WHEN '8' THEN 0.051152522
+      |    WHEN '9' THEN 0.045757491 END AS DOUBLE) AS benford
+      |FROM t ORDER BY digit""".stripMargin) { (s, d) =>
+    val counts = Tables.lineitem(s, d)
+      .select(substring(col("l_extendedprice").cast("decimal(12,2)")
+        .cast("string"), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).cast("long").as("n"))
+    counts
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy()).cast("double"), 6).as("share"),
+        expr("""CAST(CASE digit WHEN '1' THEN 0.301029996 WHEN '2' THEN 0.176091259
+          WHEN '3' THEN 0.124938737 WHEN '4' THEN 0.096910013
+          WHEN '5' THEN 0.079181246 WHEN '6' THEN 0.066946790
+          WHEN '7' THEN 0.057991947 WHEN '8' THEN 0.051152522
+          WHEN '9' THEN 0.045757491 END AS DOUBLE)""").as("benford"))
+      .orderBy("digit")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qUnpivot, qLateralTopk, qEwma, qChi2,
+    qRollingMedian, qConcentration, qBenford)
 }

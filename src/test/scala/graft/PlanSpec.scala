@@ -563,6 +563,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_rolling_median and q_benford are each ONE fact scan (the " +
+      "window stages run over post-aggregate rows)") {
+    assert("Scan parquet".r.findAllIn(planOf("q_rolling_median")).size == 1)
+    assert("Scan parquet".r.findAllIn(planOf("q_benford")).size == 1)
+  }
+
+  test("q_concentration ranks in ONE window pass over the per-customer " +
+      "relation and joins the dim by broadcast") {
+    assert(windowExecs("q_concentration").size == 1)
+    assert(planOf("q_concentration").contains("BroadcastHashJoin"))
+  }
+
   test("no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed (bounded theta joins against
     // a broadcast side); an unbounded CartesianProduct never is.
