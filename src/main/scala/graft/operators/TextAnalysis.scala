@@ -450,6 +450,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token-distribution Shannon entropy per language slice — the
+    * corpus-diversity diagnostic (low entropy ⇒ repetitive/templated
+    * slice; evenness = H/ln(types) compares slices of different
+    * vocabulary sizes). Uses the identity H = ln N − (Σ c·ln c)/N so
+    * everything distributes: one corpus scan → (lang, token) counts
+    * with map-side partial, per-term ln(c) quantized round(·,9) →
+    * DECIMAL (the `q_lm_perplexity`/`q_bm25_topk` discipline) so the
+    * cross-term reduction is exact and order-free; the two outer ln's
+    * are single fixed-shape double ops absorbed by the final
+    * round(·,6).
+    */
+  val qEntropy = DeclaredQuery(
+    "q_entropy",
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |c AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2),
+      |agg AS (SELECT lang,
+      |               CAST(sum(c) AS BIGINT) AS n_tokens,
+      |               CAST(count(*) AS BIGINT) AS n_types,
+      |               sum(CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9))
+      |                   * CAST(c AS DECIMAL(12,0))) AS s
+      |        FROM c GROUP BY 1)
+      |SELECT lang, n_tokens, n_types,
+      |  round(ln(CAST(n_tokens AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS entropy,
+      |  round((ln(CAST(n_tokens AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      |        / ln(CAST(n_types AS DOUBLE)), 6) AS evenness
+      |FROM agg ORDER BY lang""".stripMargin) { (s, d) =>
+    val h = log(col("n_tokens").cast("double")) -
+      col("s").cast("double") / col("n_tokens").cast("double")
+    Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(
+        sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(round(log(col("c").cast("double")), 9).cast("decimal(18,9)")
+          * col("c").cast("decimal(12,0)")).as("s"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        round(h, 6).as("entropy"),
+        round(h / log(col("n_types").cast("double")), 6).as("evenness"))
+      .orderBy("lang")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(qLangId, qQuality, qBpeTokens, qCharNgrams, qQualityClassifier,
-    qGopherRepetition)
+    qGopherRepetition, qEntropy)
 }

@@ -563,6 +563,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_entropy is one corpus scan, no joins — both reductions are " +
+      "hash aggregates with map-side partials") {
+    val p = planOf("q_entropy")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_rolling_median and q_benford are each ONE fact scan (the " +
       "window stages run over post-aggregate rows)") {
     assert("Scan parquet".r.findAllIn(planOf("q_rolling_median")).size == 1)
