@@ -84,6 +84,27 @@ class FrontierSpec extends SparkSpec {
     declaredTop.foreach { case (k, n) => assert(perNode(k) === n, s"supp $k") }
   }
 
+  test("q_bfs_hops matches a plain-Scala queue BFS") {
+    val edges = graft.operators.GraphOps.supplierEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val seed = edges.flatMap(e => Seq(e._1, e._2)).min
+    // textbook level-order BFS, truncated at hop 4
+    val hops = scala.collection.mutable.Map(seed -> 0L)
+    var level = Seq(seed)
+    for (k <- 1 to 4) {
+      level = level.flatMap(v => adj.getOrElse(v, Nil))
+        .distinct.filterNot(hops.contains)
+      level.foreach(v => hops(v) = k.toLong)
+    }
+    val declared = SparkEntry.queries("q_bfs_hops")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(declared.toMap === hops.toMap)
+    // ordering contract of the declared output
+    assert(declared.map(_._1).toSeq === declared.map(_._1).sorted.toSeq)
+  }
+
   test("q_bm25_topk matches a plain-Scala BM25 scorer") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
