@@ -186,9 +186,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("tpch q18 plans the HAVING re-join as a semi join") {
+  test("tpch q18 aggregates the fact once — single lineitem scan") {
     val p = planOf("q_tpch_q18")
-    assert(p.contains("LeftSemi"), p)
+    // the round-9 single-agg form: the HAVING relation IS the outer
+    // aggregate (group keys functionally determined by o_orderkey),
+    // so lineitem is scanned exactly once and there is no re-join agg
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
