@@ -600,4 +600,21 @@ class PlanSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("q_mad serves the median window AND the groupBy from one lang exchange") {
+    // the whole-partition window hash-partitions by lang; the following
+    // groupBy("lang") must reuse that partitioning, not shuffle again
+    val p = planOf("q_mad")
+    val n = "Exchange hashpartitioning\\(lang".r.findAllIn(p).size
+    assert(n == 1, s"q_mad: $n lang exchanges (want 1):\n$p")
+  }
+
+  test("q_welch_ttest scans events once — complement stats by subtraction") {
+    // one-vs-rest must NOT rescan the fact per group: the rest-group
+    // stats are decimal subtractions from a broadcast 1-row total
+    val p = planOf("q_welch_ttest")
+    assert("events\\.parquet".r.findAllIn(p).size <= 1,
+      s"q_welch_ttest rescans events:\n$p")
+    spark.catalog.clearCache() // localCheckpoint'd sufficient stats
+  }
 }
