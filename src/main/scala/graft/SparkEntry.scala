@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Cbo.all ++ graft.sources.BucketedTables.all ++
       graft.operators.GraphOps.all ++ graft.operators.Retrieval.all ++
       graft.queries.Frontier.all ++ graft.queries.Regression.all ++
-      graft.queries.Analytics3.all ++ graft.queries.Analytics4.all
+      graft.queries.Analytics3.all ++ graft.queries.Analytics4.all ++
+      graft.queries.Analytics5.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -197,19 +197,24 @@ object GraphOps {
       .localCheckpoint() // consumed once per BFS level
     // bounded 1-row driver aggregate (seed choice), like the Dedup
     // convergence checks — not a data collect
-    val seed = sym.agg(min(col("src"))).head().getLong(0)
-    var visited = s.range(1).select(lit(seed).as("v"), lit(0L).as("hop"))
-    var frontier = visited.select("v")
-    for (k <- 1 to 4) {
-      val next = frontier.join(sym, col("v") === col("src"))
-        .select(col("dst").as("v")).distinct()
-        .join(visited.select("v"), Seq("v"), "left_anti")
-        .select(col("v"), lit(k.toLong).as("hop"))
-        .localCheckpoint() // cut the per-level lineage growth
-      visited = visited.unionAll(next).localCheckpoint()
-      frontier = next.select("v")
+    val seedRow = sym.agg(min(col("src"))).head()
+    if (seedRow.isNullAt(0)) { // empty graph: no seed, empty result
+      s.range(0).select(col("id").as("v"), col("id").as("hop"))
+    } else {
+      val seed = seedRow.getLong(0)
+      var visited = s.range(1).select(lit(seed).as("v"), lit(0L).as("hop"))
+      var frontier = visited.select("v")
+      for (k <- 1 to 4) {
+        val next = frontier.join(sym, col("v") === col("src"))
+          .select(col("dst").as("v")).distinct()
+          .join(visited.select("v"), Seq("v"), "left_anti")
+          .select(col("v"), lit(k.toLong).as("hop"))
+          .localCheckpoint() // cut the per-level lineage growth
+        visited = visited.unionAll(next).localCheckpoint()
+        frontier = next.select("v")
+      }
+      visited.orderBy("v")
     }
-    visited.orderBy("v")
   }
 
   val all: Seq[DeclaredQuery] = Seq(qTriangleCount, qBfsHops)

@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 statistics batch 3: time-series autocorrelation, the
+  * two-sample Kolmogorov–Smirnov distance, and PMI collocation mining
+  * — completing the monitoring/experimentation/corpus-analysis
+  * toolbox started in Analytics3/4.
+  *
+  * Same exactness rules: order-free exact aggregates (DECIMAL/LONG),
+  * floating point only in fixed-shape formulas on aggregated rows
+  * (shared as literal SQL text with the oracle where multi-stage),
+  * every float output round(·, k). Two queries here push the
+  * discipline further: `q_ks_test`'s max-deviation search runs
+  * entirely in INTEGER arithmetic (cross-multiplied CDF numerators),
+  * and `q_autocorrelation` reduces a 7-lag ACF to 25 exact decimal
+  * sums before any division.
+  */
+object Analytics5 {
+
+  /** Lag-1..7 autocorrelation of daily revenue per return flag — the
+    * seasonality/trend diagnostic behind forecast monitoring ("does
+    * yesterday predict today?"). Lags are over the OBSERVED daily
+    * sequence (the equally-spaced convention; calendar gap fill is
+    * `q_interpolate`'s job). The ACF at lag k expands to
+    * (Σx·x₋ₖ − m·Σ'x − m·Σ'x₋ₖ + (n−k)m²) / (Σx² − n·m²) with m the
+    * full-series mean and Σ' over the lag-complete suffix — every Σ
+    * an exact DECIMAL aggregate from ONE window pass (7 lag columns
+    * share one sort), every division deferred to the final per-flag
+    * row. The formula text is shared verbatim with the oracle
+    * (selectExpr), so the IEEE op order is identical by construction.
+    */
+  val qAutocorrelation: DeclaredQuery = {
+    val finals = Seq("l_returnflag", "n") ++ (1 to 7).map { k =>
+      s"""round((CAST(sxy$k AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * CAST(sa$k AS DOUBLE)
+         |  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * CAST(sb$k AS DOUBLE)
+         |  + (CAST(n AS DOUBLE) - $k.0) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         |    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+         |  / (CAST(sxx AS DOUBLE)
+         |     - CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         |       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS acf$k""".stripMargin
+    }
+    val lagSums = (1 to 7).flatMap { k =>
+      Seq(
+        s"CAST(sum(CAST(x * x$k AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS sxy$k",
+        s"CAST(sum(CASE WHEN x$k IS NOT NULL THEN x END) AS DECIMAL(24,2)) AS sa$k",
+        s"CAST(sum(x$k) AS DECIMAL(24,2)) AS sb$k")
+    }
+    DeclaredQuery(
+      "q_autocorrelation",
+      s"""WITH rev AS (
+         |  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+         |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS x
+         |  FROM lineitem GROUP BY 1, 2),
+         |lagged AS (
+         |  SELECT l_returnflag, x,
+         |         ${(1 to 7).map(k =>
+              s"lag(x, $k) OVER (PARTITION BY l_returnflag ORDER BY day) AS x$k")
+              .mkString(", ")}
+         |  FROM rev),
+         |agg AS (
+         |  SELECT l_returnflag,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS DECIMAL(24,2)) AS sx,
+         |    CAST(sum(CAST(x * x AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS sxx,
+         |    ${lagSums.mkString(",\n    ")}
+         |  FROM lagged GROUP BY 1)
+         |SELECT ${finals.mkString(",\n  ")}
+         |FROM agg ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_shipdate").cast("date").as("day"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)"))
+          .cast("decimal(14,2)").as("x"))
+      val w = Window.partitionBy("l_returnflag").orderBy("day")
+      val lagged = (1 to 7).foldLeft(rev) { (df, k) =>
+        df.withColumn(s"x$k", lag(col("x"), k).over(w))
+      }
+      val aggCols = Seq(
+        count(lit(1)).cast("long").as("n"),
+        sum("x").cast("decimal(24,2)").as("sx"),
+        sum(expr("CAST(x * x AS DECIMAL(30,4))")).cast("decimal(38,4)").as("sxx")) ++
+        lagSums.map(expr)
+      lagged.groupBy("l_returnflag")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .selectExpr(finals: _*)
+        .orderBy("l_returnflag")
+    }
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the `value`
+    * distributions of two event types — the nonparametric "did the
+    * distribution shift?" check behind drift monitors and A/B guard
+    * rails (Welch compares means; KS sees shape). The empirical-CDF
+    * deviation search runs ENTIRELY in integer arithmetic: at each
+    * distinct value, |F₁−F₂| = |c₁·N₂ − c₂·N₁| / (N₁·N₂), and the max
+    * of the exact BIGINT numerator (≤ 4·10⁸ here, far inside long) is
+    * found BEFORE the one double division — no float comparison can
+    * flip the argmax between engines. One scan, per-value counts, one
+    * cumulative window over the shared value order, a 1-row result.
+    */
+  val qKsTest = DeclaredQuery(
+    "q_ks_test",
+    """WITH vc AS (
+      |  SELECT CAST(value AS DECIMAL(12,2)) AS v,
+      |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS a,
+      |    CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS b
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT sum(a) OVER (ORDER BY v) AS ca,
+      |         sum(b) OVER (ORDER BY v) AS cb,
+      |         sum(a) OVER () AS na, sum(b) OVER () AS nb
+      |  FROM vc)
+      |SELECT CAST(max(na) AS BIGINT) AS n_click,
+      |  CAST(max(nb) AS BIGINT) AS n_view,
+      |  CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
+      |  round(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)
+      |    / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)), 6) AS ks
+      |FROM cum""".stripMargin) { (s, d) =>
+    val vc = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("value").cast("decimal(12,2)").as("v"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("b"))
+    val byV = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    // the single-partition window runs over the per-VALUE counts (a
+    // 2-decimal-quantized domain, thousands of rows at any sf), never
+    // the raw fact — the same post-aggregate-window shape as Benford
+    vc.select(
+        sum("a").over(byV).as("ca"), sum("b").over(byV).as("cb"),
+        sum("a").over(all).as("na"), sum("b").over(all).as("nb"))
+      .agg(
+        max("na").cast("long").as("n_click"),
+        max("nb").cast("long").as("n_view"),
+        max(abs(col("ca") * col("nb") - col("cb") * col("na")))
+          .cast("long").as("d_num"),
+        round(max(abs(col("ca") * col("nb") - col("cb") * col("na")))
+          .cast("double")
+          / (max("na").cast("double") * max("nb").cast("double")), 6).as("ks"))
+  }
+
+  /** PMI collocation mining: the top token bigrams by pointwise mutual
+    * information ln(N·c_xy / (c_x·c_y)) with margins taken over bigram
+    * first/second positions — the corpus-linguistics op behind phrase
+    * detection and tokenizer-merge diagnostics. Bigrams come from
+    * ARRAY INDEXING over the split-token array (toks[i], toks[i+1]) —
+    * in-task fanout, no self-join, no window; margins and N are
+    * aggregates OF the bigram relation, so the corpus is scanned once.
+    * Support floor c_xy ≥ 5 keeps the ln argument's numerator stable
+    * and the result non-vacuous at sf0.001. PMI is quantized
+    * round(·,9)→DECIMAL(18,9) before ranking (the q_lm_perplexity ln
+    * discipline), ties broken by the words themselves.
+    */
+  val qPmi = DeclaredQuery(
+    "q_pmi",
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS ts FROM documents),
+      |bg AS (
+      |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+      |  FROM toks, LATERAL (
+      |    SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g),
+      |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy
+      |      FROM bg GROUP BY 1, 2),
+      |m1 AS (SELECT w1, CAST(sum(cxy) AS BIGINT) AS cx FROM c GROUP BY 1),
+      |m2 AS (SELECT w2, CAST(sum(cxy) AS BIGINT) AS cy FROM c GROUP BY 1),
+      |n AS (SELECT CAST(sum(cxy) AS BIGINT) AS nn FROM c)
+      |SELECT w1, w2, cxy,
+      |  CAST(round(ln(CAST(cxy AS DOUBLE) * CAST(nn AS DOUBLE)
+      |    / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 9) AS DECIMAL(18,9)) AS pmi
+      |FROM c JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
+      |WHERE cxy >= 5
+      |ORDER BY pmi DESC, w1, w2
+      |LIMIT 25""".stripMargin) { (s, d) =>
+    val bg = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("ts"))
+      .select(explode(expr(
+        "transform(slice(ts, 1, size(ts) - 1), (x, i) -> struct(x AS w1, ts[i + 1] AS w2))"))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val c = bg.groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("cxy"))
+      .localCheckpoint() // 4 consumers: pairs, two margins, the total
+    val m1 = c.groupBy("w1").agg(sum("cxy").cast("long").as("cx"))
+    val m2 = c.groupBy("w2").agg(sum("cxy").cast("long").as("cy"))
+    val n = c.agg(sum("cxy").cast("long").as("nn"))
+    c.filter(col("cxy") >= 5)
+      .join(m1, Seq("w1")).join(m2, Seq("w2")).crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("cxy"),
+        round(log(col("cxy").cast("double") * col("nn").cast("double")
+          / (col("cx").cast("double") * col("cy").cast("double"))), 9)
+          .cast("decimal(18,9)").as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(25)
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qAutocorrelation, qKsTest, qPmi)
+}

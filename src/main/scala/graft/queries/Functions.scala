@@ -270,10 +270,13 @@ object Functions {
 
   /** Unpivot (Spark melt) the pivoted matrix back to long form —
     * round trip yields the zero-filled day×type grid; the oracle
-    * builds the same grid with a dimension cross join.
+    * builds the same grid with a dimension cross join. (Renamed from
+    * q_unpivot when Analytics3 declared the plain-UNPIVOT query under
+    * that name — the session-3 duplicate silently shadowed this one in
+    * the queries map; both are distinct shapes worth gating.)
     */
   val unpivot = DeclaredQuery(
-    "q_unpivot",
+    "q_unpivot_grid",
     """WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket FROM events),
       |types AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
       |counts AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
