@@ -313,6 +313,74 @@ object Maintenance {
       .orderBy("lang", "change_type")
   }
 
+  /** Incremental materialized-view maintenance: merge ONE new day of
+    * facts into a stored weekly rollup without recomputing history —
+    * THE pattern that makes daily pipelines affordable at 100 TB
+    * (recomputing a rollup over years of facts for one new
+    * day's data is the classic scale failure). The declared plan is
+    * the incremental shape end to end:
+    *
+    *   1. base MV = weekly rollup of all days BEFORE the cutoff (the
+    *      last observed day) — stands in for the stored table; in
+    *      production this is a parquet read, not an aggregate;
+    *   2. delta = the cutoff day only, aggregated to the same keys —
+    *      in production a partition-pruned single-day scan;
+    *   3. untouched base rows pass through via an ANTI JOIN against
+    *      the (tiny, broadcast) delta key set — history is never
+    *      re-aggregated;
+    *   4. touched keys = delta LEFT JOIN base, exact decimal sums
+    *      added (decimal addition is associative, so merged partials
+    *      ≡ a full recompute — the same law the streaming counters
+    *      rely on).
+    *
+    * The DuckDB oracle is the FULL recompute over all facts — the gate
+    * IS the MV-maintenance correctness statement (incremental ≡
+    * batch), not a replay of the mechanism.
+    */
+  val qIncrementalRollup = DeclaredQuery(
+    "q_incremental_rollup",
+    """SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      date_trunc("week", col("ts")).cast("date").as("week"),
+      date_trunc("day", col("ts")).cast("date").as("day"),
+      col("event_type"),
+      col("value").cast("decimal(12,2)").as("x"))
+    val cut = ev.agg(max("day").as("cutoff")) // 1 row
+    val tagged = ev.crossJoin(broadcast(cut))
+    // weekly grain: the fixture spans 5 weeks and its last day is a
+    // Tuesday, so BOTH maintenance paths are non-vacuous at every sf —
+    // 4 untouched weeks pass through the anti join and the final week
+    // merges delta partials into existing base rows (verified 20 + 5
+    // rows at sf0.001/0.01/0.1)
+    val keys = Seq("week", "event_type")
+    val base = tagged.filter(col("day") < col("cutoff"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum("x").cast("decimal(24,2)").as("sv"))
+      .localCheckpoint() // the "stored MV": consumed by steps 3 and 4
+    val delta = tagged.filter(col("day") === col("cutoff"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("dn"), sum("x").cast("decimal(24,2)").as("dsv"))
+    val untouched = base.join(broadcast(delta.select(keys.map(col): _*)),
+      keys, "left_anti")
+    val merged = delta.join(base, keys, "left")
+      .select(col("week"), col("event_type"),
+        (coalesce(col("n"), lit(0L)) + col("dn")).as("n"),
+        (coalesce(col("sv"), lit(0).cast("decimal(24,2)")) + col("dsv"))
+          .cast("decimal(24,2)").as("sv"))
+    untouched.select(col("week"), col("event_type"), col("n"), col("sv"))
+      .unionAll(merged)
+      .select(col("week"), col("event_type"),
+        col("n").cast("long").as("n_events"),
+        col("sv").cast("double").as("sum_value"))
+      .orderBy("week", "event_type")
+  }
+
   val all: Seq[DeclaredQuery] =
-    Seq(qUpsertMerge, qScd2History, qRecursiveCte, qDqAudit, qSnapshotDiff)
+    Seq(qUpsertMerge, qScd2History, qRecursiveCte, qDqAudit, qSnapshotDiff,
+      qIncrementalRollup)
 }
