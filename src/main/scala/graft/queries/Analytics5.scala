@@ -197,5 +197,91 @@ object Analytics5 {
       .limit(25)
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qAutocorrelation, qKsTest, qPmi)
+  /** Population Stability Index — THE production ML-monitoring drift
+    * metric: each day's `value` distribution vs the first week pooled
+    * as baseline, PSI = Σ_bins (p−q)·ln(p/q). Binning is INTEGER
+    * arithmetic end to end (exact 2-decimal cents, bin = cents/2800 —
+    * no float floor near a boundary can disagree between engines);
+    * Laplace smoothing (c+1)/(n+B) over the GLOBAL bin universe keeps
+    * empty bins defined, with the day×bin grid built like the chi²
+    * contingency grid (cross join of tiny margins, left join counts).
+    * Each bin's term is quantized round(·,9)→DECIMAL before the
+    * per-day sum, so the reduction is exact and order-free; the ln
+    * ratio is computed from one division of exact BIGINT products.
+    * One fact scan; everything after is |days|·|bins| rows.
+    */
+  val qPsiDrift = DeclaredQuery(
+    "q_psi_drift",
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |           // 2800 AS bin,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |bins AS (SELECT DISTINCT bin FROM b),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS nbins FROM bins),
+      |days AS (SELECT day, CAST(sum(c) AS BIGINT) AS nd FROM b GROUP BY 1),
+      |base AS (
+      |  SELECT bin, CAST(sum(c) AS BIGINT) AS cb
+      |  FROM b WHERE day < DATE '2024-01-08' GROUP BY 1),
+      |basen AS (SELECT CAST(sum(cb) AS BIGINT) AS nbase FROM base),
+      |grid AS (
+      |  SELECT d.day, d.nd, bins.bin, nb.nbins, basen.nbase,
+      |         coalesce(b.c, 0) AS c, coalesce(base.cb, 0) AS cb
+      |  FROM days d CROSS JOIN bins CROSS JOIN nb CROSS JOIN basen
+      |  LEFT JOIN b ON b.day = d.day AND b.bin = bins.bin
+      |  LEFT JOIN base ON base.bin = bins.bin
+      |  WHERE d.day >= DATE '2024-01-08'),
+      |terms AS (
+      |  SELECT day,
+      |    CAST(round(
+      |      (CAST(c + 1 AS DOUBLE) / CAST(nd + nbins AS DOUBLE)
+      |       - CAST(cb + 1 AS DOUBLE) / CAST(nbase + nbins AS DOUBLE))
+      |      * ln(CAST((c + 1) * (nbase + nbins) AS DOUBLE)
+      |           / CAST((cb + 1) * (nd + nbins) AS DOUBLE)), 9)
+      |      AS DECIMAL(28,9)) AS term
+      |  FROM grid)
+      |SELECT day, round(CAST(sum(term) AS DOUBLE), 6) AS psi
+      |FROM terms GROUP BY day
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val b = Tables.events(s, d)
+      .groupBy(
+        date_trunc("day", col("ts")).cast("date").as("day"),
+        // integer division on both sides (Spark DIV ≡ DuckDB // for
+        // the nonnegative cents here; `/` would be float division
+        // with engine-divergent long casts: Spark truncates, DuckDB
+        // rounds)
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 2800")
+          .as("bin"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint() // 4 consumers: bins, day totals, baseline, grid probe
+    val bins = b.select("bin").distinct()
+    val nb = bins.agg(count(lit(1)).cast("long").as("nbins"))
+    val days = b.groupBy("day").agg(sum("c").cast("long").as("nd"))
+    val cutoff = lit("2024-01-08").cast("date")
+    val base = b.filter(col("day") < cutoff)
+      .groupBy("bin").agg(sum("c").cast("long").as("cb"))
+    val basen = base.agg(sum("cb").cast("long").as("nbase"))
+    val grid = days.filter(col("day") >= cutoff)
+      .crossJoin(broadcast(bins)).crossJoin(broadcast(nb))
+      .crossJoin(broadcast(basen))
+      .join(b, Seq("day", "bin"), "left")
+      .join(broadcast(base), Seq("bin"), "left")
+      .select(col("day"), col("nd"), col("nbins"), col("nbase"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    grid
+      .select(col("day"),
+        round(
+          ((col("c") + 1).cast("double") / (col("nd") + col("nbins")).cast("double")
+            - (col("cb") + 1).cast("double") / (col("nbase") + col("nbins")).cast("double"))
+          * log(((col("c") + 1) * (col("nbase") + col("nbins"))).cast("double")
+                / ((col("cb") + 1) * (col("nd") + col("nbins"))).cast("double")), 9)
+          .cast("decimal(28,9)").as("term"))
+      .groupBy("day")
+      .agg(round(sum("term").cast("double"), 6).as("psi"))
+      .orderBy("day")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qAutocorrelation, qKsTest, qPmi, qPsiDrift)
 }

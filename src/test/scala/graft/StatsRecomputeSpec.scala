@@ -158,6 +158,39 @@ class StatsRecomputeSpec extends SparkSpec {
     }
   }
 
+  test("q_psi_drift equals a direct PSI recompute") {
+    val rows = Tables.events(spark, sf).select("ts", "value")
+      .collect().map { r =>
+        val day = r.getTimestamp(0).toLocalDateTime.toLocalDate
+        val cents = BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100
+        (day, cents.toLongExact / 2800L)
+      }
+    val cutoff = java.time.LocalDate.parse("2024-01-08")
+    val bins = rows.map(_._2).distinct
+    val nb = bins.length.toLong
+    val baseRows = rows.filter(_._1.isBefore(cutoff))
+    val baseC = baseRows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nBase = baseRows.length.toLong
+    val declared = SparkEntry.queries("q_psi_drift")(spark, sf).collect()
+    assert(declared.nonEmpty)
+    declared.foreach { r =>
+      val day = r.getDate(0).toLocalDate
+      assert(!day.isBefore(cutoff))
+      val dayRows = rows.filter(_._1 == day)
+      val dayC = dayRows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val nd = dayRows.length.toLong
+      val psi = bins.map { bin =>
+        val (c, cb) = (dayC.getOrElse(bin, 0L), baseC.getOrElse(bin, 0L))
+        val p = (c + 1).toDouble / (nd + nb)
+        val q = (cb + 1).toDouble / (nBase + nb)
+        (p - q) * math.log(p / q)
+      }.sum
+      assert(math.abs(r.getDouble(1) - psi) < 1e-5, s"day $day")
+      assert(psi >= 0.0) // PSI is a (smoothed) divergence
+    }
+  }
+
   test("q_incremental_rollup equals the full weekly recompute (exact)") {
     val full = SparkEntry.queries("q_incremental_rollup")(spark, sf).collect()
       .map(r => ((r.getDate(0).toString, r.getString(1)), (r.getLong(2), r.getDouble(3))))
