@@ -246,6 +246,8 @@ object Analytics4 {
       .filter(col("event_id") % 29 === 0)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
       .agg(sum(col("value").cast("decimal(12,2)")).cast("decimal(14,2)").as("v"))
+      .localCheckpoint() // 2 consumers (spine bounds + grid join): one
+      // events scan, not two — the relation is (type, hour)-bounded
     val spine = pts.groupBy("event_type")
       .agg(min("hr").as("lo"), max("hr").as("hi"))
       .select(col("event_type"),

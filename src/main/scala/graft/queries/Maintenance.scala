@@ -358,13 +358,24 @@ object Maintenance {
     // merges delta partials into existing base rows (verified 20 + 5
     // rows at sf0.001/0.01/0.1)
     val keys = Seq("week", "event_type")
-    val base = tagged.filter(col("day") < col("cutoff"))
-      .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n"), sum("x").cast("decimal(24,2)").as("sv"))
-      .localCheckpoint() // the "stored MV": consumed by steps 3 and 4
-    val delta = tagged.filter(col("day") === col("cutoff"))
-      .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("dn"), sum("x").cast("decimal(24,2)").as("dsv"))
+    // base and delta partials from ONE fact pass (conditional sums) —
+    // the fixture stand-in for "read the stored MV" + "partition-pruned
+    // single-day delta scan"; the plan digest showed the naive
+    // two-filter form scanning events 4× (base, delta, and each reuse)
+    val agg = tagged.groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(col("day") < col("cutoff"), 1L).otherwise(0L)).as("bn"),
+        sum(when(col("day") < col("cutoff"), col("x")))
+          .cast("decimal(24,2)").as("bsv"),
+        sum(when(col("day") === col("cutoff"), 1L).otherwise(0L)).as("dn"),
+        sum(when(col("day") === col("cutoff"), col("x")))
+          .cast("decimal(24,2)").as("dsv"))
+      .localCheckpoint() // week×type rows — the MV-merge inputs
+    val base = agg.filter(col("bn") > 0)
+      .select(col("week"), col("event_type"),
+        col("bn").as("n"), col("bsv").as("sv"))
+    val delta = agg.filter(col("dn") > 0)
+      .select(col("week"), col("event_type"), col("dn"), col("dsv"))
     val untouched = base.join(broadcast(delta.select(keys.map(col): _*)),
       keys, "left_anti")
     val merged = delta.join(base, keys, "left")
