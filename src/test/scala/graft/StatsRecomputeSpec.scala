@@ -191,6 +191,30 @@ class StatsRecomputeSpec extends SparkSpec {
     }
   }
 
+  test("round-9 statistics queries are bit-identical across parallelism") {
+    // the exactness discipline's contract: order-free exact aggregates
+    // mean the SAME bytes at any partitioning. Run each new query under
+    // two different shuffle-partition settings and require identical
+    // collected results (doubles compared bit-for-bit via toString) —
+    // a raw-double sum would fail this nondeterministically.
+    val names = Seq("q_mad", "q_iqr_outliers", "q_welch_ttest",
+      "q_interpolate", "q_autocorrelation", "q_ks_test", "q_pmi",
+      "q_psi_drift", "q_incremental_rollup", "q_bfs_hops")
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.shuffle.partitions")
+    def snapshot(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    try {
+      names.foreach { n =>
+        conf.set("spark.sql.shuffle.partitions", "3")
+        val a = snapshot(n)
+        conf.set("spark.sql.shuffle.partitions", "7")
+        val b = snapshot(n)
+        assert(a === b, s"$n differs across parallelism")
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", orig)
+  }
+
   test("q_incremental_rollup equals the full weekly recompute (exact)") {
     val full = SparkEntry.queries("q_incremental_rollup")(spark, sf).collect()
       .map(r => ((r.getDate(0).toString, r.getString(1)), (r.getLong(2), r.getDouble(3))))
