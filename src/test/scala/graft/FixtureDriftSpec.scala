@@ -35,6 +35,24 @@ class FixtureDriftSpec extends SparkSpec {
       assert(r.getLong(3) >= 29L, s"$dir: expected ~30 distinct event days, got ${r.getLong(3)}")
       if (dir != sf001) // 10k+ events cover essentially every hour of the month
         assert(r.getLong(2) >= 700L, s"$dir: expected ≥700 distinct hourly buckets, got ${r.getLong(2)}")
+      // q_psi_drift's baseline cutoff (2024-01-08) must fall INSIDE the
+      // span: days before it form the baseline, days at/after it are
+      // scored — if a regenerated fixture moves the calendar, the query
+      // would silently emit NULL psi (empty baseline) or zero rows
+      assert(lo < "2024-01-08", s"$dir: PSI baseline week empty (min=$lo)")
+      assert(hi >= "2024-01-08", s"$dir: PSI has no scored days (max=$hi)")
+      // q_incremental_rollup's non-vacuity: ≥2 distinct weeks (untouched
+      // path) and a cutoff day that is NOT the Monday of its week (merge
+      // path hits existing base keys) — currently 5 weeks, last day a
+      // Tuesday, at every sf
+      val wk = ev.agg(
+        countDistinct(date_trunc("week", col("ts"))).as("weeks"),
+        max(to_date(col("ts"))).as("maxd"),
+        max(date_trunc("week", col("ts")).cast("date")).as("maxw")).head()
+      assert(wk.getLong(0) >= 2L, s"$dir: rollup untouched path needs ≥2 weeks")
+      assert(wk.getDate(1).toLocalDate.isAfter(wk.getDate(2).toLocalDate),
+        s"$dir: rollup merge path vacuous — last day ${wk.getDate(1)} is the " +
+          s"Monday of its week (no earlier base rows in the touched week)")
     }
   }
 
