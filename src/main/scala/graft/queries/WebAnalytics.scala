@@ -663,9 +663,70 @@ object WebAnalytics {
       .orderBy("user_id")
   }
 
+  /** Time-decay attribution — the third standard model beside
+    * last-touch (`q_attribution`) and linear (`q_linear_attribution`):
+    * clicks closer to the purchase earn exponentially more credit.
+    * The decay is discretized to 15-minute buckets within the 1-hour
+    * window (q ∈ 0..4 quarters of age), weight = 2^(4−q) — so every
+    * weight is an exact POWER-OF-TWO INTEGER built by bit shift, the
+    * per-purchase weight mass is an exact BIGINT sum, and the credit
+    * split `cents·w // Σw` is the same floor-division integer
+    * arithmetic the linear model gates (no pow/exp libm call
+    * anywhere — a continuous e^{−λΔt} would hash-diverge between
+    * engines at the last ulp). Join shape identical to the linear
+    * model: hour-bucket equi-join (purchase hour + previous hour),
+    * never a time-range theta join.
+    */
+  val decayAttribution = DeclaredQuery(
+    "q_decay_attribution",
+    """WITH e AS (SELECT event_id, user_id, event_type, value,
+      |            CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec FROM events),
+      |clicks AS (SELECT DISTINCT user_id, sec FROM e WHERE event_type = 'click'),
+      |purchases AS (SELECT event_id, user_id, sec,
+      |                     CAST(round(value * 100) AS BIGINT) AS cents
+      |              FROM e WHERE event_type = 'purchase'),
+      |cand AS (
+      |  SELECT p.event_id AS pid, p.cents, CAST(c.sec AS DATE) AS cday,
+      |         CAST(1 AS BIGINT) << CAST(4 - date_diff('second', c.sec, p.sec) // 900 AS INT) AS w
+      |  FROM purchases p JOIN clicks c
+      |    ON c.user_id = p.user_id
+      |   AND c.sec BETWEEN p.sec - INTERVAL 3600 SECOND AND p.sec),
+      |wsum AS (
+      |  SELECT pid, cents, cday, w,
+      |         sum(w) OVER (PARTITION BY pid) AS sw
+      |  FROM cand)
+      |SELECT cday AS day,
+      |       count(*) AS n_credited_clicks,
+      |       CAST(sum(cents * w // sw) AS BIGINT) AS credited_cents
+      |FROM wsum GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), date_trunc("second", col("ts")).as("sec"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec")).distinct()
+      .withColumn("hb", floor(unix_timestamp(col("sec")) / 3600))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("sec").as("psec"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("hb",
+        explode(array(floor(unix_timestamp(col("psec")) / 3600),
+          floor(unix_timestamp(col("psec")) / 3600) - 1)))
+    val cand = purchases.join(clicks, Seq("user_id", "hb"))
+      .filter(col("sec") <= col("psec") &&
+        unix_timestamp(col("psec")) - unix_timestamp(col("sec")) <= 3600)
+      .withColumn("w", expr(
+        """shiftleft(CAST(1 AS BIGINT),
+          |  CAST(4 - (unix_timestamp(psec) - unix_timestamp(sec)) DIV 900 AS INT))""".stripMargin))
+      .withColumn("sw", sum("w").over(Window.partitionBy("pid")))
+    cand.groupBy(col("sec").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_credited_clicks"),
+        sum(expr("(cents * w) div sw")).as("credited_cents"))
+      .orderBy("day")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(attribution, rollingActives, bounceRate, valueHistogram, anomalyHours,
       audienceOverlap, streamAttribution, funnelLatency, denseMinutes,
       linearAttribution, streamAnomalyHours, timeWeightedAvg,
-      streamTimeWeighted, eventPaths, runningBalance)
+      streamTimeWeighted, eventPaths, runningBalance, decayAttribution)
 }
