@@ -244,7 +244,7 @@ object Analytics5 {
       |SELECT day, round(CAST(sum(term) AS DOUBLE), 6) AS psi
       |FROM terms GROUP BY day
       |ORDER BY day""".stripMargin) { (s, d) =>
-    val b = Tables.events(s, d)
+    psiFromCounts(Tables.events(s, d)
       .groupBy(
         date_trunc("day", col("ts")).cast("date").as("day"),
         // integer division on both sides (Spark DIV ≡ DuckDB // for
@@ -253,7 +253,19 @@ object Analytics5 {
         // rounds)
         expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 2800")
           .as("bin"))
-      .agg(count(lit(1)).cast("long").as("c"))
+      .agg(count(lit(1)).cast("long").as("c")))
+  }
+
+  /** PSI read-time scoring over a (day, bin, c) counter relation —
+    * shared by the batch query and its streaming twin (the
+    * incremental-aggregation / read-time-analytics split of
+    * `q_stream_anomaly_hours`: the counters are what a serving store
+    * maintains; the drift score is computed over the tiny counter
+    * space at read time).
+    */
+  def psiFromCounts(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val b = counts
       .localCheckpoint() // 4 consumers: bins, day totals, baseline, grid probe
     val bins = b.select("bin").distinct()
     val nb = bins.agg(count(lit(1)).cast("long").as("nbins"))

@@ -513,9 +513,44 @@ object StreamingQueries {
       .orderBy("key", "rank")
   }
 
+  /** Streaming drift monitor — the production shape of
+    * [[Analytics3]]/[[Analytics5]]'s PSI: the STREAM maintains the
+    * per-(day, bin) counter relation (a watermark-free complete-mode
+    * aggregation over the integer-binned values — exactly what a
+    * serving store would hold, ~|days|·|bins| rows of state), and the
+    * read-time view applies the identical Laplace-smoothed PSI scoring
+    * over that tiny counter space (`Analytics5.psiFromCounts`). Gated
+    * VERBATIM by the batch `q_psi_drift` oracle — the
+    * incremental-aggregation / read-time-analytics split that
+    * `q_stream_anomaly_hours` established.
+    */
+  val streamPsiDrift = DeclaredQuery(
+    "q_stream_psi_drift",
+    graft.queries.Analytics5.qPsiDrift.oracle.get) { (s, d) =>
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+    val qname = "stream_psi_counts"
+    val agg = graft.streaming.Ingest.eventStream(s2, d)
+      .groupBy(
+        window(col("ts"), "1 day").as("w"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 2800")
+          .as("bin"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .select(col("w.start").cast("date").as("day"), col("bin"), col("c"))
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        graft.SparkEnv.scratchDir("graft-stream-psi-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.queries.Analytics5.psiFromCounts(s2.table(qname))
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(streamHourly, streamMultiGran, streamAccountDaily, streamNearDups,
       streamCorpusGate, streamCleanPipeline, streamSemanticDedup, streamDsir,
       streamDecontaminate, streamLmScores, streamValuePercentiles,
-      streamUniqueUsers, streamTopTypes)
+      streamUniqueUsers, streamTopTypes, streamPsiDrift)
 }
