@@ -152,9 +152,20 @@ object Analytics5 {
     * in-task fanout, no self-join, no window; margins and N are
     * aggregates OF the bigram relation, so the corpus is scanned once.
     * Support floor c_xy ≥ 5 keeps the ln argument's numerator stable
-    * and the result non-vacuous at sf0.001. PMI is quantized
-    * round(·,9)→DECIMAL(18,9) before ranking (the q_lm_perplexity ln
-    * discipline), ties broken by the words themselves.
+    * and the result non-vacuous at sf0.001.
+    *
+    * Ranking is by the EXACT RATIONAL cxy·nn/(cx·cy), not its log: ln
+    * is monotone, so the top-25 set and order are identical by
+    * construction, but the rational is one IEEE division of
+    * exactly-representable BIGINT products (≤ ~10¹² here, far under
+    * 2⁵³) — bit-identical in every engine, where round(ln(·),9) rode a
+    * last-ulp JVM-vs-libm `log` difference that could flip the 9-dp
+    * quantization at the cut (the round-9 driver red). Ties in the
+    * rational break by the words themselves, exactly in both engines.
+    * The emitted pmi is demoted to round(·,6) (the q_ks_test
+    * discipline): a 1-ulp ln difference flips a 6-dp rounding only
+    * within ~1e-15 of a grid point — LnBoundaryMarginSpec asserts the
+    * realized margins.
     */
   val qPmi = DeclaredQuery(
     "q_pmi",
@@ -170,11 +181,12 @@ object Analytics5 {
       |m2 AS (SELECT w2, CAST(sum(cxy) AS BIGINT) AS cy FROM c GROUP BY 1),
       |n AS (SELECT CAST(sum(cxy) AS BIGINT) AS nn FROM c)
       |SELECT w1, w2, cxy,
-      |  CAST(round(ln(CAST(cxy AS DOUBLE) * CAST(nn AS DOUBLE)
-      |    / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 9) AS DECIMAL(18,9)) AS pmi
+      |  CAST(round(ln(CAST(cxy * nn AS DOUBLE)
+      |    / CAST(cx * cy AS DOUBLE)), 6) AS DECIMAL(18,6)) AS pmi
       |FROM c JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
       |WHERE cxy >= 5
-      |ORDER BY pmi DESC, w1, w2
+      |ORDER BY CAST(cxy * nn AS DOUBLE) / CAST(cx * cy AS DOUBLE) DESC,
+      |  w1, w2
       |LIMIT 25""".stripMargin) { (s, d) =>
     val bg = Tables.documents(s, d)
       .select(split(col("text"), " ").as("ts"))
@@ -187,14 +199,19 @@ object Analytics5 {
     val m1 = c.groupBy("w1").agg(sum("cxy").cast("long").as("cx"))
     val m2 = c.groupBy("w2").agg(sum("cxy").cast("long").as("cy"))
     val n = c.agg(sum("cxy").cast("long").as("nn"))
+    // BIGINT products first, one cast, one division — the ranking key
+    // r is the same double in Spark and DuckDB (exact operands, IEEE
+    // division); ln only decorates the already-selected rows.
+    val r = (col("cxy") * col("nn")).cast("double") /
+      (col("cx") * col("cy")).cast("double")
     c.filter(col("cxy") >= 5)
       .join(m1, Seq("w1")).join(m2, Seq("w2")).crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("cxy"),
-        round(log(col("cxy").cast("double") * col("nn").cast("double")
-          / (col("cx").cast("double") * col("cy").cast("double"))), 9)
-          .cast("decimal(18,9)").as("pmi"))
-      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        round(log(r), 6).cast("decimal(18,6)").as("pmi"),
+        r.as("_r"))
+      .orderBy(col("_r").desc, col("w1"), col("w2"))
       .limit(25)
+      .drop("_r")
   }
 
   /** Population Stability Index — THE production ML-monitoring drift

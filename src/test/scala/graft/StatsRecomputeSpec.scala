@@ -138,12 +138,28 @@ class StatsRecomputeSpec extends SparkSpec {
     val cx = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     val cy = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
     val nn = bigrams.length.toLong
+    // ranking key = the exact rational cxy·nn/(cx·cy) as ONE IEEE
+    // division of exactly-representable long products (the round-10
+    // fix: ln is monotone, so the set/order match, but the rational is
+    // bit-identical across engines where round(ln(·),9) was not)
     val scored = cxy.filter(_._2 >= 5).toSeq.map { case ((a, b), c) =>
-      val pmi = BigDecimal(math.log(c.toDouble * nn / (cx(a).toDouble * cy(b))))
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
-      (a, b, c, pmi)
+      val r = (c * nn).toDouble / (cx(a) * cy(b)).toDouble
+      val pmi = BigDecimal(math.log(r))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      (a, b, c, pmi, r)
     }
-    val expected = scored.sortBy { case (a, b, _, p) => (-p, a, b) }.take(25)
+    val ranked = scored.sortBy { case (a, b, _, _, r) => (-r, a, b) }
+    val expected = ranked.take(25).map(t => (t._1, t._2, t._3, t._4))
+    // cut-boundary gap: rank-25 vs rank-26 keys must either be far
+    // apart (> 2 ulp — no engine's arithmetic can reorder them) or
+    // EXACTLY equal (then the w1,w2 tie-break is engine-independent)
+    if (ranked.length > 25) {
+      val k25 = ranked(24)._5
+      val k26 = ranked(25)._5
+      val gap = k25 - k26
+      assert(gap == 0.0 || gap > 2 * math.ulp(k25),
+        s"rank-25/26 keys too close to be stable: $k25 vs $k26")
+    }
     // resolve columns by name — the declared projection order is not
     // part of the contract the driver checks (it sorts by name)
     val df = SparkEntry.queries("q_pmi")(spark, sf)
@@ -154,7 +170,7 @@ class StatsRecomputeSpec extends SparkSpec {
     assert(decl.map(t => (t._1, t._2, t._3)).toSeq ===
       expected.map(t => (t._1, t._2, t._3)).toSeq)
     decl.zip(expected).foreach { case (d, e) =>
-      assert((d._4 - e._4).abs <= BigDecimal("0.000000002"), s"${d._1} ${d._2}")
+      assert((d._4 - e._4).abs <= BigDecimal("0.000002"), s"${d._1} ${d._2}")
     }
   }
 
