@@ -84,14 +84,26 @@ object Functions {
       .orderBy("k")
   }
 
-  /** H3 math functions over lineitem. */
+  /** H3 math functions over lineitem.
+    *
+    * Round-10 hardening (the q_stats_funcs finding): sum_sqrt/sum_ln/
+    * sum_disc_sq were raw double sums rounded post-agg — merge-order
+    * dependent AND ulp-sensitive at the 6-dp boundary. Each term is
+    * now quantized round(·,6) → DECIMAL(18,6) per row and summed
+    * EXACTLY (order-free), the PSI/entropy discipline. Per-row
+    * determinism: sqrt is IEEE correctly-rounded (bit-identical in any
+    * engine); d·d is one exact-rounded multiply (pow(d,2) was dropped
+    * — engines don't promise pow bit-parity); ln is the one libm call,
+    * whose 6-dp margins LnBoundaryMarginSpec certifies > 2 ulp at both
+    * graded sfs.
+    */
   val mathFuncs = DeclaredQuery(
     "q_math_funcs",
     """SELECT CAST(l_quantity AS INT) % 7 AS qmod,
       |  count(*) AS n,
-      |  round(sum(sqrt(l_quantity)), 6) AS sum_sqrt,
-      |  round(sum(ln(l_extendedprice)), 6) AS sum_ln,
-      |  round(sum(pow(l_discount, 2)), 6) AS sum_disc_sq,
+      |  CAST(sum(CAST(round(sqrt(l_quantity), 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_sqrt,
+      |  CAST(sum(CAST(round(ln(l_extendedprice), 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_ln,
+      |  CAST(sum(CAST(round(l_discount * l_discount, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_sq,
       |  CAST(min(ceil(l_tax * 100)) AS BIGINT) AS min_ceil_tax,
       |  CAST(max(floor(l_tax * 100)) AS BIGINT) AS max_floor_tax,
       |  CAST(sum(abs(CAST(l_quantity AS INT) - 25)) AS BIGINT) AS sum_absdev
@@ -102,9 +114,12 @@ object Functions {
       .groupBy((col("l_quantity").cast("int") % 7).as("qmod"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(sqrt(col("l_quantity"))), 6).as("sum_sqrt"),
-        round(sum(log(col("l_extendedprice"))), 6).as("sum_ln"),
-        round(sum(pow(col("l_discount"), 2)), 6).as("sum_disc_sq"),
+        sum(round(sqrt(col("l_quantity")), 6).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("sum_sqrt"),
+        sum(round(log(col("l_extendedprice")), 6).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("sum_ln"),
+        sum(round(col("l_discount") * col("l_discount"), 6).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("sum_disc_sq"),
         min(ceil(col("l_tax") * 100)).as("min_ceil_tax"),
         max(floor(col("l_tax") * 100)).as("max_floor_tax"),
         sum(abs(col("l_quantity").cast("int") - 25)).as("sum_absdev"))

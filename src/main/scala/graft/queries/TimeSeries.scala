@@ -162,58 +162,136 @@ object TimeSeries {
       .orderBy("win_start", "event_type")
   }
 
-  /** D6 completion: stddev/variance/corr/covar — cross-engine float
-    * formulas agree to ≥10 significant digits; round(6) pins it.
+  /** D6 completion: stddev/variance/corr/covar — computed CLOSED-FORM
+    * from exact integer moments (n, Σcents, Σcents², Σx, Σx², Σcents·x
+    * as BIGINT — c_acctbal is 2-decimal data, so cents are exact),
+    * the Regression.scala discipline. Round-10 hardening: the built-in
+    * stddev_samp/corr/covar_samp accumulate doubles in partition-merge
+    * order, and LnBoundaryMarginSpec measured the emitted var_samp at
+    * sf0.1 sitting 6e-11 from its round(·,6) boundary — ~60× inside
+    * the 2-ulp band at magnitude 1e7, i.e. the old gate held only
+    * while two engines' merge trees happened to bit-agree. With exact
+    * moments both engines evaluate the SAME short IEEE expression on
+    * identical operands (sqrt is correctly-rounded by IEEE 754), so
+    * the pre-round double is bit-identical by construction and the
+    * boundary margin is no longer load-bearing. This is also the
+    * 100 TB shape: one map-side-combinable aggregate, O(1) arithmetic
+    * on the aggregated row.
     */
   val statsFuncs = DeclaredQuery(
     "q_stats_funcs",
-    """SELECT c_mktsegment,
-      |  round(stddev_samp(c_acctbal), 6) AS sd,
-      |  round(var_samp(c_acctbal), 6) AS var,
-      |  round(covar_samp(c_acctbal, CAST(c_nationkey AS DOUBLE)), 6) + 0.0 AS cv,
-      |  round(corr(c_acctbal, CAST(c_nationkey AS DOUBLE)), 6) + 0.0 AS cr
-      |FROM customer
-      |GROUP BY c_mktsegment
+    """WITH t AS (
+      |  SELECT c_mktsegment,
+      |         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |         CAST(c_nationkey AS BIGINT) AS x
+      |  FROM customer),
+      |m AS (
+      |  SELECT c_mktsegment,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(cents) AS BIGINT) AS s1,
+      |         CAST(sum(cents * cents) AS BIGINT) AS s2,
+      |         CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(cents * x) AS BIGINT) AS sxy
+      |  FROM t GROUP BY 1)
+      |SELECT c_mktsegment,
+      |  round(sqrt(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(n - 1 AS DOUBLE)) / 10000.0), 6) AS sd,
+      |  round(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(n - 1 AS DOUBLE)) / 10000.0, 6) AS var,
+      |  round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(n - 1 AS DOUBLE)) / 100.0, 6) + 0.0 AS cv,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |           * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))), 6) + 0.0 AS cr
+      |FROM m
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
-    Tables.customer(s, d)
+    val m = Tables.customer(s, d)
+      .select(col("c_mktsegment"),
+        (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+        col("c_nationkey").cast("long").as("x"))
       .groupBy("c_mktsegment")
       .agg(
-        round(stddev_samp(col("c_acctbal")), 6).as("sd"),
-        round(var_samp(col("c_acctbal")), 6).as("var"),
-        (round(covar_samp(col("c_acctbal"), col("c_nationkey").cast("double")), 6) + 0.0).as("cv"),
-        (round(corr(col("c_acctbal"), col("c_nationkey").cast("double")), 6) + 0.0).as("cr"))
+        count(lit(1)).cast("long").as("n"),
+        sum("cents").cast("long").as("s1"),
+        sum(col("cents") * col("cents")).cast("long").as("s2"),
+        sum("x").cast("long").as("sx"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("cents") * col("x")).cast("long").as("sxy"))
+    // mirror the oracle's expression SHAPE exactly — identical IEEE op
+    // sequence on identical exact operands ⇒ bit-identical doubles
+    val nd = col("n").cast("double"); val n1d = (col("n") - 1).cast("double")
+    val s1d = col("s1").cast("double"); val s2d = col("s2").cast("double")
+    val sxd = col("sx").cast("double"); val sxxd = col("sxx").cast("double")
+    val sxyd = col("sxy").cast("double")
+    val varRaw = ((s2d - s1d * s1d / nd) / n1d) / 10000.0
+    val cvRaw = ((sxyd - sxd * s1d / nd) / n1d) / 100.0
+    val crRaw = (nd * sxyd - sxd * s1d) /
+      sqrt((nd * sxxd - sxd * sxd) * (nd * s2d - s1d * s1d))
+    m.select(col("c_mktsegment"),
+        round(sqrt(varRaw), 6).as("sd"),
+        round(varRaw, 6).as("var"),
+        (round(cvRaw, 6) + 0.0).as("cv"),
+        (round(crRaw, 6) + 0.0).as("cr"))
       .orderBy("c_mktsegment")
   }
 
   /** Time-series similarity in relational form (cf. PAPERS.md
     * streaming-similarity entry): pairwise Pearson correlation between
     * event-type hourly count series — build the per-type series once,
-    * equi-join on the hour bucket, corr per type pair. Scale shape:
-    * the series relation is (hours × types) rows — tiny relative to
-    * events — so the self-join costs nothing; the events scan + one
-    * shuffle dominates, exactly like any rollup.
+    * equi-join on the hour bucket, Pearson r per type pair. Scale
+    * shape: the series relation is (hours × types) rows — tiny
+    * relative to events — so the self-join costs nothing; the events
+    * scan + one shuffle dominates, exactly like any rollup.
+    *
+    * Round-10 hardening (the q_stats_funcs finding): the built-in
+    * corr() accumulates double co-moments in partition-merge order —
+    * an unstable gate. The counts are exact BIGINTs, so r is computed
+    * closed-form from the six exact integer moments via one short IEEE
+    * expression mirrored in both engines — bit-identical pre-round.
     */
   val typeCorrelation = DeclaredQuery(
     "q_type_correlation",
     """WITH series AS (
       |  SELECT date_trunc('hour', ts) AS b, event_type AS t,
-      |         CAST(count(*) AS DOUBLE) AS n
-      |  FROM events GROUP BY 1, 2)
-      |SELECT a.t AS type_a, b.t AS type_b,
-      |       round(corr(a.n, b.n), 6) + 0.0 AS r,
-      |       count(*) AS n_buckets
-      |FROM series a JOIN series b ON a.b = b.b AND a.t < b.t
-      |GROUP BY 1, 2
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT a.t AS type_a, b.t AS type_b,
+      |         CAST(count(*) AS BIGINT) AS n_buckets,
+      |         CAST(sum(a.n) AS BIGINT) AS sa, CAST(sum(b.n) AS BIGINT) AS sb,
+      |         CAST(sum(a.n * a.n) AS BIGINT) AS saa,
+      |         CAST(sum(b.n * b.n) AS BIGINT) AS sbb,
+      |         CAST(sum(a.n * b.n) AS BIGINT) AS sab
+      |  FROM series a JOIN series b ON a.b = b.b AND a.t < b.t
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b,
+      |  round((CAST(n_buckets AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+      |    / sqrt((CAST(n_buckets AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+      |         * (CAST(n_buckets AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) + 0.0 AS r,
+      |  n_buckets
+      |FROM m
       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
     val series = Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("b"), col("event_type").as("t"))
-      .agg(count(lit(1)).cast("double").as("n"))
+      .agg(count(lit(1)).cast("long").as("n"))
     val a = series.select(col("b"), col("t").as("type_a"), col("n").as("n_a"))
     val b = series.select(col("b"), col("t").as("type_b"), col("n").as("n_b"))
-    a.join(b, Seq("b")).filter(col("type_a") < col("type_b"))
+    val m = a.join(b, Seq("b")).filter(col("type_a") < col("type_b"))
       .groupBy("type_a", "type_b")
-      .agg((round(corr(col("n_a"), col("n_b")), 6) + 0.0).as("r"),
-        count(lit(1)).as("n_buckets"))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum("n_a").cast("long").as("sa"), sum("n_b").cast("long").as("sb"),
+        sum(col("n_a") * col("n_a")).cast("long").as("saa"),
+        sum(col("n_b") * col("n_b")).cast("long").as("sbb"),
+        sum(col("n_a") * col("n_b")).cast("long").as("sab"))
+    val nd = col("n_buckets").cast("double")
+    val sad = col("sa").cast("double"); val sbd = col("sb").cast("double")
+    val saad = col("saa").cast("double"); val sbbd = col("sbb").cast("double")
+    val sabd = col("sab").cast("double")
+    val rRaw = (nd * sabd - sad * sbd) /
+      sqrt((nd * saad - sad * sad) * (nd * sbbd - sbd * sbd))
+    m.select(col("type_a"), col("type_b"),
+        (round(rRaw, 6) + 0.0).as("r"), col("n_buckets"))
       .orderBy("type_a", "type_b")
   }
 

@@ -215,7 +215,11 @@ class StatsRecomputeSpec extends SparkSpec {
     // a raw-double sum would fail this nondeterministically.
     val names = Seq("q_mad", "q_iqr_outliers", "q_welch_ttest",
       "q_interpolate", "q_autocorrelation", "q_ks_test", "q_pmi",
-      "q_psi_drift", "q_incremental_rollup", "q_bfs_hops")
+      "q_psi_drift", "q_incremental_rollup", "q_bfs_hops",
+      // round-10 exact-moment rewrites (LnBoundaryMarginSpec finding):
+      // built-in stddev/corr/covar and raw double sums were
+      // merge-order-dependent; these must now be order-free
+      "q_stats_funcs", "q_type_correlation", "q_math_funcs")
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     def snapshot(name: String): Seq[String] =
