@@ -128,6 +128,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // scalars that predicate pushdown substituted below their own
     // projection — each is computed once and referenced by attribute
     e.injectPreCBORule(_ => graft.plans.SingleEvalExpensive)
+    // AQE-only (runtime stats in hand): final ORDER BY over a small
+    // materialized input drops its range exchange + sampling job for a
+    // single-partition sort — see SmallSortSinglePartition scaladoc
+    e.injectRuntimeOptimizerRule(_ => graft.plans.SmallSortSinglePartition)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // intercept Spark's own logical AsOfJoin (Dataset.joinAsOf /
     // pandas merge_asof) before the optimizer's RewriteAsOfJoin

@@ -89,21 +89,28 @@ object Functions {
     * Round-10 hardening (the q_stats_funcs finding): sum_sqrt/sum_ln/
     * sum_disc_sq were raw double sums rounded post-agg — merge-order
     * dependent AND ulp-sensitive at the 6-dp boundary. Each term is
-    * now quantized round(·,6) → DECIMAL(18,6) per row and summed
-    * EXACTLY (order-free), the PSI/entropy discipline. Per-row
-    * determinism: sqrt is IEEE correctly-rounded (bit-identical in any
-    * engine); d·d is one exact-rounded multiply (pow(d,2) was dropped
-    * — engines don't promise pow bit-parity); ln is the one libm call,
-    * whose 6-dp margins LnBoundaryMarginSpec certifies > 2 ulp at both
-    * graded sfs.
+    * now quantized to integer MICRO-UNITS per row —
+    * `floor(x·10⁶ + 0.5)` (half-up; every term is nonnegative) — and
+    * summed EXACTLY as BIGINT, order-free. Why micro-units and not
+    * the PSI-style round(·,6)→DECIMAL per-term sum: Spark's Round on
+    * a double allocates BigDecimals per row, and the first cut of
+    * this rewrite measured the scan stage 0.25 → 1.88 s (JobProf);
+    * floor/multiply/long-sum is pure codegen arithmetic and keeps the
+    * whole stage fused. Per-row determinism: sqrt is IEEE
+    * correctly-rounded (bit-identical in any engine); d·d is one
+    * exact-rounded multiply (pow(d,2) was dropped — engines don't
+    * promise pow bit-parity); ln is the one libm call, whose
+    * micro-unit boundary margins LnBoundaryMarginSpec certifies > 2
+    * ulp at both graded sfs. The emitted value is one IEEE division
+    * of the exact BIGINT sum by 10⁶ — identical in both engines.
     */
   val mathFuncs = DeclaredQuery(
     "q_math_funcs",
     """SELECT CAST(l_quantity AS INT) % 7 AS qmod,
       |  count(*) AS n,
-      |  CAST(sum(CAST(round(sqrt(l_quantity), 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_sqrt,
-      |  CAST(sum(CAST(round(ln(l_extendedprice), 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_ln,
-      |  CAST(sum(CAST(round(l_discount * l_discount, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_sq,
+      |  CAST(sum(CAST(floor(sqrt(l_quantity) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_sqrt,
+      |  CAST(sum(CAST(floor(ln(l_extendedprice) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_ln,
+      |  CAST(sum(CAST(floor(l_discount * l_discount * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_disc_sq,
       |  CAST(min(ceil(l_tax * 100)) AS BIGINT) AS min_ceil_tax,
       |  CAST(max(floor(l_tax * 100)) AS BIGINT) AS max_floor_tax,
       |  CAST(sum(abs(CAST(l_quantity AS INT) - 25)) AS BIGINT) AS sum_absdev
@@ -114,12 +121,12 @@ object Functions {
       .groupBy((col("l_quantity").cast("int") % 7).as("qmod"))
       .agg(
         count(lit(1)).as("n"),
-        sum(round(sqrt(col("l_quantity")), 6).cast("decimal(18,6)"))
-          .cast("decimal(18,6)").as("sum_sqrt"),
-        sum(round(log(col("l_extendedprice")), 6).cast("decimal(18,6)"))
-          .cast("decimal(18,6)").as("sum_ln"),
-        sum(round(col("l_discount") * col("l_discount"), 6).cast("decimal(18,6)"))
-          .cast("decimal(18,6)").as("sum_disc_sq"),
+        (sum(floor(sqrt(col("l_quantity")) * 1000000 + 0.5)).cast("double")
+          / 1000000).as("sum_sqrt"),
+        (sum(floor(log(col("l_extendedprice")) * 1000000 + 0.5)).cast("double")
+          / 1000000).as("sum_ln"),
+        (sum(floor(col("l_discount") * col("l_discount") * 1000000 + 0.5))
+          .cast("double") / 1000000).as("sum_disc_sq"),
         min(ceil(col("l_tax") * 100)).as("min_ceil_tax"),
         max(floor(col("l_tax") * 100)).as("max_floor_tax"),
         sum(abs(col("l_quantity").cast("int") - 25)).as("sum_absdev"))

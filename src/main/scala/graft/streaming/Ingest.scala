@@ -48,9 +48,19 @@ object Ingest {
   private[graft] def streamTable(spark: SparkSession, sfDir: String,
       table: String, schema: StructType): DataFrame = {
     val path = new java.io.File(s"$sfDir/$table.parquet")
-    if (path.isDirectory) spark.readStream.schema(schema).parquet(path.getPath)
-    else spark.readStream.schema(schema)
-      .option("pathGlobFilter", s"$table.parquet").parquet(sfDir)
+    // ingestion batching knob (a real file-watch deployment always
+    // sets one): bounds files admitted per micro-batch, which is also
+    // how tools/StreamAmortProf drives N>1 micro-batches over a
+    // chunked fixture to measure marginal batch cost. Unset (the
+    // default) = all available files in one AvailableNow batch.
+    val maxFiles =
+      spark.conf.getOption("spark.graft.stream.maxFilesPerTrigger")
+    def withKnob(r: org.apache.spark.sql.streaming.DataStreamReader) =
+      maxFiles.fold(r)(v => r.option("maxFilesPerTrigger", v))
+    if (path.isDirectory)
+      withKnob(spark.readStream.schema(schema)).parquet(path.getPath)
+    else withKnob(spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet")).parquet(sfDir)
   }
 
   /** Unit-aware like Tables.events: readStream needs an explicit

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Exp, Expm1, Expression, Log, Log10, Log1p, Log2, Logarithm, Pow, Round}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Exp, Expm1, Expression, Floor, Log, Log10, Log1p, Log2, Logarithm, Pow, Round}
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.functions._
@@ -64,8 +64,13 @@ class LnBoundaryMarginSpec extends SparkSpec {
     "q_entropy", "q_token_df", "q_weighted_sample", "q_ks_test",
     "q_welch_ttest", "q_stats_funcs", "q_type_correlation", "q_math_funcs")
 
+  /** halfBoundary=true: a Round(·,k) site — boundaries at
+    * (m+0.5)·10⁻ᵏ. halfBoundary=false: a Floor quantization site
+    * (`floor(x·10ᵏ + 0.5)` micro-unit coding) probed on floor's full
+    * argument — boundaries at integers.
+    */
   private case class Site(query: String, node: String, scale: Int,
-      transcendental: Boolean, probe: LogicalPlan)
+      halfBoundary: Boolean, transcendental: Boolean, probe: LogicalPlan)
 
   private def isTranscendental(e: Expression): Boolean = e.exists {
     case _: Log | _: Log10 | _: Log2 | _: Log1p | _: Logarithm |
@@ -81,44 +86,55 @@ class LnBoundaryMarginSpec extends SparkSpec {
     val analyzed =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed
     val out = scala.collection.mutable.ArrayBuffer[Site]()
+    def probeFor(node: LogicalPlan, child: Expression,
+        desc: String): LogicalPlan = {
+      val aggsInside = child.collect { case ae: AggregateExpression => ae }
+      val doubleAgg = aggsInside.find(
+        _.aggregateFunction.children.exists(_.dataType == DoubleType))
+      assert(doubleAgg.isEmpty,
+        s"$name: $desc over a raw double aggregate " +
+          s"(${doubleAgg.map(_.sql).getOrElse("")}) — merge-order-" +
+          "dependent, unstable across engines at ANY margin; use " +
+          "exact moments or per-term quantization")
+      node match {
+        case a: Aggregate if aggsInside.nonEmpty =>
+          Aggregate(a.groupingExpressions, Seq(Alias(child, "v")()), a.child)
+        case _ if aggsInside.isEmpty && node.children.size == 1 =>
+          Project(Seq(Alias(child, "v")()), node.children.head)
+        case other =>
+          fail(s"$name: unprobeable $desc site in ${other.nodeName}")
+      }
+    }
     analyzed.foreach { node =>
       node.expressions.foreach(_.foreach {
         case r: Round if r.child.dataType == DoubleType =>
           val k = r.scale.eval().asInstanceOf[Number].intValue()
-          val aggsInside = r.child.collect {
-            case ae: AggregateExpression => ae
-          }
-          val doubleAgg = aggsInside.find(
-            _.aggregateFunction.children.exists(_.dataType == DoubleType))
-          assert(doubleAgg.isEmpty,
-            s"$name: round(·,$k) over a raw double aggregate " +
-              s"(${doubleAgg.map(_.sql).getOrElse("")}) — merge-order-" +
-              "dependent, unstable across engines at ANY margin; use " +
-              "exact moments or per-term decimal quantization")
-          val probe: LogicalPlan = node match {
-            case a: Aggregate if aggsInside.nonEmpty =>
-              Aggregate(a.groupingExpressions,
-                Seq(Alias(r.child, "v")()), a.child)
-            case _ if aggsInside.isEmpty && node.children.size == 1 =>
-              Project(Seq(Alias(r.child, "v")()), node.children.head)
-            case other =>
-              fail(s"$name: unprobeable Round site in ${other.nodeName}")
-          }
-          out += Site(name, node.nodeName, k, isTranscendental(r.child), probe)
+          out += Site(name, node.nodeName, k, halfBoundary = true,
+            isTranscendental(r.child),
+            probeFor(node, r.child, s"round(·,$k)"))
+        case f: Floor if f.child.dataType == DoubleType &&
+            isTranscendental(f.child) =>
+          // micro-unit coding floor(x·10ᵏ + 0.5): quantization flips
+          // where floor's ARGUMENT crosses an integer — probe it whole
+          out += Site(name, node.nodeName, 0, halfBoundary = false,
+            transcendental = true, probeFor(node, f.child, "floor(·)"))
         case _ => ()
       })
     }
     out.toSeq
   }
 
-  /** Exact distance of v from its nearest scale-k HALF_UP boundary,
-    * via full-precision binary→decimal conversion (BigDecimal.valueOf
+  /** Exact distance of v from its nearest quantization boundary, via
+    * full-precision binary→decimal conversion (BigDecimal.valueOf
     * would shorten to the toString repr and hide a knife edge).
+    * halfBoundary: (m+0.5)·10⁻ᵏ grid (Round sites); else integer grid
+    * (Floor sites, k=0).
     */
-  private def exactMargin(v: Double, k: Int): BigDecimal = {
+  private def exactMargin(v: Double, k: Int, halfBoundary: Boolean): BigDecimal = {
     val t = BigDecimal(new java.math.BigDecimal(v)) * BigDecimal(10).pow(k)
     val frac = t - t.setScale(0, BigDecimal.RoundingMode.FLOOR)
-    (frac - BigDecimal("0.5")).abs / BigDecimal(10).pow(k)
+    if (halfBoundary) (frac - BigDecimal("0.5")).abs / BigDecimal(10).pow(k)
+    else frac.min(BigDecimal(1) - frac) / BigDecimal(10).pow(k)
   }
 
   private def checkSite(s: Site, sfDir: String): (Long, Double) = {
@@ -126,20 +142,24 @@ class LnBoundaryMarginSpec extends SparkSpec {
       .filter(col("v").isNotNull && !isnan(col("v")) &&
         col("v") =!= Double.PositiveInfinity &&
         col("v") =!= Double.NegativeInfinity)
-    // coarse screen: distance of v·10^k from the nearest half-integer,
-    // in grid units; double arithmetic here is only used to FIND the
-    // tightest candidates (its own error ≲1e-5 grid units), never to
-    // certify them — keep 64 and certify exactly on the driver
-    val coarse = df.select(col("v"),
-        abs(col("v") * math.pow(10, s.scale) -
-          floor(col("v") * math.pow(10, s.scale)) - lit(0.5)).as("d"))
-      .orderBy(col("d")).limit(64)
+    // coarse screen: distance from the nearest boundary in grid units;
+    // double arithmetic here is only used to FIND the tightest
+    // candidates (its own error ≲1e-5 grid units), never to certify
+    // them — keep 64 and certify exactly on the driver
+    val scaled = col("v") * math.pow(10, s.scale)
+    val dist =
+      if (s.halfBoundary) abs(scaled - floor(scaled) - lit(0.5))
+      else {
+        val frac = scaled - floor(scaled)
+        least(frac, lit(1.0) - frac)
+      }
+    val coarse = df.select(col("v"), dist.as("d")).orderBy(col("d")).limit(64)
     val rows = coarse.collect()
     val n = df.count()
     var minMargin = Double.MaxValue
     rows.foreach { r =>
       val v = r.getDouble(0)
-      val m = exactMargin(v, s.scale)
+      val m = exactMargin(v, s.scale, s.halfBoundary)
       val floor2Ulp = BigDecimal(new java.math.BigDecimal(2 * math.ulp(v)))
       assert(m > floor2Ulp,
         s"${s.query} ${s.node} round(·,${s.scale}) at $sfDir: value $v " +

@@ -617,4 +617,48 @@ class PlanSpec extends SparkSpec {
       s"q_welch_ttest rescans events:\n$p")
     spark.catalog.clearCache() // localCheckpoint'd sufficient stats
   }
+
+  test("small final ORDER BY drops its range exchange at runtime " +
+      "(SmallSortSinglePartition), keeping the identical total order") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q_date_funcs")(spark, sf)
+    val rows = df.collect() // finalize the adaptive plan
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = finalPlan.toString
+    assert(!s.contains("rangepartitioning"),
+      s"expected the runtime rule to remove the range exchange:\n$s")
+    assert(s.contains("SinglePartition"),
+      s"expected a single-partition exchange under the final sort:\n$s")
+    // order identity vs the rule disabled — same rows, same sequence
+    val conf = spark.conf
+    conf.set("spark.graft.smallSortSinglePartition", "false")
+    try {
+      val expected = SparkEntry.queries("q_date_funcs")(spark, sf).collect()
+      assert(rows.toSeq === expected.toSeq)
+    } finally conf.unset("spark.graft.smallSortSinglePartition")
+  }
+
+  test("a large final ORDER BY keeps its range exchange (the rewrite " +
+      "is runtime-stats-gated, not unconditional)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    // force 'large': any final-sort input above 1 byte keeps the range
+    // exchange — proves the gate actually consults runtime stats
+    conf.set("spark.graft.smallSortSinglePartition.maxBytes", "1")
+    try {
+      val df = Tables.lineitem(spark, sf)
+        .groupBy("l_orderkey").count().orderBy(col("l_orderkey"))
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(finalPlan.toString.contains("rangepartitioning"),
+        s"threshold=1B must keep rangepartitioning:\n$finalPlan")
+    } finally conf.unset("spark.graft.smallSortSinglePartition.maxBytes")
+  }
 }
