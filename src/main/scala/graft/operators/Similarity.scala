@@ -578,13 +578,17 @@ object Similarity {
     */
   val qAnnIvf = DeclaredQuery.noOracle("q_ann_ivf") { (s, d) =>
     val emb = Tables.embeddings(s, d)
+    // nProbe 3/16 cells (round 10): the fixture is near-uniform on the
+    // sphere, so IVF recall ≈ probed corpus fraction + locality bonus
+    // (ANN_RECALL.md) — 3 probes is the recall/cost point that stays a
+    // ~19% scan while beating random pruning ~2.7×
     cachedIvfIndex(s, emb, d) match {
       case Some(index) =>
-        probeIvf(index, emb.filter(col("vec_id") < 5), k = 3)
+        probeIvf(index, emb.filter(col("vec_id") < 5), k = 3, nProbe = 3)
           .select("q_id", "vec_id", "cos_sim", "rn")
           .orderBy("q_id", "rn")
       case None =>
-        ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+        ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 3, nProbe = 3)
           .select("q_id", "vec_id", "cos_sim", "rn")
           .orderBy("q_id", "rn")
     }
@@ -600,8 +604,12 @@ object Similarity {
       case Some(model) =>
         // probes read the persisted code relation — no pq_encode in
         // the probe plan (SimilaritySpec asserts)
+        // rerank 64 (round 10): ADC error rivals the fixture's tiny
+        // true-neighbor gaps, so the exact re-rank shortlist is the
+        // recall lever — 64 exact dots/query is still ~1% of the
+        // corpus at sf0.1 (ANN_RECALL.md)
         pqTopK(emb.filter(col("vec_id") < 5), emb, k = 3, model,
-            codedRel = Some(cachedPqCodes(s, emb, d, model)))
+            rerank = 64, codedRel = Some(cachedPqCodes(s, emb, d, model)))
           .select("q_id", "vec_id", "cos_sim", "rn")
           .orderBy("q_id", "rn")
       case None =>
@@ -618,7 +626,11 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     (cachedIvfIndex(s, emb, d), cachedPqModel(emb, d)) match {
       case (Some(index), Some(model)) =>
+        // nProbe/rerank lifted with the single-index variants (round
+        // 10, ANN_RECALL.md): recall here multiplies IVF's probed-cell
+        // hit rate by PQ's shortlist hit rate, so both levers move it
         ivfPqTopK(index, model, emb.filter(col("vec_id") < 5), k = 3,
+            nProbe = 3, rerank = 64,
             codedRel = Some(cachedIvfPqCodes(s, index, d, model)))
           .select("q_id", "vec_id", "cos_sim", "rn")
           .orderBy("q_id", "rn")

@@ -53,8 +53,11 @@ object Ingest {
     // how tools/StreamAmortProf drives N>1 micro-batches over a
     // chunked fixture to measure marginal batch cost. Unset (the
     // default) = all available files in one AvailableNow batch.
-    val maxFiles =
-      spark.conf.getOption("spark.graft.stream.maxFilesPerTrigger")
+    // Read from sys.props first — runners build their streams on an
+    // isolated newSession() (stateSession), which does NOT inherit the
+    // caller's runtime conf (the graft.test.stateParts pattern).
+    val maxFiles = sys.props.get("graft.stream.maxFilesPerTrigger")
+      .orElse(spark.conf.getOption("spark.graft.stream.maxFilesPerTrigger"))
     def withKnob(r: org.apache.spark.sql.streaming.DataStreamReader) =
       maxFiles.fold(r)(v => r.option("maxFilesPerTrigger", v))
     if (path.isDirectory)

@@ -43,13 +43,11 @@ object StreamAmortProf {
     // physical schema preserved so eventStream's unit peek still works
     val amortDir = SparkEnv.scratchDir("amort-sf")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val tsCol = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => col("ts") // ns long
-      case _ => col("ts").cast("long")
-    }
     import org.apache.spark.sql.expressions.Window
+    // order by the raw ts column directly — works for every physical
+    // unit the driver has shipped (ns-as-long, µs NTZ)
     val chunked = raw.withColumn("__chunk",
-      ntile(nChunks).over(Window.orderBy(tsCol)))
+      ntile(nChunks).over(Window.orderBy(col("ts"))))
     for (i <- 1 to nChunks) {
       chunked.filter(col("__chunk") === i).drop("__chunk")
         .coalesce(1).write.mode("append").parquet(s"$amortDir/events.parquet")
@@ -72,9 +70,10 @@ object StreamAmortProf {
     println("| pipeline | batches | b1 ms | marginal ms/batch | marginal µs/row | one-shot ms | one-shot µs/row | marginal/one-shot per-row |")
     println("|---|---|---|---|---|---|---|---|")
     for ((name, run) <- pipelines) {
-      spark.conf.set("spark.graft.stream.maxFilesPerTrigger", "1")
+      // sys-prop form: runners stream on an isolated newSession()
+      sys.props("graft.stream.maxFilesPerTrigger") = "1"
       val hist = try run(amortDir)
-        finally spark.conf.unset("spark.graft.stream.maxFilesPerTrigger")
+        finally sys.props.remove("graft.stream.maxFilesPerTrigger")
       val data = hist.filter(_.numInputRows > 0)
       val marginal = data.drop(1) // b1 carries the one-time costs
       val mMs = marginal.map(_.batchDurationMs.toDouble)
