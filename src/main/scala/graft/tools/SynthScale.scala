@@ -42,7 +42,13 @@ object SynthScale {
     "q_containment_pairs", "q_substring_spans", "q_token_df",
     "q_dsir_weights", "q_lsh_semantic_dedup", "q_dedup_clusters",
     "q_domain_rank", "q_language_id",
-    "q_cosine_topk", "q_embed_near_dup", "q_ann_ivf")
+    "q_cosine_topk", "q_embed_near_dup", "q_ann_ivf",
+    // round-10 (VERDICT r9 task #7): PMI is documents-shaped — its
+    // decade belongs here, not in SynthScaleFacts (which copies
+    // documents unchanged). The alphabet-rotated replicas grow the
+    // bigram vocabulary ~10× while each replica keeps the base
+    // corpus's distribution, so margins/support scale honestly.
+    "q_pmi", "q_entropy")
 
   private val replicas = 10
   private val idOffset = 10000000L

@@ -36,7 +36,13 @@ object SynthScaleFacts {
     "q_triangle_count", "q_bfs_hops",
     "q_iqr_outliers", "q_welch_ttest", "q_ks_test", "q_interpolate",
     "q_incremental_rollup", "q_session_windows", "q_autocorrelation",
-    "q_mad")
+    "q_mad",
+    // round-10 (VERDICT r9 task #7): the rest of the round-9
+    // statistics batch — all fact-shaped (events/customer/lineitem),
+    // so this decade is the honest one for them. q_pmi is
+    // documents-shaped and rides tools/SynthScale instead.
+    "q_psi_drift", "q_benford", "q_concentration", "q_stats_funcs",
+    "q_type_correlation", "q_math_funcs", "q_heavy_hitters")
 
   private val replicas = 10
   private val okOffset = 10000000L // orderkeys (max ~600k at sf0.1)
