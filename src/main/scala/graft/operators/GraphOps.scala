@@ -170,7 +170,11 @@ object GraphOps {
     * oracle replays with a recursive CTE under UNION (distinct)
     * semantics — its accumulated-dedup frontier is DuckDB's native
     * bounded BFS — and `min(hop) GROUP BY v` collapses both
-    * formulations to the same shortest-hop relation.
+    * formulations to the same shortest-hop relation. The anchor's
+    * `HAVING count(*) > 0` (round-10, ADVICE r9) makes the oracle
+    * return ZERO rows on an empty graph like the Spark guard does —
+    * without it, `min(src)` over empty sym emits a (NULL, 0) row and
+    * the two sides disagree exactly in the guarded regime.
     */
   val qBfsHops = DeclaredQuery(
     "q_bfs_hops",
@@ -185,6 +189,7 @@ object GraphOps {
        |        UNION ALL SELECT b, a FROM e),
        |walk(v, hop) AS (
        |  SELECT min(src), 0 FROM sym
+       |  HAVING count(*) > 0
        |  UNION
        |  SELECT sym.dst, walk.hop + 1
        |  FROM walk JOIN sym ON sym.src = walk.v

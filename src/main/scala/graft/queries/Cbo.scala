@@ -76,11 +76,20 @@ object Cbo {
       cols: Seq[String]): String = {
     val t = s"cbo_${name}_" + d.replaceAll("[^A-Za-z0-9]", "_")
     val key = System.identityHashCode(s.sharedState) + "/" + t
-    if (analyzed.add(key)) {
-      s.sql(s"CREATE TABLE IF NOT EXISTS $t USING parquet " +
-        s"LOCATION '$d/$name.parquet'")
-      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS " +
-        cols.mkString(", "))
+    // latch AFTER the DDL succeeds (round-10, ADVICE r9): marking the
+    // key done up front meant a throwing CREATE/ANALYZE left every
+    // later call silently skipping registration — a confusing
+    // missing-table failure far from the cause. The monitor also
+    // stops a concurrent caller from planning against a half-ANALYZEd
+    // table (Verify runs queries 4-way concurrent).
+    if (!analyzed.contains(key)) analyzed.synchronized {
+      if (!analyzed.contains(key)) {
+        s.sql(s"CREATE TABLE IF NOT EXISTS $t USING parquet " +
+          s"LOCATION '$d/$name.parquet'")
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS " +
+          cols.mkString(", "))
+        analyzed.add(key)
+      }
     }
     t
   }

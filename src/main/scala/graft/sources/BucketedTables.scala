@@ -52,15 +52,24 @@ object BucketedTables {
       key: String, cols: Seq[String]): String = {
     val t = s"bkt_${name}_" + d.replaceAll("[^A-Za-z0-9]", "_")
     val k = System.identityHashCode(s.sharedState) + "/" + t
-    if (registered.add(k)) {
-      if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t")
-      s.read.parquet(s"$d/$name.parquet")
-        .select(cols.head, cols.tail: _*)
-        .write
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .option("path", SparkEnv.scratchDir(s"graft-bkt-$name"))
-        .saveAsTable(t)
+    // latch AFTER the write succeeds (round-10, ADVICE r9): the
+    // bucketed write is the likeliest step here to throw (disk/tmpfs
+    // full), and a latch-first memo would make every later call skip
+    // registration and fail on a missing table far from the cause.
+    // Synchronized so Verify's 4-way-concurrent queries can't race a
+    // half-written table.
+    if (!registered.contains(k)) registered.synchronized {
+      if (!registered.contains(k)) {
+        if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t")
+        s.read.parquet(s"$d/$name.parquet")
+          .select(cols.head, cols.tail: _*)
+          .write
+          .bucketBy(buckets, key)
+          .sortBy(key)
+          .option("path", SparkEnv.scratchDir(s"graft-bkt-$name"))
+          .saveAsTable(t)
+        registered.add(k)
+      }
     }
     t
   }

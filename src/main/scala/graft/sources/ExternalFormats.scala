@@ -146,12 +146,6 @@ object ExternalFormats {
       .asFakeImage(Tables.documents(s, d).filter(col("doc_id") < 1000))
       .select("doc_id", "payload")
       .foreachPartition { (it: Iterator[Row]) =>
-        // Hadoop FileSystem, not java.nio (round-8 advice): executor
-        // tasks must write to a path every host can read back — on a
-        // cluster the unqualified dir resolves through the default FS
-        // (HDFS/object store); java.nio would land files on each
-        // executor's LOCAL disk and the re-ingest would silently miss
-        // them. Here (local mode) both resolve to the same tmpfs dir.
         // Resolve the path through the Hadoop FileSystem API (round-8
         // advice): on a cluster the unqualified dir hits the default
         // FS (HDFS/object store) and blobs land on SHARED storage every

@@ -53,6 +53,17 @@ class FixtureDriftSpec extends SparkSpec {
       assert(wk.getDate(1).toLocalDate.isAfter(wk.getDate(2).toLocalDate),
         s"$dir: rollup merge path vacuous — last day ${wk.getDate(1)} is the " +
           s"Monday of its week (no earlier base rows in the touched week)")
+      // round-10 (ADVICE r9): the PSI/decay-attribution cents binning
+      // leans on Spark DIV ≡ DuckDB // — which only holds for
+      // NONNEGATIVE cents (for negatives, DIV truncates toward zero
+      // while // floors). A regenerated fixture with refunds
+      // (negative values) would silently flip bin assignment between
+      // engines for q_psi_drift / q_stream_psi_drift /
+      // q_decay_attribution — pin the precondition where the other
+      // round-9 preconditions are pinned.
+      val minV = ev.agg(min(col("value"))).head().getDouble(0)
+      assert(minV >= 0.0, s"$dir: events.value has negatives (min=$minV) — " +
+        "the DIV ≡ // equivalence the cents binning relies on breaks")
     }
   }
 
