@@ -1,7 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Repartition, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, OneRowRelation, Project, Repartition, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.adaptive.LogicalQueryStage
 
 /** AQE runtime-optimizer rule (round 10, VERDICT r9 task #3b): a
   * query's final deterministic ORDER BY plans as
@@ -9,11 +10,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * SEPARATE range-sampling job over the child before the real shuffle
   * even starts. For the analytics-result shape (a grouped/limited
   * output of KBs–MBs) that sampling job plus the 32-partition exchange
-  * is pure fixed cost: a single-partition exchange plus one in-task
-  * sort produces the identical total order with one fewer job and one
-  * fewer sort-merge fan-in. Measured per query at sf0.1
-  * (tools/SortCostProf, warm min): q_date_funcs 0.325→0.226 s,
-  * q_events_hourly 0.265→0.172 s, q_docs_by_lang 0.212→0.176 s.
+  * is pure fixed cost: a single-partition sort produces the identical
+  * total order with fewer jobs and no sort-merge fan-in. Two forms —
+  * coalesce(1) (no exchange at all; the final stage runs as one task)
+  * when every leaf under the sort is a small materialized stage, else
+  * repartition(1) (one single-partition exchange, upstream parallelism
+  * intact). Measured per query at sf0.1 (tools/SortCostProf, warm
+  * min): q_date_funcs 0.325 declared → 0.158 repartition(1) → 0.123
+  * coalesce(1) (no-sort floor 0.107); q_events_hourly 0.301 → 0.209 →
+  * 0.169 (floor 0.158).
   *
   * Scale safety is the whole point of doing this at RUNTIME: the rule
   * is injected via `injectRuntimeOptimizerRule`, so it only runs
@@ -52,8 +57,29 @@ object SmallSortSinglePartition extends Rule[LogicalPlan] {
     case rp: Repartition if !rp.shuffle =>
       rp.copy(child = rewriteChain(rp.child))
     case s: Sort if s.global && s.child.stats.sizeInBytes <= maxBytes =>
-      s.copy(global = false,
-        child = Repartition(1, shuffle = true, s.child))
+      // Two forms, in order of preference (SortCostProf A/B at sf0.1):
+      //  coalesce(1) + local sort — no new exchange, no extra AQE
+      //    stage/job at all; the final stage runs as ONE task. Legal
+      //    only when that one task provably does small work: every
+      //    leaf under the sort is a MATERIALIZED query stage of ≤ the
+      //    threshold (or a literal relation) — a raw file scan or a
+      //    big stage must keep its parallelism.
+      //  repartition(1) + local sort — one single-partition exchange;
+      //    upstream parallelism intact. Still saves the range
+      //    sampling job. Used when some leaf is not provably small.
+      val leaves = s.child.collectLeaves()
+      val stages = leaves.collect { case q: LogicalQueryStage => q }
+      val allLeavesSmall = leaves.forall {
+        case q: LogicalQueryStage => q.stats.sizeInBytes <= maxBytes
+        case _: LocalRelation | _: OneRowRelation => true
+        case _ => false
+      }
+      if (stages.nonEmpty && allLeavesSmall)
+        s.copy(global = false,
+          child = Repartition(1, shuffle = false, s.child))
+      else
+        s.copy(global = false,
+          child = Repartition(1, shuffle = true, s.child))
     case other => other
   }
 

@@ -40,7 +40,7 @@ object SortCostProf {
       spark.read.parquet(s"$sfDir/region.parquet").count()
       graft.Bench.warmCpu(spark)
     } catch { case _: Throwable => }
-    println(f"${"query"}%-30s ${"declared"}%9s ${"single"}%9s ${"nosort"}%9s")
+    println(f"${"query"}%-30s ${"declared"}%9s ${"single"}%9s ${"coalesce"}%9s ${"nosort"}%9s")
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       val base = fn(spark, sfDir)
@@ -48,6 +48,9 @@ object SortCostProf {
       val single = rewriteRoot(analyzed, s =>
         s.copy(global = false,
           child = Repartition(1, shuffle = true, s.child)))
+      val coalesce1 = rewriteRoot(analyzed, s =>
+        s.copy(global = false,
+          child = Repartition(1, shuffle = false, s.child)))
       val nosort = rewriteRoot(analyzed, s => s.child)
       def time(plan: LogicalPlan): Double = {
         var best = Double.MaxValue
@@ -60,10 +63,11 @@ object SortCostProf {
         }
         best
       }
-      (single, nosort) match {
-        case (Some(sp), Some(np)) =>
-          val td = time(analyzed); val ts = time(sp); val tn = time(np)
-          println(f"$name%-30s $td%9.3f $ts%9.3f $tn%9.3f")
+      (single, coalesce1, nosort) match {
+        case (Some(sp), Some(cp), Some(np)) =>
+          val td = time(analyzed); val ts = time(sp)
+          val tc = time(cp); val tn = time(np)
+          println(f"$name%-30s $td%9.3f $ts%9.3f $tc%9.3f $tn%9.3f")
         case _ =>
           println(f"$name%-30s (no root global sort — skipped)")
       }

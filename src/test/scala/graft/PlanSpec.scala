@@ -630,8 +630,8 @@ class PlanSpec extends SparkSpec {
     val s = finalPlan.toString
     assert(!s.contains("rangepartitioning"),
       s"expected the runtime rule to remove the range exchange:\n$s")
-    assert(s.contains("SinglePartition"),
-      s"expected a single-partition exchange under the final sort:\n$s")
+    assert(s.contains("Coalesce 1") || s.contains("SinglePartition"),
+      s"expected a coalesce/single-partition under the final sort:\n$s")
     // order identity vs the rule disabled — same rows, same sequence
     val conf = spark.conf
     conf.set("spark.graft.smallSortSinglePartition", "false")
