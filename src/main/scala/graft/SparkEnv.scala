@@ -67,7 +67,7 @@ object SparkEnv {
   def builder(): SparkSession.Builder = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
@@ -98,5 +98,13 @@ object SparkEnv {
       // 100 TB size it to state-size × per-task group cardinality.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1024")
       .withExtensions(new GraftExtensions)
+    // dev A/B passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — lets
+    // tools/TimeQuery-style harnesses measure a conf posture without a
+    // code change; production config stays the explicit block above
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
+      .foldLeft(b) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2); bb.config(k, v)
+      }
   }
 }

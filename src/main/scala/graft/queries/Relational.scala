@@ -539,10 +539,13 @@ object Relational {
     // AFTER the |brands|²-bounded aggregate.
     val brands = Tables.part(s, d).select("p_brand").distinct()
       .orderBy("p_brand").collect().map(_.getString(0))
-    val code = map(brands.zipWithIndex.flatMap { case (b, i) =>
-      Seq(lit(b), lit(i.toLong)) }.toIndexedSeq: _*)
-    val decode = map(brands.zipWithIndex.flatMap { case (b, i) =>
-      Seq(lit(i.toLong), lit(b)) }.toIndexedSeq: _*)
+    // typedLit rather than map(...): a zero-entry map() literal is
+    // MAP<VOID,VOID> and fails analysis on the empty-input regime
+    // (EmptyInputSpec runs every declared query on empty tables)
+    val code = typedLit(brands.zipWithIndex.map { case (b, i) =>
+      b -> i.toLong }.toMap)
+    val decode = typedLit(brands.zipWithIndex.map { case (b, i) =>
+      i.toLong -> b }.toMap)
     Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
       .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
