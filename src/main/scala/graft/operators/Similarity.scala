@@ -576,22 +576,233 @@ object Similarity {
     * quantizer and persists the cell-partitioned index; every later
     * run pays only the probe equi-join (see [[cachedIvfIndex]]).
     */
-  val qAnnIvf = DeclaredQuery.noOracle("q_ann_ivf") { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    // nProbe 3/16 cells (round 10): the fixture is near-uniform on the
-    // sphere, so IVF recall ≈ probed corpus fraction + locality bonus
-    // (ANN_RECALL.md) — 3 probes is the recall/cost point that stays a
-    // ~19% scan while beating random pruning ~2.7×
-    cachedIvfIndex(s, emb, d) match {
-      case Some(index) =>
-        probeIvf(index, emb.filter(col("vec_id") < 5), k = 3, nProbe = 3)
-          .select("q_id", "vec_id", "cos_sim", "rn")
-          .orderBy("q_id", "rn")
-      case None =>
-        ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 3, nProbe = 3)
-          .select("q_id", "vec_id", "cos_sim", "rn")
-          .orderBy("q_id", "rn")
+  // ---- exact (oracle-gateable) IVF: deterministic quantized Lloyd ----
+
+  /** How many centroid-update rounds the exact quantizer runs (each is
+    * one assignment + one mean recompute; the final assignment after
+    * the last update defines the served cells). 2 updates / 3
+    * assignments and nProbe 4/16 is the measured recall/cost point on
+    * the near-uniform fixture (recall@3 0.53 / 0.60 at sf0.01 / sf0.1
+    * vs the 0.25 random-pruning baseline of a 25 % probed fraction —
+    * ANN_RECALL.md); more Lloyd rounds plateaued below +0.07 recall
+    * for ~2× oracle cost.
+    */
+  val ExactIvfUpdates = 2
+  val ExactIvfCells = 16
+  val ExactIvfProbe = 4
+
+  /** Long-form quantized points: one row per (vec_id, dim) with the
+    * float component quantized to integer MICRO-UNITS —
+    * `floor(x·1e6 + 0.5)` BIGINT, the q_math_funcs discipline. ALL
+    * training arithmetic downstream is then exact 64-bit integer
+    * (differences ≤ 2e6, squared-distance sums ≤ 64·4e12 ≪ 2⁶³) or
+    * fixed-shape IEEE over exactly-representable operands (the
+    * centroid mean), so cell assignment is bit-portable across
+    * engines AND partitionings — the q_domain_rank discipline applied
+    * to k-means, with zero dependence on either engine's round() or
+    * decimal-type semantics.
+    */
+  private def ivfPts(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d0", "xf")))
+      .select(col("vec_id"), (col("d0") + 1).as("d"),
+        expr("CAST(floor(CAST(xf AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)").as("x"))
+
+  /** Deterministic quantized-Lloyd IVF trainer. Seeds are the
+    * `nCells` vec_ids with the smallest portable md5 fingerprint (the
+    * same hash family every portable dedup query replays in SQL);
+    * each round assigns every vector to its nearest centroid under
+    * EXACT integer micro-unit squared distance (ties break on cell id)
+    * and recomputes centroid means — `floor(Σx/n + 0.5)`, one IEEE
+    * division of exactly-representable operands (empty cells keep
+    * their previous centroid). Returns (cells: vec_id → cell,
+    * centroids: cell,d,c).
+    *
+    * Scale: training is `updates`+1 bounded passes over the long-form
+    * points (each one equi-join on the 64-row-per-cell centroid
+    * relation + a map-side-combinable aggregate); the points relation
+    * is lazily checkpointed once and re-read by all passes. At 100 TB
+    * the trained (cells, centroids) pair persists cell-partitioned
+    * exactly like [[cachedIvfIndex]] — see [[cachedExactIvf]].
+    */
+  def exactIvfTrain(emb: DataFrame, nCells: Int = ExactIvfCells,
+      updates: Int = ExactIvfUpdates): (DataFrame, DataFrame) = {
+    val pts = ivfPts(emb).localCheckpoint(false) // 2·updates+3 consumers
+    val fp = expr(
+      "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    val seeds = emb.select(col("vec_id"), fp.as("fp"))
+      .withColumn("rn", row_number().over(Window.orderBy("fp", "vec_id")))
+      .filter(col("rn") <= nCells)
+      .select(col("vec_id"), (col("rn") - 1).as("cell"))
+    def distances(cents: DataFrame): DataFrame = pts.join(cents, "d")
+      .select(col("vec_id"), col("cell"),
+        expr("(x - c) * (x - c)").as("sq"))
+      .groupBy("vec_id", "cell")
+      .agg(sum("sq").as("dist"))
+    def argmin(dist: DataFrame): DataFrame = dist
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy("dist", "cell")))
+      .filter(col("rn") === 1).select("vec_id", "cell")
+    var cents = seeds.join(pts, "vec_id").select(col("cell"), col("d"), col("x").as("c"))
+    for (_ <- 1 to updates) {
+      val upd = argmin(distances(cents)).join(pts, "vec_id")
+        .groupBy("cell", "d")
+        .agg(expr(
+          "CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) + 0.5) AS BIGINT)")
+          .as("cm"))
+      cents = cents.as("p").join(upd.as("u"), Seq("cell", "d"), "left")
+        .select(col("cell"), col("d"), coalesce(col("cm"), col("p.c")).as("c"))
+        .localCheckpoint(false) // each round otherwise re-derives all priors
     }
+    (argmin(distances(cents)), cents)
+  }
+
+  /** Build-once/probe-many for the exact quantizer: persist (cells,
+    * centroids) per corpus dir, serve every later probe from the
+    * reload — the [[cachedIvfIndex]] deployment shape, cells written
+    * `partitionBy("cell")` so probes prune to the probed cells'
+    * partitions. Deterministic, so cached ≡ fresh. Empty corpus: not
+    * cached (nothing to write; the lazy plans already yield zero rows
+    * everywhere).
+    */
+  /** nProbe nearest cells per query under the SAME exact-integer
+    * distance the trainer assigns with — (q_id, cell).
+    */
+  def exactIvfProbeCells(queries: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame =
+    ivfPts(queries).join(cents, "d")
+      .select(col("vec_id"), col("cell"), expr("(x - c) * (x - c)").as("sq"))
+      .groupBy("vec_id", "cell")
+      .agg(sum("sq").as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy("dist", "cell")))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+
+  private val exactIvfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  def cachedExactIvf(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, cacheKey: String): (DataFrame, DataFrame) = {
+    val cached = exactIvfCache.get(cacheKey)
+    val entry =
+      if (cached != null) cached
+      else if (emb.isEmpty) null
+      else {
+        val (cells, cents) = exactIvfTrain(emb)
+        val cellsPath = graft.SparkEnv.scratchDir("ivf-exact-cells")
+        val centsPath = graft.SparkEnv.scratchDir("ivf-exact-cents")
+        // cell-partitioned like cachedIvfIndex: probes prune to the
+        // probed cells' partition directories (dynamic partition
+        // pruning on the cell equi-join — PLAN_DIGEST q_ann_ivf)
+        cells.write.mode("overwrite").partitionBy("cell").parquet(cellsPath)
+        cents.write.mode("overwrite").parquet(centsPath)
+        val v = (cellsPath, centsPath)
+        val prev = exactIvfCache.putIfAbsent(cacheKey, v)
+        if (prev != null) { deleteDir(cellsPath); deleteDir(centsPath); prev }
+        else v
+      }
+    if (entry == null) exactIvfTrain(emb)
+    else (spark.read.parquet(entry._1), spark.read.parquet(entry._2))
+  }
+
+  /** DuckDB replay of [[exactIvfTrain]] + probe + exact re-rank, one
+    * chained-CTE unroll per Lloyd round (the q_domain_rank pattern):
+    * long-form quantized points via parallel unnest, md5-fingerprint
+    * seeding, exact-decimal distance/argmin per round, double-exact
+    * centroid means, probe cells from the final distance relation, and
+    * the same left-fold IEEE dot product every gated cosine query uses.
+    */
+  private def exactIvfOracle(nCells: Int, updates: Int, nProbe: Int,
+      k: Int): String = {
+    def distCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT p.vec_id, c.cell,
+         |         sum((p.x - c.c) * (p.x - c.c)) AS dist
+         |  FROM pts p JOIN $cents c USING (d)
+         |  GROUP BY 1, 2)""".stripMargin
+    val rounds = (1 to updates).map { i =>
+      s"""${distCte(s"d$i", s"c${i - 1}")},
+         |a$i AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM d$i) t WHERE rn = 1),
+         |u$i AS (
+         |  SELECT a.cell, p.d,
+         |         CAST(floor(CAST(sum(p.x) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cm
+         |  FROM a$i a JOIN pts p USING (vec_id)
+         |  GROUP BY 1, 2),
+         |c$i AS (
+         |  SELECT c${i - 1}.cell, c${i - 1}.d, COALESCE(u$i.cm, c${i - 1}.c) AS c
+         |  FROM c${i - 1} LEFT JOIN u$i ON u$i.cell = c${i - 1}.cell AND u$i.d = c${i - 1}.d)""".stripMargin
+    }.mkString(",\n")
+    val dot = "list_reduce(list_transform(list_zip(q.embedding, e.embedding), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
+    s"""WITH pts AS (
+       |  SELECT vec_id,
+       |         unnest(range(1, len(embedding)+1)) AS d,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id, rn - 1 AS cell FROM (
+       |    SELECT vec_id, row_number() OVER (
+       |      ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) AS rn
+       |    FROM embeddings) t
+       |  WHERE rn <= $nCells),
+       |c0 AS (SELECT s.cell, p.d, p.x AS c FROM seeds s JOIN pts p USING (vec_id)),
+       |$rounds,
+       |${distCte("dF", s"c$updates")},
+       |aF AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM dF) t WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM dF WHERE vec_id < 5) t WHERE rn <= $nProbe),
+       |sims AS (
+       |  SELECT pr.q_id, aF.vec_id,
+       |         $dot AS dot
+       |  FROM probe pr JOIN aF USING (cell)
+       |  JOIN embeddings e ON e.vec_id = aF.vec_id
+       |  JOIN embeddings q ON q.vec_id = pr.q_id
+       |  WHERE aF.vec_id <> pr.q_id)
+       |SELECT q_id, vec_id, round(dot, 6) AS cos_sim, rn FROM (
+       |  SELECT q_id, vec_id, dot,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rn
+       |  FROM sims) t
+       |WHERE rn <= $k
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** IVF ANN, deterministic-quantizer variant — the ONE ANN query that
+    * is fully DuckDB hash-gated end to end (round-10 verdict stretch:
+    * rows-only 16 → 15): seeding, both Lloyd rounds, the final cell
+    * assignment, the probe-cell choice, and the exact re-rank are all
+    * replayed verbatim by the oracle's chained CTEs (see
+    * [[exactIvfOracle]]). The MLlib k-means|| variant stays the
+    * library's scale API ([[buildIvfIndex]], exercised by
+    * `q_ann_ivfpq` / `q_semantic_dedup`); this query certifies the
+    * IVF probe SEMANTICS exactly.
+    */
+  val qAnnIvf = DeclaredQuery("q_ann_ivf",
+    exactIvfOracle(ExactIvfCells, ExactIvfUpdates, ExactIvfProbe, 3)) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val (cells, cents) = cachedExactIvf(s, emb, d)
+    val probe = exactIvfProbeCells(emb.filter(col("vec_id") < 5), cents,
+      ExactIvfProbe)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val sims = probe.join(cells, "cell")
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q), "q_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        vec_dot(col("q_emb"), col("embedding")).as("dot"))
+    val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id"),
+        round(col("dot"), 6).as("cos_sim"), col("rn"))
+      .orderBy("q_id", "rn")
   }
 
   /** PQ ANN (iterative-float KMeans codebooks — rows-only; ScalaTest

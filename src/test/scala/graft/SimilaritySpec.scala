@@ -77,6 +77,51 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"twin recall $recall")
   }
 
+  test("exact quantized-Lloyd IVF recovers nearly all planted twins " +
+      "(recall >= 0.9) and is deterministic under repartitioning") {
+    // the quantizer behind the ORACLE-GATED q_ann_ivf (round 10):
+    // twins at cosine 0.997 share a cell almost surely regardless of
+    // which quantizer drew the boundaries, so the same ≥0.9
+    // structure-recovery bar as the MLlib variant applies
+    val corpus = emb.select("vec_id", "embedding").union(planted)
+    val queries = ivfQueries(corpus, emb.filter(col("vec_id") < 20))
+    val recall = (0L until 20L).count(id => queries.contains((id, id + 10000L))) / 20.0
+    assert(recall >= 0.9, s"twin recall $recall")
+    // exact-integer training is partition-order-independent by
+    // construction — assert it: 3 vs 7 shuffle partitions, identical
+    // (cells, centroids)
+    val (c3, m3) = withPartitions(3) { Similarity.exactIvfTrain(corpus) match {
+      case (a, b) => (a.collect().toSet, b.collect().toSet) } }
+    val (c7, m7) = withPartitions(7) { Similarity.exactIvfTrain(corpus) match {
+      case (a, b) => (a.collect().toSet, b.collect().toSet) } }
+    assert(c3 == c7 && m3 == m7, "exact IVF must be partitioning-invariant")
+  }
+
+  /** Probe helper mirroring q_ann_ivf's declared shape over an ad-hoc
+    * corpus (fresh training, no cache).
+    */
+  private def ivfQueries(corpus: org.apache.spark.sql.DataFrame,
+      qs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    val (cells, cents) = Similarity.exactIvfTrain(corpus)
+    val probe = Similarity.exactIvfProbeCells(qs, cents, Similarity.ExactIvfProbe)
+    val q = qs.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val sims = probe.join(cells, "cell")
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q), "q_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.VectorFunctions.vec_dot(col("q_emb"), col("embedding")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
+    topkSet(sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3))
+  }
+
+  private def withPartitions[T](n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("IVF index persists: build once, store cell-partitioned, probe the reload") {
     val corpus = emb.select("vec_id", "embedding").union(planted)
     val queries = emb.filter(col("vec_id") < 20)
