@@ -76,8 +76,12 @@ object Tables {
     */
   private val compacted =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val CompactBytes = 2L * 1024 * 1024
-  private val CompactSlices = 16
+  // dev A/B overrides (TimeQuery-style harnesses measure a policy
+  // without a code change); the defaults are the measured policy
+  private val CompactBytes = sys.env.get("SPARK_GRAFT_COMPACT_MIN")
+    .map(_.toLong).getOrElse(2L * 1024 * 1024)
+  private val CompactSlices = sys.env.get("SPARK_GRAFT_COMPACT_SLICES")
+    .map(_.toInt).getOrElse(16)
 
   private def compactIfFact(spark: SparkSession, path: String,
       df: DataFrame, force: Boolean): DataFrame = {
