@@ -712,8 +712,12 @@ object Similarity {
     * centroid means, probe cells from the final distance relation, and
     * the same left-fold IEEE dot product every gated cosine query uses.
     */
-  private def exactIvfOracle(nCells: Int, updates: Int, nProbe: Int,
-      k: Int): String = {
+  /** Shared CTE chain deriving the exact quantizer's final cell
+    * assignment `aF (vec_id, cell)` and distance relation `dF` —
+    * reused by the q_ann_ivf probe oracle and the q_semantic_dedup
+    * closure oracle.
+    */
+  private def exactIvfCellCtes(nCells: Int, updates: Int): String = {
     def distCte(name: String, cents: String) =
       s"""$name AS (
          |  SELECT p.vec_id, c.cell,
@@ -735,9 +739,7 @@ object Similarity {
          |  SELECT c${i - 1}.cell, c${i - 1}.d, COALESCE(u$i.cm, c${i - 1}.c) AS c
          |  FROM c${i - 1} LEFT JOIN u$i ON u$i.cell = c${i - 1}.cell AND u$i.d = c${i - 1}.d)""".stripMargin
     }.mkString(",\n")
-    val dot = "list_reduce(list_transform(list_zip(q.embedding, e.embedding), " +
-      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
-    s"""WITH pts AS (
+    s"""pts AS (
        |  SELECT vec_id,
        |         unnest(range(1, len(embedding)+1)) AS d,
        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x
@@ -754,7 +756,14 @@ object Similarity {
        |aF AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-       |    FROM dF) t WHERE rn = 1),
+       |    FROM dF) t WHERE rn = 1)""".stripMargin
+  }
+
+  private def exactIvfOracle(nCells: Int, updates: Int, nProbe: Int,
+      k: Int): String = {
+    val dot = "list_reduce(list_transform(list_zip(q.embedding, e.embedding), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
+    s"""WITH ${exactIvfCellCtes(nCells, updates)},
        |probe AS (
        |  SELECT vec_id AS q_id, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
@@ -851,21 +860,61 @@ object Similarity {
     }
   }
 
-  /** SemDeDup over the cached k-means cells (iterative-float KMeans →
-    * rows-only; ScalaTest asserts planted-twin removal, kept-set
-    * consistency, and parity with components over the same-cell exact
-    * pair relation). Reuses the persisted IVF index, so the declared
-    * query pays no quantizer training after the first ANN/dedup call
-    * on a corpus dir.
+  /** SemDeDup over the EXACT quantizer's cells — fully DuckDB
+    * hash-gated end to end since round 10 (rows-only 15 → 14): the
+    * oracle replays the quantized-Lloyd training (shared CTE chain
+    * with q_ann_ivf), the within-cell threshold edges, the
+    * recursive-CTE transitive closure, and the min-id canonical keep.
+    * Reuses the SAME persisted exact index as q_ann_ivf, so the
+    * declared query pays no quantizer training after the first
+    * ANN/dedup call on a corpus dir. ScalaTest keeps the semantic
+    * gates: planted-twin removal, kept-set τ-separation, closure
+    * parity. (The MLlib k-means|| quantizer remains the library's
+    * scale API — [[semanticDedup]] over [[buildIvfIndex]].)
     */
-  val qSemanticDedup = DeclaredQuery.noOracle("q_semantic_dedup") { (s, d) =>
+  val qSemanticDedup = DeclaredQuery("q_semantic_dedup",
+    semanticDedupOracle(ExactIvfCells, ExactIvfUpdates, 0.4)) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    cachedIvfIndex(s, emb, d) match {
-      case Some(index) => semanticDedup(index).orderBy("vec_id")
-      case None => // empty corpus: every (zero) doc is its own survivor
-        emb.select(col("vec_id"), lit(0).as("cell"),
-          col("vec_id").as("group_id"), lit(1).as("is_kept")).limit(0)
-    }
+    val (cells, _) = cachedExactIvf(s, emb, d)
+    groupedDedup(
+      cells.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cell").as("grp")),
+      tau = 0.4, blocks = 4)
+      .withColumnRenamed("grp", "cell")
+      .orderBy("vec_id")
+  }
+
+  /** Oracle for [[qSemanticDedup]]: the [[exactIvfCellCtes]] chain →
+    * within-cell threshold edges → recursive closure → canonical keep
+    * (the [[lshSemanticDedupOracle]] tail with cells for buckets).
+    */
+  private def semanticDedupOracle(nCells: Int, updates: Int,
+      tau: Double): String = {
+    val dotFmt = "list_reduce(list_transform(list_zip(%s, %s), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
+    val pairDot = dotFmt.format("a.embedding", "c.embedding")
+    s"""WITH RECURSIVE ${exactIvfCellCtes(nCells, updates)},
+       |b AS (
+       |  SELECT e.vec_id, e.embedding, af.cell
+       |  FROM embeddings e JOIN aF af USING (vec_id)),
+       |edges AS (
+       |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM b a JOIN b c ON a.cell = c.cell AND a.vec_id < c.vec_id
+       |  WHERE $pairDot >= $tau),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION ALL SELECT id_b, id_a FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |labels AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS group_id
+       |  FROM reach GROUP BY src)
+       |SELECT e.vec_id, e.cell,
+       |       COALESCE(l.group_id, e.vec_id) AS group_id,
+       |       CAST(e.vec_id = COALESCE(l.group_id, e.vec_id) AS INT) AS is_kept
+       |FROM b e LEFT JOIN labels l ON l.vec_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
   }
 
   private val duckDotFmt =

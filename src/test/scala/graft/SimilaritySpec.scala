@@ -289,9 +289,10 @@ class SimilaritySpec extends SparkSpec {
 
   test("declared semantic dedup kept set is τ-separated within cells") {
     val out = SparkEntry.queries("q_semantic_dedup")(spark, sf)
-    val index = Similarity.cachedIvfIndex(spark, emb, SparkSpec.sf).get
+    // the declared query carries its own (exact-quantizer) cells;
+    // only the vectors come from the corpus
     val keptVecs = out.filter(col("is_kept") === 1).select("vec_id", "cell")
-      .join(index.indexed.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val a = keptVecs.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = keptVecs.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"))
