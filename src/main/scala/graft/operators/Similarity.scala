@@ -559,15 +559,70 @@ object Similarity {
   /** Approximate ANN (randomized bucketing → rows-only check;
     * ScalaTest asserts recall ≥ 0.6 vs brute force on the fixture).
     */
-  val qAnnLsh = DeclaredQuery.noOracle("q_ann_lsh") { (s, d) =>
+  /** LSH ANN — fully oracle-gated since round 10 (rows-only 14 → 13):
+    * the hyperplanes are SEEDED constants the oracle embeds literally
+    * (the proven q_lsh_semantic_dedup discipline — float-rounded
+    * doubles, identical sequential dot arithmetic), so bucket
+    * assignment, the 1-flip multi-probe expansion, candidate dedup,
+    * and the exact dot re-rank are all replayed verbatim in SQL.
+    * "Random" hyperplanes never meant un-replayable — just trained-
+    * constant; the k-means variants needed the round-10 exact-Lloyd
+    * treatment, this one only needed its constants printed.
+    */
+  val qAnnLsh = DeclaredQuery("q_ann_lsh",
+    lshTopKOracle(nPlanes = 4, maxFlips = 1, k = 3)) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     // 4 planes = 16 buckets: fixture vectors are near-uniform on the
     // sphere (measured), so coarse buckets keep candidate sets non-empty
     // 1-flip multi-probe: 5 buckets probed of 16 — recovers neighbors
     // split by a single hyperplane at ~1.6× the single-probe cost
     lshTopK(emb.filter(col("vec_id") < 5), emb, k = 3, nPlanes = 4, maxFlips = 1)
-      .select("q_id", "vec_id", "cos_sim", "rn")
+      .select(col("q_id"), col("vec_id"),
+        round(col("cos_sim"), 6).as("cos_sim"), col("rn"))
       .orderBy("q_id", "rn")
+  }
+
+  /** Oracle for [[qAnnLsh]]: literal-constant sign buckets (the
+    * [[lshSemanticDedupOracle]] plane replay), XOR flip-mask
+    * multi-probe, DISTINCT candidate pairs, exact dot re-rank.
+    */
+  private def lshTopKOracle(nPlanes: Int, maxFlips: Int, k: Int): String = {
+    val dotFmt = "list_reduce(list_transform(list_zip(%s, %s), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
+    val planeDots = hyperplanes(nPlanes).zipWithIndex.map { case (p, i) =>
+      val lits = p.map(x => x.toFloat.toDouble.toString).mkString("[", ", ", "]")
+      val dot = dotFmt.format("embedding", lits)
+      s"CASE WHEN $dot >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", "\n         + ", ")")
+    def masksWithFlips(f: Int): Seq[Long] =
+      if (f == 0) Seq(0L)
+      else (0 until nPlanes).combinations(f)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq
+    val masks = (0 to maxFlips).flatMap(masksWithFlips)
+      .mkString("[", ", ", "]")
+    val rerank = dotFmt.format("q.embedding", "e.embedding")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |       $planeDots AS bucket
+       |  FROM embeddings),
+       |qb AS (
+       |  SELECT vec_id AS q_id, xor(bucket, unnest($masks)) AS bucket
+       |  FROM b WHERE vec_id < 5),
+       |hits AS (
+       |  SELECT DISTINCT qb.q_id, c.vec_id
+       |  FROM qb JOIN b c USING (bucket)
+       |  WHERE c.vec_id <> qb.q_id),
+       |sims AS (
+       |  SELECT h.q_id, h.vec_id, $rerank AS dot
+       |  FROM hits h
+       |  JOIN embeddings q ON q.vec_id = h.q_id
+       |  JOIN embeddings e ON e.vec_id = h.vec_id)
+       |SELECT q_id, vec_id, round(dot, 6) AS cos_sim, rn FROM (
+       |  SELECT q_id, vec_id, dot,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rn
+       |  FROM sims) t
+       |WHERE rn <= $k
+       |ORDER BY q_id, rn""".stripMargin
   }
 
   /** IVF ANN (KMeans is seeded but iterative float — rows-only;
