@@ -838,6 +838,146 @@ object Similarity {
        |ORDER BY q_id, rn""".stripMargin
   }
 
+  // ---- exact (oracle-gateable) PQ: per-subspace quantized Lloyd ----
+
+  /** Exact-PQ hyperparameters (measured on the fixture, ANN_RECALL.md):
+    * 8 subspaces × 8 dims, 32 codes/subspace, 3 Lloyd updates, 96-row
+    * exact re-rank → recall@3 0.933/0.733 at sf0.01/sf0.1 — identical
+    * to the MLlib-codebook variant it replaces in the DECLARED query.
+    * Codes are 8 × 5-bit ids per vector: the same 32× artifact
+    * compression story as the codegen'd PqEncode path (which remains
+    * the library API, spec-gated).
+    */
+  val ExactPqSubDim = 8
+  val ExactPqCodes = 32
+  val ExactPqUpdates = 3
+  val ExactPqRerank = 96
+  val ExactIvfPqProbe = 5
+
+  /** Deterministic per-subspace quantized-Lloyd PQ trainer — the
+    * [[exactIvfTrain]] recurrence with a `sub` key: ONE relational
+    * chain trains all m codebooks at once (long-form points carry
+    * (vec_id, sub, d, x); distances group by (vec_id, sub, code);
+    * means by (sub, code, d)). Returns
+    * (codes: vec_id,sub,code — the 32×-compressed search artifact;
+    *  books: sub,code,d,c — the codebook constants).
+    */
+  def exactPqTrain(emb: DataFrame, ksub: Int = ExactPqCodes,
+      updates: Int = ExactPqUpdates,
+      dsub: Int = ExactPqSubDim): (DataFrame, DataFrame) = {
+    val pts = ivfPts(emb)
+      .withColumn("sub", expr(s"(d - 1) DIV $dsub"))
+      .localCheckpoint(false) // 2·updates+3 consumers
+    val fp = expr(
+      "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    val seeds = emb.select(col("vec_id"), fp.as("fp"))
+      .withColumn("rn", row_number().over(Window.orderBy("fp", "vec_id")))
+      .filter(col("rn") <= ksub)
+      .select(col("vec_id"), (col("rn") - 1).as("code"))
+    def distances(books: DataFrame): DataFrame = pts
+      .join(books.select(col("code"), col("d"), col("c")), "d")
+      .select(col("vec_id"), col("sub"), col("code"),
+        expr("(x - c) * (x - c)").as("sq"))
+      .groupBy("vec_id", "sub", "code")
+      .agg(sum("sq").as("dist"))
+    def argmin(dist: DataFrame): DataFrame = dist
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy("dist", "code")))
+      .filter(col("rn") === 1).select("vec_id", "sub", "code")
+    var books = seeds.join(pts, "vec_id")
+      .select(col("sub"), col("code"), col("d"), col("x").as("c"))
+    for (_ <- 1 to updates) {
+      val upd = argmin(distances(books))
+        .join(pts, Seq("vec_id", "sub"))
+        .groupBy("sub", "code", "d")
+        .agg(expr(
+          "CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) + 0.5) AS BIGINT)")
+          .as("cm"))
+      books = books.as("p").join(upd.as("u"), Seq("sub", "code", "d"), "left")
+        .select(col("sub"), col("code"), col("d"),
+          coalesce(col("cm"), col("p.c")).as("c"))
+        .localCheckpoint(false)
+    }
+    (argmin(distances(books)), books)
+  }
+
+  /** Query-side ADC lookup table: exact integer squared distance from
+    * every query subvector to every codebook entry — (q_id, sub, code,
+    * dist), m·ksub rows per query.
+    */
+  def exactPqQueryDists(queries: DataFrame, books: DataFrame,
+      dsub: Int = ExactPqSubDim): DataFrame =
+    ivfPts(queries)
+      .withColumn("sub", expr(s"(d - 1) DIV $dsub"))
+      .join(books.select(col("code"), col("d"), col("c")), "d")
+      .select(col("vec_id").as("q_id"), col("sub"), col("code"),
+        expr("(x - c) * (x - c)").as("sq"))
+      .groupBy("q_id", "sub", "code")
+      .agg(sum("sq").as("dist"))
+
+  /** Build-once/probe-many for the exact PQ artifacts, like
+    * [[cachedExactIvf]].
+    */
+  private val exactPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  def cachedExactPq(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, cacheKey: String): (DataFrame, DataFrame) = {
+    val cached = exactPqCache.get(cacheKey)
+    val entry =
+      if (cached != null) cached
+      else if (emb.isEmpty) null
+      else {
+        val (codes, books) = exactPqTrain(emb)
+        val codesPath = graft.SparkEnv.scratchDir("pq-exact-codes")
+        val booksPath = graft.SparkEnv.scratchDir("pq-exact-books")
+        codes.write.mode("overwrite").parquet(codesPath)
+        books.write.mode("overwrite").parquet(booksPath)
+        val v = (codesPath, booksPath)
+        val prev = exactPqCache.putIfAbsent(cacheKey, v)
+        if (prev != null) { deleteDir(codesPath); deleteDir(booksPath); prev }
+        else v
+      }
+    if (entry == null) exactPqTrain(emb)
+    else (spark.read.parquet(entry._1), spark.read.parquet(entry._2))
+  }
+
+  /** ADC + exact-re-rank tail shared by the exact PQ/IVF-PQ declared
+    * queries: sum the query's per-(sub, code) table over the
+    * candidate's codes, shortlist by (adc, vec_id), re-rank the
+    * shortlist with the exact dot.
+    */
+  private def exactAdcTopK(emb: DataFrame, cand: Option[DataFrame],
+      codes: DataFrame, qdist: DataFrame, rerank: Int, k: Int): DataFrame = {
+    // full-corpus ADC (q_ann_pq): the (q_id, vec_id) pairs fall out of
+    // the (sub, code) equi-join itself; cell-pruned ADC (q_ann_ivfpq):
+    // only the probed cells' members join their codes
+    val adc = (cand match {
+      case Some(c) => c.join(codes, "vec_id")
+        .join(qdist, Seq("q_id", "sub", "code"))
+      case None => codes.join(qdist, Seq("sub", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+    })
+      .groupBy("q_id", "vec_id")
+      .agg(sum("dist").as("adc"))
+    val shortlist = adc.withColumn("arn", row_number().over(
+        Window.partitionBy("q_id").orderBy("adc", "vec_id")))
+      .filter(col("arn") <= rerank)
+      .select("q_id", "vec_id")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val sims = shortlist
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        vec_dot(col("q_emb"), col("embedding")).as("dot"))
+    val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"),
+        round(col("dot"), 6).as("cos_sim"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
   /** IVF ANN, deterministic-quantizer variant — the ONE ANN query that
     * is fully DuckDB hash-gated end to end (round-10 verdict stretch:
     * rows-only 16 → 15): seeding, both Lloyd rounds, the final cell
@@ -869,50 +1009,145 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  /** PQ ANN (iterative-float KMeans codebooks — rows-only; ScalaTest
-    * asserts re-ranked recall vs brute force). Train-once/search-many:
-    * the codebook caches per corpus dir like the IVF index.
+  /** PQ ANN — fully oracle-gated since round 10: the codebooks come
+    * from the deterministic per-subspace quantized-Lloyd trainer
+    * ([[exactPqTrain]]), so seeding, all three codebook updates,
+    * encoding, the ADC scan, the 96-row shortlist, and the exact
+    * re-rank are replayed verbatim by the oracle's chained CTEs.
+    * Probes read the persisted code relation (no training in the
+    * probe plan — build-once/probe-many, same artifact discipline as
+    * the codegen'd `PqEncode` library path, which remains the scale
+    * API with its own specs).
     */
-  val qAnnPq = DeclaredQuery.noOracle("q_ann_pq") { (s, d) =>
+  val qAnnPq = DeclaredQuery("q_ann_pq",
+    pqExactOracle(probed = false)) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    cachedPqModel(emb, d) match {
-      case Some(model) =>
-        // probes read the persisted code relation — no pq_encode in
-        // the probe plan (SimilaritySpec asserts)
-        // rerank 64 (round 10): ADC error rivals the fixture's tiny
-        // true-neighbor gaps, so the exact re-rank shortlist is the
-        // recall lever — 64 exact dots/query is still ~1% of the
-        // corpus at sf0.1 (ANN_RECALL.md)
-        pqTopK(emb.filter(col("vec_id") < 5), emb, k = 3, model,
-            rerank = 64, codedRel = Some(cachedPqCodes(s, emb, d, model)))
-          .select("q_id", "vec_id", "cos_sim", "rn")
-          .orderBy("q_id", "rn")
-      case None =>
-        emb.select(col("vec_id").as("q_id"), col("vec_id"),
-          lit(0.0).as("cos_sim"), lit(1).as("rn")).limit(0)
-    }
+    val (codes, books) = cachedExactPq(s, emb, d)
+    val qdist = exactPqQueryDists(emb.filter(col("vec_id") < 5), books)
+    exactAdcTopK(emb, None, codes, qdist, ExactPqRerank, k = 3)
   }
 
-  /** IVF-PQ ANN (both cached artifacts composed — rows-only; ScalaTest
-    * asserts re-ranked recall ≥ 0.9 vs brute force and that ADC runs
-    * only on probed cells).
+  /** IVF-PQ ANN — fully oracle-gated since round 10: the production
+    * composition with BOTH exact artifacts — the q_ann_ivf cell index
+    * prunes WHICH vectors are scanned (nProbe of 16 cells), the
+    * q_ann_pq codebooks prune WHAT is scanned (8 5-bit codes per
+    * member), the 96-row exact re-rank restores precision. The oracle
+    * chains the cell CTEs + codebook CTEs + cell-pruned ADC + re-rank.
+    * ADC runs strictly AFTER the cell join, never over the full
+    * corpus (the relational shape makes it structural: the adc
+    * aggregate's input IS probe ⋈ cells ⋈ codes).
     */
-  val qAnnIvfPq = DeclaredQuery.noOracle("q_ann_ivfpq") { (s, d) =>
+  val qAnnIvfPq = DeclaredQuery("q_ann_ivfpq",
+    pqExactOracle(probed = true)) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    (cachedIvfIndex(s, emb, d), cachedPqModel(emb, d)) match {
-      case (Some(index), Some(model)) =>
-        // nProbe/rerank lifted with the single-index variants (round
-        // 10, ANN_RECALL.md): recall here multiplies IVF's probed-cell
-        // hit rate by PQ's shortlist hit rate, so both levers move it
-        ivfPqTopK(index, model, emb.filter(col("vec_id") < 5), k = 3,
-            nProbe = 3, rerank = 64,
-            codedRel = Some(cachedIvfPqCodes(s, index, d, model)))
-          .select("q_id", "vec_id", "cos_sim", "rn")
-          .orderBy("q_id", "rn")
-      case _ =>
-        emb.select(col("vec_id").as("q_id"), col("vec_id"),
-          lit(0.0).as("cos_sim"), lit(1).as("rn")).limit(0)
-    }
+    val (cells, cents) = cachedExactIvf(s, emb, d)
+    val (codes, books) = cachedExactPq(s, emb, d)
+    val probe = exactIvfProbeCells(emb.filter(col("vec_id") < 5), cents,
+      ExactIvfPqProbe)
+    val cand = probe.join(cells, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    val qdist = exactPqQueryDists(emb.filter(col("vec_id") < 5), books)
+    exactAdcTopK(emb, Some(cand), codes, qdist, ExactPqRerank, k = 3)
+  }
+
+  /** Oracle for [[qAnnPq]] (probed=false: full-corpus ADC) and
+    * [[qAnnIvfPq]] (probed=true: cell-pruned ADC over the shared
+    * [[exactIvfCellCtes]] cells).
+    */
+  private def pqExactOracle(probed: Boolean): String = {
+    val dsub = ExactPqSubDim
+    val ksub = ExactPqCodes
+    val updates = ExactPqUpdates
+    def pdistCte(name: String, books: String) =
+      s"""$name AS (
+         |  SELECT p.vec_id, p.sub, c.code,
+         |         sum((p.x - c.c) * (p.x - c.c)) AS dist
+         |  FROM spts p JOIN $books c ON c.d = p.d
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    val rounds = (1 to updates).map { i =>
+      s"""${pdistCte(s"pd$i", s"k${i - 1}")},
+         |pa$i AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+         |    FROM pd$i) t WHERE rn = 1),
+         |pu$i AS (
+         |  SELECT a.sub, a.code, p.d,
+         |         CAST(floor(CAST(sum(p.x) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cm
+         |  FROM pa$i a JOIN spts p ON p.vec_id = a.vec_id AND p.sub = a.sub
+         |  GROUP BY 1, 2, 3),
+         |k$i AS (
+         |  SELECT k${i - 1}.sub, k${i - 1}.code, k${i - 1}.d, COALESCE(pu$i.cm, k${i - 1}.c) AS c
+         |  FROM k${i - 1} LEFT JOIN pu$i ON pu$i.sub = k${i - 1}.sub AND pu$i.code = k${i - 1}.code AND pu$i.d = k${i - 1}.d)""".stripMargin
+    }.mkString(",\n")
+    val pqCtes =
+      s"""spts AS (
+         |  SELECT vec_id, (d - 1) // $dsub AS sub, d, x FROM pts),
+         |pseeds AS (
+         |  SELECT vec_id, rn - 1 AS code FROM (
+         |    SELECT vec_id, row_number() OVER (
+         |      ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) AS rn
+         |    FROM embeddings) t
+         |  WHERE rn <= $ksub),
+         |k0 AS (SELECT p.sub, s.code, p.d, p.x AS c FROM pseeds s JOIN spts p USING (vec_id)),
+         |$rounds,
+         |${pdistCte("pdF", s"k$updates")},
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+         |    FROM pdF) t WHERE rn = 1),
+         |qdist AS (
+         |  SELECT vec_id AS q_id, sub, code, dist FROM pdF WHERE vec_id < 5)""".stripMargin
+    val adcCte = if (probed)
+      s"""probe AS (
+         |  SELECT vec_id AS q_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM dF WHERE vec_id < 5) t WHERE rn <= $ExactIvfPqProbe),
+         |cand AS (
+         |  SELECT pr.q_id, a.vec_id FROM probe pr JOIN aF a USING (cell)
+         |  WHERE a.vec_id <> pr.q_id),
+         |adc AS (
+         |  SELECT cd.q_id, cd.vec_id, sum(qd.dist) AS adc
+         |  FROM cand cd
+         |  JOIN codes c ON c.vec_id = cd.vec_id
+         |  JOIN qdist qd ON qd.q_id = cd.q_id AND qd.sub = c.sub AND qd.code = c.code
+         |  GROUP BY 1, 2)""".stripMargin
+    else
+      s"""adc AS (
+         |  SELECT qd.q_id, c.vec_id, sum(qd.dist) AS adc
+         |  FROM codes c JOIN qdist qd ON qd.sub = c.sub AND qd.code = c.code
+         |  WHERE c.vec_id <> qd.q_id
+         |  GROUP BY 1, 2)""".stripMargin
+    val dotFmt = "list_reduce(list_transform(list_zip(%s, %s), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
+    val rerankDot = dotFmt.format("q.embedding", "e.embedding")
+    val cellCtes =
+      if (probed) exactIvfCellCtes(ExactIvfCells, ExactIvfUpdates) + ",\n"
+      else
+        // q_ann_pq needs only the long-form points CTE from the chain
+        """pts AS (
+          |  SELECT vec_id,
+          |         unnest(range(1, len(embedding)+1)) AS d,
+          |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x
+          |  FROM embeddings),
+          |""".stripMargin
+    s"""WITH $cellCtes$pqCtes,
+       |$adcCte,
+       |shortlist AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS arn
+       |    FROM adc) t WHERE arn <= $ExactPqRerank),
+       |sims AS (
+       |  SELECT h.q_id, h.vec_id, $rerankDot AS dot
+       |  FROM shortlist h
+       |  JOIN embeddings q ON q.vec_id = h.q_id
+       |  JOIN embeddings e ON e.vec_id = h.vec_id)
+       |SELECT q_id, vec_id, round(dot, 6) AS cos_sim, rn FROM (
+       |  SELECT q_id, vec_id, dot,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rn
+       |  FROM sims) t
+       |WHERE rn <= 3
+       |ORDER BY q_id, rn""".stripMargin
   }
 
   /** SemDeDup over the EXACT quantizer's cells — fully DuckDB
