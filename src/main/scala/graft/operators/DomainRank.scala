@@ -77,9 +77,13 @@ object DomainRank {
       .join(broadcast(srcs.select(col("idx"), col("source").as("dst"))), "idx")
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     val outw = e0.groupBy("src").agg(sum("w").as("outw"))
-    // edge relation is |E|-sized (≤ |V|² groups); checkpoint so the
-    // iteration loop never re-derives the corpus subtree
-    val e = e0.join(outw, "src").localCheckpoint(true)
+    // edge relation is |E|-sized (≤ |V|² groups); LAZY checkpoint
+    // (round 10): the lineage cut still stops the iteration loop
+    // re-deriving the corpus subtree per step, but with a fixed
+    // iteration count there is no per-step action that needs the
+    // blocks early — eager materialization was one whole extra
+    // corpus-scan job per invocation (the q_bfs_hops lesson)
+    val e = e0.join(outw, "src").localCheckpoint(false)
     (e, srcs, n)
   }
 
