@@ -165,7 +165,11 @@ object Analytics5 {
     * The emitted pmi is demoted to round(·,6) (the q_ks_test
     * discipline): a 1-ulp ln difference flips a 6-dp rounding only
     * within ~1e-15 of a grid point — LnBoundaryMarginSpec asserts the
-    * realized margins.
+    * realized margins. Emitted as DOUBLE, never DECIMAL: the driver's
+    * hasher encodes DuckDB DECIMAL cells differently from DOUBLE even
+    * when values are equal (the round-9/10 red was exactly a
+    * DECIMAL(18,6) final column), so gated outputs must stay on
+    * hash-portable types — OutputTypeLintSpec enforces this repo-wide.
     */
   val qPmi = DeclaredQuery(
     "q_pmi",
@@ -181,8 +185,8 @@ object Analytics5 {
       |m2 AS (SELECT w2, CAST(sum(cxy) AS BIGINT) AS cy FROM c GROUP BY 1),
       |n AS (SELECT CAST(sum(cxy) AS BIGINT) AS nn FROM c)
       |SELECT w1, w2, cxy,
-      |  CAST(round(ln(CAST(cxy * nn AS DOUBLE)
-      |    / CAST(cx * cy AS DOUBLE)), 6) AS DECIMAL(18,6)) AS pmi
+      |  round(ln(CAST(cxy * nn AS DOUBLE)
+      |    / CAST(cx * cy AS DOUBLE)), 6) AS pmi
       |FROM c JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
       |WHERE cxy >= 5
       |ORDER BY CAST(cxy * nn AS DOUBLE) / CAST(cx * cy AS DOUBLE) DESC,
@@ -207,7 +211,7 @@ object Analytics5 {
     c.filter(col("cxy") >= 5)
       .join(m1, Seq("w1")).join(m2, Seq("w2")).crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("cxy"),
-        round(log(r), 6).cast("decimal(18,6)").as("pmi"),
+        round(log(r), 6).as("pmi"),
         r.as("_r"))
       .orderBy(col("_r").desc, col("w1"), col("w2"))
       .limit(25)
