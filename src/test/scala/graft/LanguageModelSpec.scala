@@ -84,6 +84,33 @@ class LanguageModelSpec extends SparkSpec {
     assert(evals == 1, s"expected exactly 1 LmDocScore eval in plan, got $evals")
   }
 
+  test("artifact collect is bounded: maxEntries prunes to the top-count entries") {
+    val full = LanguageModel.trainLmArtifact(target)
+    // the hard ceiling holds even at default training — the collect is
+    // provably O(MaxModelEntries), never O(corpus vocab)
+    assert(full.biGrams.length <= LanguageModel.MaxModelEntries)
+    assert(full.uniToks.length <= LanguageModel.MaxModelEntries)
+    // fixture model is far below the ceiling → default prune never binds
+    assert(full.biGrams.length < LanguageModel.MaxModelEntries / 100)
+
+    val pruned = LanguageModel.trainLmArtifact(target, maxEntries = 5)
+    assert(pruned.biGrams.length == 5 && pruned.uniToks.length == 5)
+    // floor is computed from UNPRUNED totals — identical to the full model
+    assert(pruned.floorLp == full.floorLp)
+    // kept entries are exactly the 5 highest-count ones (count desc,
+    // gram asc total order), with their full-denominator log-probs
+    val top5bi = LanguageModel.bigramModel(target)
+      .orderBy(col("c_bw").desc, col("gram")).limit(5)
+      .collect().map(r => r.getString(0) ->
+        r.getDecimal(1).unscaledValue().longValueExact()).toMap
+    assert(pruned.biGrams.map(_.toString).toSet == top5bi.keySet)
+    pruned.biGrams.zip(pruned.biLps).foreach { case (g, lp) =>
+      assert(top5bi(g.toString) == lp, s"pruned gram $g kept a different lp")
+    }
+    // a pruned model still scores every doc (misses fall to backoff/floor)
+    assert(viaExpr(docs, pruned).count() > 0)
+  }
+
   test("bigram log-probs normalize: per-context probabilities sum to 1") {
     val rows = LanguageModel.bigramModel(target).collect()
     val byCtx = rows.groupBy(r => r.getString(0).split(" ", 2)(0))

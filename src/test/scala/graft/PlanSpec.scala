@@ -531,6 +531,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q_triangle_count builds the degree broadcast ONCE at runtime: " +
+      "AQE exchange reuse collapses the per-endpoint alias projections") {
+    // the static digest prints the degree groupBy subtree under both
+    // endpoint joins, but canonicalization strips the (v→a, dg→da) vs
+    // (v→b, dg→db) aliases, so the executed plan builds one
+    // BroadcastExchange and every other consumer is a ReusedExchange.
+    // (A localCheckpoint 'fix' A/B'd WORSE at sf0.1 — 1.61→1.81 s —
+    // because the materialization barrier costs more than the reuse
+    // already saves; this test pins that the reuse actually happens.)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q_triangle_count")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = finalPlan.toString
+    val reused = "ReusedExchange".r.findAllIn(s).size
+    assert(reused >= 2, s"expected the degree broadcast reused >= 2 times:\n$s")
+  }
+
   test("q_unpivot plans an Expand over the aggregated relation — the " +
       "wide→long fan-out is task-local, never a shuffle or generator") {
     val p = planOf("q_unpivot")
