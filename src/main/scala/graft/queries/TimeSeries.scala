@@ -195,15 +195,17 @@ object TimeSeries {
       |         CAST(sum(cents * x) AS BIGINT) AS sxy
       |  FROM t GROUP BY 1)
       |SELECT c_mktsegment,
-      |  round(sqrt(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-      |      / CAST(n - 1 AS DOUBLE)) / 10000.0), 6) AS sd,
-      |  round(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-      |      / CAST(n - 1 AS DOUBLE)) / 10000.0, 6) AS var,
-      |  round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-      |      / CAST(n - 1 AS DOUBLE)) / 100.0, 6) + 0.0 AS cv,
-      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |  CASE WHEN n > 1 THEN round(sqrt(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(n - 1 AS DOUBLE)) / 10000.0), 6) END AS sd,
+      |  CASE WHEN n > 1 THEN round(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(n - 1 AS DOUBLE)) / 10000.0, 6) END AS var,
+      |  CASE WHEN n > 1 THEN round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(n - 1 AS DOUBLE)) / 100.0, 6) + 0.0 END AS cv,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+      |        AND CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0.0
+      |  THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(s1 AS DOUBLE))
       |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |           * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))), 6) + 0.0 AS cr
+      |           * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))), 6) + 0.0 END AS cr
       |FROM m
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
     val m = Tables.customer(s, d)
@@ -228,11 +230,19 @@ object TimeSeries {
     val cvRaw = ((sxyd - sxd * s1d / nd) / n1d) / 100.0
     val crRaw = (nd * sxyd - sxd * s1d) /
       sqrt((nd * sxxd - sxd * sxd) * (nd * s2d - s1d * s1d))
+    // degenerate-group guards mirrored in the oracle (advisor r10): a
+    // 1-row group divides by n-1 = 0 and a zero-variance series hands
+    // sqrt a 0 (or, after cancellation, negative) argument — DuckDB
+    // ERRORS on sqrt(<0) and both engines' NULL/NaN conventions
+    // differ, so both sides emit NULL via the SAME exact-arithmetic
+    // predicate instead of relying on engine zero-divisor behavior
+    val nGt1 = col("n") > 1
+    val crDef = (nd * sxxd - sxd * sxd > 0.0) && (nd * s2d - s1d * s1d > 0.0)
     m.select(col("c_mktsegment"),
-        round(sqrt(varRaw), 6).as("sd"),
-        round(varRaw, 6).as("var"),
-        (round(cvRaw, 6) + 0.0).as("cv"),
-        (round(crRaw, 6) + 0.0).as("cr"))
+        when(nGt1, round(sqrt(varRaw), 6)).as("sd"),
+        when(nGt1, round(varRaw, 6)).as("var"),
+        when(nGt1, round(cvRaw, 6) + 0.0).as("cv"),
+        when(crDef, round(crRaw, 6) + 0.0).as("cr"))
       .orderBy("c_mktsegment")
   }
 
@@ -266,9 +276,11 @@ object TimeSeries {
       |  FROM series a JOIN series b ON a.b = b.b AND a.t < b.t
       |  GROUP BY 1, 2)
       |SELECT type_a, type_b,
-      |  round((CAST(n_buckets AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+      |  CASE WHEN CAST(n_buckets AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0.0
+      |        AND CAST(n_buckets AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0.0
+      |  THEN round((CAST(n_buckets AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
       |    / sqrt((CAST(n_buckets AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
-      |         * (CAST(n_buckets AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) + 0.0 AS r,
+      |         * (CAST(n_buckets AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) + 0.0 END AS r,
       |  n_buckets
       |FROM m
       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
@@ -290,8 +302,12 @@ object TimeSeries {
     val sabd = col("sab").cast("double")
     val rRaw = (nd * sabd - sad * sbd) /
       sqrt((nd * saad - sad * sad) * (nd * sbbd - sbd * sbd))
+    // zero-variance guard mirrored in the oracle — same rationale as
+    // q_stats_funcs' crDef (DuckDB errors on sqrt(<0), NULL/NaN
+    // conventions differ on the 0 divisor)
+    val rDef = (nd * saad - sad * sad > 0.0) && (nd * sbbd - sbd * sbd > 0.0)
     m.select(col("type_a"), col("type_b"),
-        (round(rRaw, 6) + 0.0).as("r"), col("n_buckets"))
+        when(rDef, round(rRaw, 6) + 0.0).as("r"), col("n_buckets"))
       .orderBy("type_a", "type_b")
   }
 
