@@ -100,11 +100,22 @@ object SparkEnv {
       .withExtensions(new GraftExtensions)
     // dev A/B passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — lets
     // tools/TimeQuery-style harnesses measure a conf posture without a
-    // code change; production config stays the explicit block above
+    // code change; production config stays the explicit block above.
+    // Every applied override is logged loudly (advisor r10: a silent
+    // env passthrough can undo the tuned block), and malformed
+    // entries (empty key or value) are rejected rather than setting
+    // an empty-valued conf.
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
       .foldLeft(b) { (bb, kv) =>
-        val Array(k, v) = kv.split("=", 2); bb.config(k, v)
+        val Array(k, v) = kv.split("=", 2)
+        if (k.isEmpty || v.isEmpty) {
+          System.err.println(s"[graft] SPARK_GRAFT_EXTRA_CONF: ignoring malformed entry '$kv'")
+          bb
+        } else {
+          System.err.println(s"[graft] SPARK_GRAFT_EXTRA_CONF override: $k=$v")
+          bb.config(k, v)
+        }
       }
   }
 }

@@ -71,8 +71,9 @@ object Tables {
     * Contents are identical by construction (a repartition writes the
     * same multiset; every gate compares sorted rows), schema comes
     * from the same footer, filters/pruning push into the compacted
-    * scan exactly as before. Dimension-sized inputs (< 512 KB) are
-    * served as-is — a rewrite there buys nothing.
+    * scan exactly as before. Dimension-sized inputs (< 2 MB, the
+    * measured CompactBytes default) are served as-is — a rewrite
+    * there buys nothing.
     */
   private val compacted =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -92,17 +93,17 @@ object Tables {
         val hp = new org.apache.hadoop.fs.Path(path)
         val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.getContentSummary(hp).getLength
-      } catch { case _: Throwable => 0L }
+      } catch { case scala.util.control.NonFatal(_) => 0L }
     if (bytes < CompactBytes && !(force && bytes >= CompactBytes / 8)) df
-    else compacted.synchronized {
-      val again = compacted.get(path)
-      if (again != null) spark.read.parquet(again)
-      else {
-        val dir = SparkEnv.scratchDir("graft-compact")
-        df.repartition(CompactSlices).write.mode("overwrite").parquet(dir)
-        compacted.put(path, dir)
-        spark.read.parquet(dir)
-      }
+    else {
+      // per-path memo: racing loads of the same path write once (CHM
+      // computeIfAbsent), loads of DIFFERENT paths compact in parallel
+      val dir = compacted.computeIfAbsent(path, _ => {
+        val d = SparkEnv.scratchDir("graft-compact")
+        df.repartition(CompactSlices).write.mode("overwrite").parquet(d)
+        d
+      })
+      spark.read.parquet(dir)
     }
   }
 
@@ -114,12 +115,24 @@ object Tables {
     * in per-file opens than the parallel decode buys (measured:
     * events-family queries +0.2 s compacted, lineitem-family −0.3 s).
     */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    loaded.synchronized {
-      loaded.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
-        k => compactIfFact(k._1, k._2, k._1.read.parquet(k._2),
-          force = name == "documents"))
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val key = (spark, s"$sfDir/$name.parquet")
+    val hit = loaded.synchronized(loaded.get(key))
+    if (hit != null) hit
+    else {
+      // compute (and possibly run the compaction write job) OUTSIDE
+      // the loaded lock — holding it here serialized every concurrent
+      // first load behind one table's rewrite (advisor r10). Racing
+      // loads of the SAME path still write once: compactIfFact
+      // double-checks under its own monitor.
+      val df = compactIfFact(spark, key._2, spark.read.parquet(key._2),
+        force = name == "documents")
+      loaded.synchronized {
+        val again = loaded.get(key)
+        if (again != null) again else { loaded.put(key, df); df }
+      }
     }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

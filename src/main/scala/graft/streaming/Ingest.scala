@@ -53,11 +53,14 @@ object Ingest {
     // how tools/StreamAmortProf drives N>1 micro-batches over a
     // chunked fixture to measure marginal batch cost. Unset (the
     // default) = all available files in one AvailableNow batch.
-    // Read from sys.props first — runners build their streams on an
-    // isolated newSession() (stateSession), which does NOT inherit the
-    // caller's runtime conf (the graft.test.stateParts pattern).
-    val maxFiles = sys.props.get("graft.stream.maxFilesPerTrigger")
-      .orElse(spark.conf.getOption("spark.graft.stream.maxFilesPerTrigger"))
+    // Session conf wins; the sys.prop is the DEV fallback for
+    // harnesses whose streams run on an isolated newSession() that
+    // does not inherit the caller's runtime conf (StreamAmortProf's
+    // stateSession pattern). Conf-first so a harness sys.prop leaked
+    // by a failed finally-cleanup can never silently override an
+    // explicitly configured production stream (advisor r10).
+    val maxFiles = spark.conf.getOption("spark.graft.stream.maxFilesPerTrigger")
+      .orElse(sys.props.get("graft.stream.maxFilesPerTrigger"))
     def withKnob(r: org.apache.spark.sql.streaming.DataStreamReader) =
       maxFiles.fold(r)(v => r.option("maxFilesPerTrigger", v))
     if (path.isDirectory)
