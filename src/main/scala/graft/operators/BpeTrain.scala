@@ -218,12 +218,18 @@ object BpeTrain {
     merges.sortBy(_.rank).foldLeft(syms)((c, m) =>
       toColumn(graft.functions.MergePair(toExpression(c), m.left, m.right)))
 
+  /** Declared-query merge budget — shared by the Spark trainer and
+    * the unrolled DuckDB oracle below (they must agree or the replay
+    * diverges by construction).
+    */
+  val NumMerges = 24
+
   /** Train-once cache per corpus dir (the cachedRatioModel pattern). */
   private val mergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Merge]]()
 
   def cachedMerges(docs: DataFrame, cacheKey: String,
-      numMerges: Int = 24): Seq[Merge] = {
+      numMerges: Int = NumMerges): Seq[Merge] = {
     val hit = mergeCache.get(cacheKey)
     if (hit != null) hit
     else {
@@ -235,25 +241,105 @@ object BpeTrain {
     }
   }
 
-  /** The learned merge table, rows-only declared (the iterative argmax
-    * is not expressible in the oracle's SQL; BpeTrainSpec gates the
-    * distributed trainer against an in-test single-node reference
-    * implementation instead).
+  /** Unrolled chained-CTE DuckDB replay of the sequential trainer —
+    * the round-10 ANN conversion pattern (fixed-round iterative
+    * training IS oracle-expressible once each round is one argmax
+    * over exact integers plus one deterministic rewrite).
+    *
+    * Representation: a word's symbol sequence is ONE string with each
+    * symbol wrapped in U+001F unit separators (written ␟ below),
+    * so [x, y, z] encodes as `␟x␟␟y␟␟z␟` - the inter-symbol
+    * boundary is DOUBLED. Then
+    *  - the adjacent pair (l, r) occurs iff `␟l␟␟r␟` occurs
+    *    (symbols cannot contain the separator, so no cross-boundary
+    *    false match even for multi-char symbols), and
+    *  - DuckDB's `replace()` — left-to-right, non-overlapping,
+    *    continue-after-replacement — applies the merge with EXACTLY
+    *    [[graft.functions.MergePair]]'s contract: occurrences share
+    *    no characters under the doubled boundary, so `[a,a,a,a]` →
+    *    `[aa,aa]`, `[a,a,a]` → `[aa,a]`, byte-for-byte the skip-2
+    *    scan.
+    *
+    * Each round k: `p_k` recounts freq-weighted adjacent pairs from
+    * the split-back symbol lists (the q_pmi bigram idiom), `v_k`
+    * takes the argmax under the trainer's total order (cnt DESC, l,
+    * r — exact BIGINTs, engine-reproducible), `w_{k+1}` applies the
+    * winner ONLY if it clears minCount=2 (so after exhaustion the
+    * corpus freezes, the same sub-threshold argmax repeats, and the
+    * final `cnt >= 2` filter drops every post-stop row — replaying
+    * the trainer's early-stop exactly; an empty `v_k` after full
+    * merging empties the chain, which filters to the same answer).
+    * CTEs are `MATERIALIZED`: each `w_k` feeds two consumers, and
+    * inlining would re-derive w_{k-1} twice per round — 2^R scans.
     */
-  val qBpeVocab = DeclaredQuery.noOracle("q_bpe_vocab") { (s, d) =>
+  private def oracleChain(rounds: Int): String = {
+    val sep = "chr(31)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""w0 AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         |         $sep || array_to_string(list_append(string_split(w, ''), '</w>'), $sep || $sep) || $sep AS s
+         |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w
+         |        FROM documents WHERE text IS NOT NULL)
+         |  WHERE len(w) > 0 GROUP BY w)""".stripMargin)
+    for (k <- 0 until rounds) {
+      sb.append(
+        s""",
+           |p$k AS (
+           |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, string_split(trim(s, $sep), $sep || $sep) AS syms FROM w$k) t,
+           |       LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+           |  GROUP BY 1, 2),
+           |v$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+           |w${k + 1} AS MATERIALIZED (
+           |  SELECT w.w, w.freq,
+           |    CASE WHEN v.cnt >= 2 THEN replace(w.s, $sep || v.l || $sep || $sep || v.r || $sep, $sep || v.l || v.r || $sep) ELSE w.s END AS s
+           |  FROM w$k w CROSS JOIN v$k v)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def vocabOracle(rounds: Int): String = {
+    val wins = (0 until rounds)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS rank, l, r, cnt FROM v$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${oracleChain(rounds)},
+       |wins AS (
+       |  $wins)
+       |SELECT rank, l AS "left", r AS "right", l || r AS merged, cnt AS pair_count
+       |FROM wins WHERE cnt >= 2 ORDER BY rank""".stripMargin
+  }
+
+  private def segmentOracle(rounds: Int): String =
+    s"""WITH ${oracleChain(rounds)}
+       |SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+       |       CAST(sum((len(string_split(w, '')) + 1) * freq) AS BIGINT) AS n_units_char,
+       |       CAST(sum(len(string_split(trim(s, chr(31)), chr(31) || chr(31))) * freq) AS BIGINT) AS n_units_bpe,
+       |       round(CAST(sum((len(string_split(w, '')) + 1) * freq) AS DOUBLE)
+       |           / CAST(sum(len(string_split(trim(s, chr(31)), chr(31) || chr(31))) * freq) AS DOUBLE), 4) AS compression
+       |FROM w$rounds""".stripMargin
+
+  /** The learned merge table — VALUE-GATED since round 11 via the
+    * unrolled chained-CTE replay above (was rows-only; BpeTrainSpec
+    * additionally gates the distributed trainer against an in-test
+    * single-node reference implementation).
+    */
+  val qBpeVocab = DeclaredQuery("q_bpe_vocab", vocabOracle(NumMerges)) { (s, d) =>
     import s.implicits._
     cachedMerges(Tables.documents(s, d), d).toDF()
       .withColumn("merged", concat(col("left"), col("right")))
-      .select("rank", "left", "right", "merged", "pair_count")
+      .select(col("rank").cast("long").as("rank"),
+        col("left"), col("right"), col("merged"), col("pair_count"))
       .orderBy("rank")
   }
 
-  /** The learned table applied back to the corpus: per-language
+  /** The learned table applied back to the corpus: corpus-level
     * compression report (chars+marker symbols vs post-merge tokens).
-    * Deterministic given the cached merges; spec asserts the
-    * compression invariants and round-trip losslessness.
+    * Value-gated since round 11: the oracle carries the merge chain
+    * one rewrite past the last argmax and aggregates the final symbol
+    * strings.
     */
-  val qBpeSegment = DeclaredQuery.noOracle("q_bpe_segment") { (s, d) =>
+  val qBpeSegment = DeclaredQuery("q_bpe_segment", segmentOracle(NumMerges)) { (s, d) =>
     val docs = Tables.documents(s, d)
     val merges = cachedMerges(docs, d)
     val words = wordSymbols(docs)
