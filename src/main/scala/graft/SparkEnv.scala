@@ -23,6 +23,22 @@ import org.apache.spark.sql.SparkSession
   */
 object SparkEnv {
 
+  /** Streaming state-partition count — the `spark.sql.shuffle
+    * .partitions` every stateful stream's cloned session runs with.
+    * One state store per partition, each paying open + delta-write +
+    * commit PER MICRO-BATCH, so the count is sized to STATE VOLUME,
+    * not CPU count: the declared pipelines hold 10³–10⁴ keys, and the
+    * round-11 floor profile (SCALING.md, tools/StreamFloorProf)
+    * measured the marginal batch at 8 → 2 partitions dropping
+    * 693 → 445 ms (addBatch 493 → 285 ms — per-store commit overhead,
+    * not data). At real state volumes raise SPARK_GRAFT_STATE_
+    * PARTITIONS (or the test prop) — the stores shard linearly.
+    * Centralized here because every stateful runner and the A/B
+    * harnesses must agree (round-11; was 12 scattered "8" literals).
+    */
+  def stateParts: String = sys.props.getOrElse("graft.test.stateParts",
+    sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "2"))
+
   /** Scratch root for Spark local dirs + streaming checkpoints:
     * tmpfs when available (always, in this environment), else the
     * default java tmpdir.

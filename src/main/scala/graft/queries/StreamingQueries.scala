@@ -111,7 +111,7 @@ object StreamingQueries {
     // Serving.stateSession, and the caller's session is untouched
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+      graft.SparkEnv.stateParts)
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val qname = "stream_near_dups_cand"
@@ -168,7 +168,7 @@ object StreamingQueries {
     val docSchema = graft.Tables.documents(s, d).schema
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+      graft.SparkEnv.stateParts)
     val qname = "stream_corpus_gate"
     val docsStream = graft.streaming.Ingest
       .streamTable(s2, d, "documents", docSchema) // layout-robust source
@@ -193,7 +193,7 @@ object StreamingQueries {
     val docSchema = graft.Tables.documents(s, d).schema
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+      graft.SparkEnv.stateParts)
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val docsStream = graft.streaming.Ingest
@@ -229,7 +229,7 @@ object StreamingQueries {
     val embSchema = graft.Tables.embeddings(s, d).schema
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+      graft.SparkEnv.stateParts)
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val qname = "stream_semantic_dedup_v"
@@ -267,7 +267,7 @@ object StreamingQueries {
     val docSchema = docs.schema
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+      graft.SparkEnv.stateParts)
     val qname = "stream_dsir_weights_v"
     val stream = graft.streaming.Ingest
       .streamTable(s2, d, "documents", docSchema)
@@ -320,7 +320,7 @@ object StreamingQueries {
     val docSchema = docs.schema
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+      graft.SparkEnv.stateParts)
     val qname = "stream_decontaminate_v"
     val stream = graft.streaming.Ingest
       .streamTable(s2, d, "documents", docSchema)
@@ -358,7 +358,7 @@ object StreamingQueries {
     val docSchema = docs.schema
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+      graft.SparkEnv.stateParts)
     val qname = "stream_lm_scores_v"
     val stream = graft.streaming.Ingest
       .streamTable(s2, d, "documents", docSchema)
@@ -399,7 +399,7 @@ object StreamingQueries {
         |""".stripMargin, ",\n", "\nFROM events\nGROUP BY 1\nORDER BY 1")) { (s, d) =>
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+      graft.SparkEnv.stateParts)
     val qname = "stream_value_pcts_v"
     val agg = graft.streaming.Ingest.eventStream(s2, d)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -443,7 +443,7 @@ object StreamingQueries {
       |ORDER BY 1""".stripMargin) { (s, d) =>
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+      graft.SparkEnv.stateParts)
     val qname = "stream_unique_users_v"
     val agg = graft.streaming.Ingest.eventStream(s2, d)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -490,7 +490,7 @@ object StreamingQueries {
       |ORDER BY key, rank""".stripMargin) { (s, d) =>
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+      graft.SparkEnv.stateParts)
     val qname = "stream_top_types_v"
     val agg = graft.streaming.Ingest.eventStream(s2, d)
       .groupBy(window(col("ts"), "1 hour").as("w"))
@@ -529,7 +529,7 @@ object StreamingQueries {
     graft.queries.Analytics5.qPsiDrift.oracle.get) { (s, d) =>
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+      graft.SparkEnv.stateParts)
     val qname = "stream_psi_counts"
     val agg = graft.streaming.Ingest.eventStream(s2, d)
       .groupBy(

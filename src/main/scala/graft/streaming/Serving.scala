@@ -303,9 +303,7 @@ object Serving {
     val s2 = spark.newSession()
     // test-prop override exists solely for tools/StreamProf's
     // same-JVM A/B (env is fixed per process)
-    s2.conf.set("spark.sql.shuffle.partitions",
-      sys.props.getOrElse("graft.test.stateParts",
-        sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8")))
+    s2.conf.set("spark.sql.shuffle.partitions", graft.SparkEnv.stateParts)
     // transformWithState pipelines require the RocksDB provider
     if (rocksdb) s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
