@@ -1257,6 +1257,67 @@ object Similarity {
     lshSemanticDedup(Tables.embeddings(s, d)).orderBy("vec_id")
   }
 
+  /** Greedy-ONLINE replay (round 11) — the oracle for
+    * `q_stream_semantic_dedup`: [[graft.streaming.StreamSemanticDedup]]
+    * processes each bucket's vectors in ascending vec_id order and
+    * marks a vector dup-of the EARLIEST already-kept match (dot ≥ τ),
+    * else keeps it. That induction is SQL-replayable as a rank
+    * recursion: `b` ranks vectors within their sign-bit bucket;
+    * iteration k's working set is the COMPLETE verdict table for
+    * ranks ≤ k (each step re-emits all prior verdicts and computes
+    * rank-(k+1) verdicts against the kept subset — DuckDB permits the
+    * multiple recursive references); the final filter takes the
+    * fixed-point iteration. The kept-match argmin is `min(vec_id)`
+    * over kept bucket-mates with the SAME left-fold IEEE double dot
+    * the stream's scorer runs. Total rows materialized across
+    * iterations are O(n · max-bucket-rank) — fine for an oracle;
+    * the STREAM is the scale path. Replays exactly because the driver
+    * fixture is a single parquet file → one AvailableNow micro-batch
+    * → one global ascending-vec_id pass (a multi-file corpus would
+    * interleave by admission order; the spec's split-batch case pins
+    * verdict idempotence, not this oracle).
+    */
+  private[graft] def streamSemanticDedupOracle(nPlanes: Int, tau: Double): String = {
+    val planeDots = hyperplanes(nPlanes).zipWithIndex.map { case (p, i) =>
+      val lits = p.map(x => x.toFloat.toDouble.toString).mkString("[", ", ", "]")
+      val dot = duckDotFmt.format("embedding", lits)
+      s"CASE WHEN $dot >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", "\n         + ", ")")
+    val pairDot = duckDotFmt.format("kb.embedding", "n.embedding")
+    s"""WITH RECURSIVE eb AS (
+       |  SELECT vec_id, embedding,
+       |       $planeDots AS bucket
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |b AS MATERIALIZED (
+       |  SELECT vec_id, embedding, bucket,
+       |         row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rank
+       |  FROM eb),
+       |mx AS (SELECT max(rank) AS m FROM b),
+       |g(iter, bucket, vec_id, rank, is_dup, dup_of) AS (
+       |  SELECT 1, bucket, vec_id, rank, FALSE, CAST(-1 AS BIGINT)
+       |  FROM b WHERE rank = 1
+       |  UNION ALL
+       |  SELECT * FROM (
+       |    SELECT g.iter + 1, g.bucket, g.vec_id, g.rank, g.is_dup, g.dup_of
+       |    FROM g, mx WHERE g.iter < mx.m
+       |    UNION ALL
+       |    SELECT gi.i + 1, n.bucket, n.vec_id, n.rank,
+       |           min(kb.vec_id) IS NOT NULL AS is_dup,
+       |           COALESCE(min(kb.vec_id), CAST(-1 AS BIGINT)) AS dup_of
+       |    FROM (SELECT DISTINCT iter AS i FROM g) gi
+       |    JOIN b n ON n.rank = gi.i + 1
+       |    LEFT JOIN (SELECT k.bucket, k.vec_id, kb0.embedding
+       |               FROM g k JOIN b kb0 ON kb0.vec_id = k.vec_id
+       |               WHERE NOT k.is_dup) kb
+       |      ON kb.bucket = n.bucket AND $pairDot >= $tau
+       |    WHERE gi.i < (SELECT m FROM mx)
+       |    GROUP BY gi.i, n.bucket, n.vec_id, n.rank
+       |  ))
+       |SELECT vec_id, is_dup, dup_of
+       |FROM g WHERE iter = (SELECT m FROM mx)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq, qSemanticDedup, qLshSemanticDedup)
 }

@@ -94,12 +94,18 @@ object StreamingQueries {
     * stream the documents table through the transformWithState LSH
     * bucket index ([[graft.streaming.StreamDedup]]) to completion,
     * then exact-verify the streamed candidates against the static
-    * table — the result equals `q_minhash_near_dups` row-for-row
-    * (StreamDedupSpec asserts candidate-set equality; this query is
-    * the end-to-end form). Rows-only check: minhash bucketing is not
-    * expressible in the oracle's SQL.
+    * table — the result equals `q_minhash_near_dups` row-for-row.
+    * VALUE-GATED since round 11 by that query's own oracle: the
+    * stream runs the PORTABLE md5 family end-to-end
+    * ([[graft.streaming.StreamDedup.candidatesPortable]] — raw-tuple
+    * band keys through the state store, so the oracle's bucket join
+    * replays candidate GENERATION exactly, not just the verify), and
+    * the exact-Jaccard verify is the same portable md5 form the batch
+    * gate uses. StreamDedupSpec keeps the xxhash64 production path's
+    * replay-equality gates.
     */
-  val streamNearDups = DeclaredQuery.noOracle("q_stream_near_dups") { (s, d) =>
+  val streamNearDups = DeclaredQuery("q_stream_near_dups",
+      graft.operators.Dedup.qMinhash.oracle.get) { (s, d) =>
     // footer-authoritative schema (Tables policy: never re-declare a
     // StructType in code — a drifted copy would read all-NULL columns
     // silently); one batch footer read feeds the streaming source
@@ -120,7 +126,7 @@ object StreamingQueries {
     val docsStream = graft.streaming.Ingest
       .streamTable(s2, d, "documents", docSchema)
       .select(col("doc_id"), col("text"))
-    val q = graft.streaming.StreamDedup.candidates(docsStream)
+    val q = graft.streaming.StreamDedup.candidatesPortable(docsStream)
       .writeStream.format("memory").queryName(qname)
       .outputMode("append")
       .option("checkpointLocation", graft.SparkEnv.scratchDir("graft-stream-dedup-ckpt"))
@@ -134,7 +140,8 @@ object StreamingQueries {
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
     graft.operators.Dedup
-      .verifyCandidates(graft.Tables.documents(s, d), cand)
+      .verifyCandidates(graft.Tables.documents(s, d), cand, portableHash = true)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
   }
 
@@ -185,11 +192,65 @@ object StreamingQueries {
   /** The COMPOSED continuous cleaning pipeline (round-6): one stream
     * through gate flags → LSH near-dup index → lang-partitioned
     * shard-ready parquet ([[graft.streaming.StreamPipeline]]), then a
-    * per-lang rollup of what was admitted. Rows-only (the near-dup
-    * stage has no SQL twin); StreamPipelineSpec hash-gates the doc
-    * set against the batch gate + near-dup composition.
+    * per-lang rollup of what was admitted. VALUE-GATED since round
+    * 11: the stream runs the PORTABLE md5 family
+    * ([[graft.streaming.StreamPipeline.verdictsPortable]] — raw-tuple
+    * band buckets through the state store), and "admitted" has a
+    * closed form the oracle replays end to end: a gate-surviving doc
+    * is a duplicate iff it appears as `id_b` in the in-bucket ordered
+    * pair relation over the GATED corpus (every gate survivor joins
+    * its buckets' member lists whether kept or not — dup-of-a-dup is
+    * still a dup), so admitted = gated ANTI JOIN candidate `id_b`,
+    * rolled up per lang. Gate replay is the proven
+    * `q_stream_corpus_gate` trigram CTEs; candidate replay is the
+    * proven `q_minhash_near_dups` md5-minhash CTEs rebased on the
+    * gated relation. StreamPipelineSpec keeps the xxhash64 production
+    * path's batch-parity gates.
     */
-  val streamCleanPipeline = DeclaredQuery.noOracle("q_stream_clean_pipeline") { (s, d) =>
+  private val cleanPipelineOracle =
+    """WITH dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |            WHERE text IS NOT NULL),
+      |tri AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |  FROM dt, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) s),
+      |tc AS (SELECT doc_id, g, count(*) AS n FROM tri GROUP BY doc_id, g),
+      |rep AS (SELECT doc_id, sum(n) AS n_trigrams, max(n) AS n_top FROM tc GROUP BY doc_id),
+      |gated AS (
+      |  SELECT d.doc_id, d.lang, d.text
+      |  FROM documents d JOIN rep r ON r.doc_id = d.doc_id
+      |  WHERE d.lang IN ('en','de','es','fr') AND d.n_chars >= 100
+      |    AND CAST(r.n_top AS DOUBLE) / r.n_trigrams < 0.1),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM gated),
+      |sh AS (
+      |  SELECT doc_id, i AS pos,
+      |         CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+      |              ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] END AS shingle
+      |  FROM t, LATERAL (
+      |    SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i) s),
+      |mh AS (
+      |  SELECT s.doc_id, i.i,
+      |         min(CAST((
+      |           CAST((CAST('0x' || substr(md5('a:' || i.i), 1, 15) AS BIGINT) | 1) AS HUGEINT)
+      |           * CAST('0x' || substr(md5(s.shingle), 1, 15) AS BIGINT)
+      |           + CAST('0x' || substr(md5('b:' || i.i), 1, 15) AS BIGINT)
+      |         ) % 2305843009213693951 AS BIGINT)) AS mh
+      |  FROM sh s, LATERAL (SELECT unnest(generate_series(0, 15)) AS i) i
+      |  GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS key
+      |  FROM mh GROUP BY 1, 2),
+      |dups AS (
+      |  SELECT DISTINCT b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      |SELECT g.lang, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM gated g
+      |WHERE g.doc_id NOT IN (SELECT id_b FROM dups)
+      |GROUP BY g.lang
+      |ORDER BY g.lang""".stripMargin
+
+  val streamCleanPipeline = DeclaredQuery("q_stream_clean_pipeline",
+      cleanPipelineOracle) { (s, d) =>
     val docSchema = graft.Tables.documents(s, d).schema
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions",
@@ -200,8 +261,8 @@ object StreamingQueries {
       .streamTable(s2, d, "documents", docSchema)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
     val outDir = graft.SparkEnv.scratchDir("graft-stream-clean-out")
-    val q = graft.streaming.StreamPipeline.runAvailableNow(docsStream, outDir,
-      graft.SparkEnv.scratchDir("graft-stream-clean-ckpt"))
+    val q = graft.streaming.StreamPipeline.runAvailableNowPortable(docsStream,
+      outDir, graft.SparkEnv.scratchDir("graft-stream-clean-ckpt"))
     q.awaitTermination()
     // explicit schema (derived from the doc table's own footer fields,
     // not re-declared): an empty corpus admits nothing, leaving outDir
@@ -220,12 +281,16 @@ object StreamingQueries {
   /** Online semantic dedup ([[graft.streaming.StreamSemanticDedup]]):
     * the embeddings table replayed as a file stream through the
     * bucket-sharded canonical-set gate; each vector gets a kept/dup
-    * verdict against the canonical vectors seen before it. Rows-only
-    * (greedy online order-dependence); kept-set parity with the batch
-    * [[graft.operators.Similarity.lshSemanticDedup]] is pinned by
+    * verdict against the canonical vectors seen before it.
+    * VALUE-GATED since round 11: the greedy online induction is
+    * deterministic (ascending vec_id within each bucket, earliest
+    * kept match, left-fold IEEE dot), so the oracle replays it as a
+    * rank recursion — [[graft.operators.Similarity.streamSemanticDedupOracle]].
+    * Kept-set parity with the batch library op remains pinned by
     * StreamSemanticDedupSpec.
     */
-  val streamSemanticDedup = DeclaredQuery.noOracle("q_stream_semantic_dedup") { (s, d) =>
+  val streamSemanticDedup = DeclaredQuery("q_stream_semantic_dedup",
+      graft.operators.Similarity.streamSemanticDedupOracle(nPlanes = 4, tau = 0.4)) { (s, d) =>
     val embSchema = graft.Tables.embeddings(s, d).schema
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions",

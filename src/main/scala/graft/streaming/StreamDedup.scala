@@ -90,4 +90,67 @@ object StreamDedup {
       .groupByKey(b => (b.band, b.band_sig))
       .transformWithState(new Processor(), TimeMode.None(), OutputMode.Append())
   }
+
+  /** One (bucket, member) arrival in the PORTABLE family: the band
+    * key is the raw minhash r-tuple rendered as a string — exactly
+    * the raw-tuple bucket join the `q_minhash_near_dups` oracle
+    * replays, no band-hash between the signature and the bucket (a
+    * hash there could, in principle, bucket pairs the oracle's
+    * raw-tuple equality never sees).
+    */
+  case class PortableBandRow(band: Int, band_key: String, doc_id: Long)
+
+  class PortableProcessor
+      extends StatefulProcessor[(Int, String), PortableBandRow, CandPair] {
+    @transient private var members: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Long]("members",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, String), rows: Iterator[PortableBandRow],
+        timerValues: TimerValues): Iterator[CandPair] = {
+      val existing = members.get().toVector
+      val seen = existing.toSet
+      val fresh = rows.map(_.doc_id).toVector.distinct.sorted
+        .filterNot(seen)
+      if (fresh.isEmpty) return Iterator.empty
+      val out = Vector.newBuilder[CandPair]
+      var prior = existing
+      fresh.foreach { d =>
+        prior.foreach(p => out += CandPair(p, d))
+        prior :+= d
+      }
+      members.appendList(fresh.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** [[candidates]] in the oracle-portable md5 family (round 11):
+    * `minhash_sig_md5` signatures, raw-tuple band keys — the stream
+    * emits, batch split aside, exactly
+    * [[graft.operators.Dedup.minhashCandidatesPortable]]'s pair set
+    * (StreamDedupSpec asserts it), which is what lets
+    * `q_stream_near_dups` share the batch query's full value gate.
+    */
+  def candidatesPortable(docs: DataFrame, k: Int = 16,
+      bands: Int = 4): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":",
+          (1 to r).map(j => element_at(col("sig"), b * r + j)): _*).as("band_key"))
+    }
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), expr(s"minhash_sig_md5(text, 3, $k)").as("sig"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.band_key").as("band_key"),
+        col("doc_id"))
+      .as[PortableBandRow]
+      .groupByKey(b => (b.band, b.band_key))
+      .transformWithState(new PortableProcessor(), TimeMode.None(), OutputMode.Append())
+  }
 }

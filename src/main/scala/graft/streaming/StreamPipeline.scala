@@ -197,4 +197,81 @@ object StreamPipeline {
         writeBatch(batch, batchId, outDir)
         ()
       }
+
+  /** [[BandDoc]] in the oracle-portable family: raw-tuple band key
+    * (the [[StreamDedup.PortableBandRow]] rationale — no band hash
+    * between the md5 signature and the bucket).
+    */
+  case class PortableBandDoc(band: Int, band_key: String, doc_id: Long,
+      lang: String, text: String)
+
+  class PortableVerdictProcessor
+      extends StatefulProcessor[(Int, String), PortableBandDoc, DocVerdict] {
+    @transient private var members: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Long]("members",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, String), rows: Iterator[PortableBandDoc],
+        timerValues: TimerValues): Iterator[DocVerdict] = {
+      val existing = members.get().toVector
+      val seen = existing.toSet
+      val fresh = rows.toVector.groupBy(_.doc_id).values.map(_.head)
+        .toVector.sortBy(_.doc_id).filterNot(d => seen(d.doc_id))
+      if (fresh.isEmpty) return Iterator.empty
+      val out = Vector.newBuilder[DocVerdict]
+      var nPrior = existing.size
+      fresh.foreach { d =>
+        out += DocVerdict(d.doc_id, d.lang, d.text, nPrior > 0)
+        nPrior += 1
+      }
+      members.appendList(fresh.map(_.doc_id).toArray)
+      out.result().iterator
+    }
+  }
+
+  /** [[verdicts]] in the oracle-portable md5 family (round 11):
+    * `minhash_sig_md5` k=16, 4 raw-tuple band buckets — the same
+    * candidate generation the `q_minhash_near_dups` oracle replays,
+    * which is what lets `q_stream_clean_pipeline` carry a full value
+    * gate (gate → dup-iff-bucket-mate-of-earlier-doc → per-lang
+    * admitted counts, all SQL-replayed). The xxhash64 [[verdicts]]
+    * path stays the production default with its spec gates.
+    */
+  def verdictsPortable(docs: DataFrame, k: Int = 16,
+      bands: Int = 4): Dataset[DocVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":",
+          (1 to r).map(j => element_at(col("sig"), b * r + j)): _*).as("band_key"))
+    }
+    CorpusGate.withFlags(docs)
+      .filter(col("lang_ok") && col("len_ok") && col("rep_ok"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        expr(s"minhash_sig_md5(text, 3, $k)").as("sig"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.band_key").as("band_key"),
+        col("doc_id"), col("lang"), col("text"))
+      .as[PortableBandDoc]
+      .groupByKey(b => (b.band, b.band_key))
+      .transformWithState(new PortableVerdictProcessor(), TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  def runAvailableNowPortable(docs: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    verdictsPortable(docs).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[DocVerdict], batchId: Long) =>
+        writeBatch(batch, batchId, outDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

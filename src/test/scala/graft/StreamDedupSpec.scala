@@ -61,6 +61,39 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("portable streamed candidates across micro-batches equal the batch portable set") {
+    // the md5/raw-tuple path under the round-11 q_stream_near_dups
+    // value gate: split arrival must emit exactly
+    // minhashCandidatesPortable's pair set, replay must add nothing
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.select(col("doc_id"), col("text")).as[Doc].collect()
+    val expected = Dedup.minhashCandidatesPortable(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    withRocksDb {
+      val mem = MemoryStream[Doc]
+      val q = StreamDedup.candidatesPortable(mem.toDF())
+        .writeStream.format("memory").queryName("stream_dedup_pt")
+        .outputMode("append")
+        .option("checkpointLocation", SparkEnv.scratchDir("stream-dedup-pt"))
+        .start()
+      val (b1, rest) = rows.partition(_.doc_id % 3 == 0)
+      mem.addData(b1.toSeq)
+      q.processAllAvailable()
+      mem.addData(rest.toSeq)
+      q.processAllAvailable()
+      mem.addData(rest.toSeq) // replay
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("stream_dedup_pt").as[StreamDedup.CandPair].collect()
+        .map(p => (math.min(p.id_a, p.id_b), math.max(p.id_a, p.id_b))).toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
   test("restart from checkpoint: bucket state survives, candidates stay exact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -104,15 +137,16 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
-  test("q_stream_near_dups equals the batch production pipeline end-to-end") {
-    // round 8: the DECLARED q_minhash_near_dups moved to the portable
-    // md5 hash family (oracle-gated); the streaming twin shares the
-    // xxhash64 production machinery, so equality is asserted against
-    // minhashNearDups — the same pipeline StreamDedup bands with
+  test("q_stream_near_dups equals the batch q_minhash_near_dups end-to-end") {
+    // round 11: the DECLARED streaming twin runs the portable md5
+    // family end-to-end (candidatesPortable + md5 verify + round 6dp)
+    // and shares q_minhash_near_dups' value gate — so stream ≡ batch
+    // is row-for-row on the GATED queries themselves. The xxhash64
+    // production machinery keeps its own equality gate below
+    // ("streaming candidates equal the batch pipeline's").
     val stream = SparkEntry.queries("q_stream_near_dups")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val batch = graft.operators.Dedup
-      .minhashNearDups(Tables.documents(spark, sf))
+    val batch = SparkEntry.queries("q_minhash_near_dups")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(batch.nonEmpty)
     assert(stream == batch,
