@@ -166,7 +166,9 @@ class StatsRecomputeSpec extends SparkSpec {
     val idx = df.columns.zipWithIndex.toMap
     val decl = df.collect().map(r => (
       r.getString(idx("w1")), r.getString(idx("w2")),
-      r.getLong(idx("cxy")), BigDecimal(r.getDecimal(idx("pmi")))))
+      // pmi is a DOUBLE since round 11 (DECIMAL finals are hash-hostile
+      // to the driver — OutputTypeLintSpec)
+      r.getLong(idx("cxy")), BigDecimal(r.getDouble(idx("pmi")))))
     assert(decl.map(t => (t._1, t._2, t._3)).toSeq ===
       expected.map(t => (t._1, t._2, t._3)).toSeq)
     decl.zip(expected).foreach { case (d, e) =>
