@@ -24,7 +24,7 @@ def main():
     d_s, s_s = sum(dq[q] for q in stream), sum(sq[q] for q in stream)
     lines = []
     a = lines.append
-    a("# BASELINE_full — full-suite DuckDB baseline vs Spark bench (round 10)")
+    a("# BASELINE_full — full-suite DuckDB baseline vs Spark bench (round 11)")
     a("")
     a("Round-8 verdict #1: the 2x bench contract was being judged against a")
     a("10-query 0.27 s headline denominator covering ~6% of the suite. This")
@@ -44,15 +44,19 @@ def main():
     a("  measured AQE-off as a net loss across the suite, see Bench.scala).")
     a("- Totals compare the COMMON query set only (both engines ran the")
     a("  identical semantics; `no_oracle` queries are excluded).")
-    a("- Round-10 refresh (2026-08-15): per-query minima across TWO")
+    a("- Round-11 refresh (2026-08-15): per-query minima across TWO")
     a("  protocol-identical SERIAL same-session runs of EACH engine")
     a("  (never concurrent — a same-host DuckDB run measured +8% on the")
-    a("  Spark side and vice versa). This refresh includes the round-10")
-    a("  ingest-layout compaction (SCALING.md) on the Spark side and the")
-    a("  newly gated q_ann_ivf oracle (a ~0.8 s DuckDB k-means replay)")
-    a("  on both sides; run-to-run host variance remains the dominant")
-    a("  error term (|Δratio| ≲ 0.4 across sessions is noise — compare")
-    a("  per-query minima when auditing an operator).")
+    a("  Spark side and vice versa). The common set grew 197 → 202 with")
+    a("  the round-11 conversions; the five new oracles cut BOTH ways —")
+    a("  the BPE chains are cheap in DuckDB while Spark's trainer runs")
+    a("  24 sequential argmax jobs (then serves the train-once cache),")
+    a("  and the md5-minhash replays behind q_stream_near_dups /")
+    a("  q_stream_clean_pipeline cost DuckDB ~10 s each, which is why")
+    a("  the streaming-twin cut now favors Spark outright. Run-to-run")
+    a("  host variance remains the dominant error term (|Δratio| ≲ 0.4")
+    a("  across sessions is noise — compare per-query minima when")
+    a("  auditing an operator).")
     a("")
     a("## Totals")
     a("")
