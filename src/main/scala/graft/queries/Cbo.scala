@@ -176,10 +176,14 @@ object Cbo {
       |ORDER BY 1""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.functions._
     val s2 = runtimeFilterSession(s)
-    val perOrder = s2.read.parquet(s"$d/lineitem.parquet")
+    // Tables.load, not a raw read: the loader's compacted 16-way
+    // layout parallelizes the fact scan+partial-agg (the raw fixture
+    // is ONE row group = one core); the bloom rule still fires — the
+    // compacted dir is far above the 1KB application-side threshold
+    val perOrder = graft.Tables.lineitem(s2, d)
       .groupBy("l_orderkey")
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("order_rev"))
-    val urgent = s2.read.parquet(s"$d/orders.parquet")
+    val urgent = graft.Tables.orders(s2, d)
       .filter(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
       .select("o_orderkey", "o_orderpriority")
     perOrder.join(urgent, col("l_orderkey") === col("o_orderkey"))

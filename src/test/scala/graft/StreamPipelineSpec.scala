@@ -77,6 +77,48 @@ class StreamPipelineSpec extends SparkSpec {
       s"unexpected shard partitions: $langs")
   }
 
+  test("portable composed stream equals the batch portable composition across splits") {
+    // the md5/raw-tuple path under the round-11 q_stream_clean_pipeline
+    // value gate: admitted set = gate survivors minus later-side docs
+    // of portable LSH candidates, stable across ascending-id splits
+    // and under replay
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val gated = docs.join(
+      CorpusGate.flags(docs)
+        .filter(col("lang_ok") && col("len_ok") && col("rep_ok"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val rejected = Dedup.minhashCandidatesPortable(gated)
+      .select(col("id_b").as("doc_id")).distinct()
+    val expected = gated.join(rejected, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty && expected.size < gated.count())
+
+    val rows = docs.select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"), col("text"))
+      .as[Doc].collect().sortBy(_.doc_id)
+    withRocksDb {
+      val mem = MemoryStream[Doc]
+      val q = StreamPipeline.verdictsPortable(mem.toDF())
+        .writeStream.format("memory").queryName("pipe_portable")
+        .outputMode("append")
+        .option("checkpointLocation", SparkEnv.scratchDir("pipe-portable-ckpt"))
+        .start()
+      val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+      chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      mem.addData(chunks.last.toSeq) // replay adds nothing
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("pipe_portable")
+        .groupBy("doc_id").agg(max(col("dup")).as("dup"))
+        .filter(!col("dup")).collect().map(_.getLong(0)).toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
   test("scored stream shard drop equals the batch score+gate composition") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
