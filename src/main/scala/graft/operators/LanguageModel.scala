@@ -199,7 +199,14 @@ object LanguageModel {
   val qLmPerplexity = DeclaredQuery(
     "q_lm_perplexity", oracleSql(topFluentSelect)) { (s, d) =>
     val docs = Tables.documents(s, d)
-    docScores(docs, docs.filter(col("lang") === "en"))
+    // train-once artifact + stateless scorer (round 11): bit-equal to
+    // the relational docScores path (LanguageModelSpec pins it), but
+    // probe-many invocations skip rebuilding the model relations —
+    // one corpus scan, zero joins (the q_stream_lm_scores shape)
+    val model = cachedLmArtifact(docs.filter(col("lang") === "en"), s"en:$d")
+    val (n, a) = scoreColumns(model)
+    docs.select(col("doc_id"), n.as("n_trans"), a.as("avg_logprob"))
+      .filter(col("n_trans") > 0)
       .orderBy(col("avg_logprob").desc, col("doc_id"))
       .limit(50)
   }
@@ -232,8 +239,13 @@ object LanguageModel {
        |GROUP BY lang, bucket
        |ORDER BY lang, bucket""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val scores = docScores(docs, docs.filter(col("lang") === "en"))
-      .join(docs.select("doc_id", "lang"), "doc_id")
+    // same train-once artifact swap as q_lm_perplexity; lang rides the
+    // projection, so the docScores join disappears too
+    val model = cachedLmArtifact(docs.filter(col("lang") === "en"), s"en:$d")
+    val (n, a) = scoreColumns(model)
+    val scores = docs
+      .select(col("doc_id"), col("lang"), n.as("n_trans"), a.as("avg_logprob"))
+      .filter(col("n_trans") > 0)
     val byLang = Window.partitionBy("lang")
     scores
       .withColumn("rk", row_number()

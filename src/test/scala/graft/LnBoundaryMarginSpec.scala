@@ -64,6 +64,27 @@ class LnBoundaryMarginSpec extends SparkSpec {
     "q_entropy", "q_token_df", "q_weighted_sample", "q_ks_test",
     "q_welch_ttest", "q_stats_funcs", "q_type_correlation", "q_math_funcs")
 
+  /** Round 11: the LM declared queries score through the train-once
+    * LmDocScore artifact, so their round(ln·,9) sites moved OUT of the
+    * declared plans and into the model-training relations (collected
+    * once per corpus by trainLmArtifact). Audit THOSE plans instead —
+    * bigram log-probs for one entry; unigram + OOV-floor (cross-joined
+    * so both sites sit in one plan) for the other. Same quantized
+    * values flow into both the artifact and the oracle's replay.
+    */
+  private val customPlans: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "q_lm_perplexity" -> ((s, d) => {
+      val en = Tables.documents(s, d).filter(col("lang") === "en")
+      graft.operators.LanguageModel.bigramModel(en)
+    }),
+    "q_lm_quality_buckets" -> ((s, d) => {
+      val en = Tables.documents(s, d).filter(col("lang") === "en")
+      val stats = graft.operators.LanguageModel.unigramStats(en)
+      graft.operators.LanguageModel.unigramModel(stats)
+        .crossJoin(graft.operators.LanguageModel.floorModel(stats))
+    }))
+
   /** halfBoundary=true: a Round(·,k) site — boundaries at
     * (m+0.5)·10⁻ᵏ. halfBoundary=false: a Floor quantization site
     * (`floor(x·10ᵏ + 0.5)` micro-unit coding) probed on floor's full
@@ -83,8 +104,8 @@ class LnBoundaryMarginSpec extends SparkSpec {
     * Fails the suite on a Round over a raw double aggregate.
     */
   private def sites(name: String, sfDir: String): Seq[Site] = {
-    val analyzed =
-      SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed
+    val analyzed = customPlans.getOrElse(name, SparkEntry.queries(name))
+      .apply(spark, sfDir).queryExecution.analyzed
     val out = scala.collection.mutable.ArrayBuffer[Site]()
     def probeFor(node: LogicalPlan, child: Expression,
         desc: String): LogicalPlan = {

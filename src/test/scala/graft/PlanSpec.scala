@@ -367,13 +367,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("LM scoring broadcasts both model relations") {
-    // the bigram and unigram models must never shuffle-join the gram
-    // stream: at 100 TB they are the tiny (or pruned) side by design
+  test("LM scoring: declared path is the stateless scorer, relational path broadcasts") {
+    // round 11: the declared queries score through the train-once
+    // LmDocScore artifact — one corpus scan, ZERO joins (the model
+    // ships inside the expression, the q_stream_lm_scores shape)
     val p = planOf("q_lm_perplexity")
-    val bcasts = "BroadcastHashJoin".r.findAllIn(p).size
-    assert(bcasts >= 2, s"expected >=2 broadcast model joins, got $bcasts:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"model join degraded to SMJ:\n$p")
+    assert(p.contains("lm_doc_score") || p.contains("LmDocScore"),
+      s"expected the stateless artifact scorer:\n$p")
+    assert(!p.contains("Join"), s"artifact path must not join:\n$p")
+    // the relational docScores path (still the oracle shape and the
+    // bit-parity reference) must broadcast both model relations: at
+    // 100 TB they are the tiny (or pruned) side by design
+    val docs = Tables.documents(spark, sf)
+    val rel = graft.operators.LanguageModel
+      .docScores(docs, docs.filter(
+        org.apache.spark.sql.functions.col("lang") === "en"))
+      .queryExecution.executedPlan.toString
+    val bcasts = "BroadcastHashJoin".r.findAllIn(rel).size
+    assert(bcasts >= 2, s"expected >=2 broadcast model joins, got $bcasts:\n$rel")
+    assert(!rel.contains("SortMergeJoin"), s"model join degraded to SMJ:\n$rel")
   }
 
   test("substring-span detection has no pair expansion and one doc window") {
