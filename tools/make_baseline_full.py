@@ -64,26 +64,33 @@ def main():
     a("|---|---|---|---|---|")
     a(f"| common suite | {len(common)} | {d_tot:.2f} | {s_tot:.2f} | {s_tot/d_tot:.2f}x |")
     a(f"| batch-only | {len(batch)} | {d_b:.2f} | {s_b:.2f} | {s_b/d_b:.2f}x |")
-    # the 5 ANN/semantic-dedup oracles replay full quantizer TRAINING in
-    # DuckDB per run, while Spark serves probes from a persisted index
-    # (build-once/probe-many; pass-1 pays the build, min excludes it).
-    # Publish the batch ratio both with and without them so the
-    # index-artifact advantage is visible, not hidden in the total.
+    # artifact-backed queries: the oracle replays full quantizer/cluster
+    # TRAINING (or transitive closure) in DuckDB per run, while Spark
+    # serves probes from a persisted/cached artifact (build-once/
+    # probe-many; pass-1 pays the build, min excludes it). Round 11
+    # extends the set with the cached component-label artifacts
+    # (q_*_semantic_dedup / q_dedup_clusters / the BPE merge table) so
+    # the amortization advantage stays visible, not hidden in the total.
     indexed = [q for q in batch if q in (
-        "q_ann_ivf", "q_ann_lsh", "q_ann_pq", "q_ann_ivfpq", "q_semantic_dedup")]
+        "q_ann_ivf", "q_ann_lsh", "q_ann_pq", "q_ann_ivfpq", "q_semantic_dedup",
+        "q_lsh_semantic_dedup", "q_dedup_clusters",
+        "q_bpe_vocab", "q_bpe_segment",
+        "q_lm_perplexity", "q_lm_quality_buckets")]
     plain = [q for q in batch if q not in indexed]
     d_p, s_p = sum(dq[q] for q in plain), sum(sq[q] for q in plain)
     if indexed:
-        a(f"| batch excl. index-backed ANN | {len(plain)} | {d_p:.2f} | {s_p:.2f} | {s_p/d_p:.2f}x |")
+        a(f"| batch excl. artifact-backed ({len(indexed)}) | {len(plain)} | {d_p:.2f} | {s_p:.2f} | {s_p/d_p:.2f}x |")
     a(f"| streaming twins | {len(stream)} | {d_s:.2f} | {s_s:.2f} | {s_s/d_s:.2f}x |")
     a("")
-    a("The index-backed ANN row: those five oracles replay the full")
-    a("deterministic quantizer training as chained CTEs on every DuckDB")
-    a("run, while Spark's declared queries probe the persisted exact")
-    a("index (built once per corpus dir; bench pass 1 pays the build and")
-    a("the per-query min is the probe cost). That asymmetry is the real")
-    a("deployment story — an index exists to be amortized — but the")
-    a("excl. row shows the engine also meets the contract without it.")
+    a("The artifact-backed row: those oracles replay full deterministic")
+    a("training — quantizer Lloyd rounds, BPE merge induction, LM model")
+    a("relations, connected-component closure — as chained CTEs on every")
+    a("DuckDB run, while Spark's declared queries probe a persisted or")
+    a("session-cached artifact (built once per corpus dir; bench pass 1")
+    a("pays the build and the per-query min is the probe cost). That")
+    a("asymmetry is the real deployment story — indexes, merge tables,")
+    a("and cluster labels exist to be amortized — but the excl. row")
+    a("shows the engine also meets the contract without it.")
     a("")
     a("The streaming rows time a full micro-batch pipeline per query")
     a("(checkpoint dir, state store, sink store, read-back) against a plain")
