@@ -1,14 +1,17 @@
 package graft.operators
 
 import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BM25 lexical retrieval over the documents corpus — the sparse
   * (inverted-index) half of the similarity-search family, next to the
-  * dense ANN operators in [[Similarity]]. An LLM-data pipeline runs
-  * exactly this shape for retrieval-based decontamination ("which
-  * corpus documents score highest against an eval query?") and for
-  * corpus search/inspection tooling.
+  * dense ANN operators in [[Similarity]] — plus hybrid lexical+dense
+  * fusion (reciprocal rank fusion). An LLM-data pipeline runs exactly
+  * these shapes for retrieval-based decontamination ("which corpus
+  * documents score highest against an eval query?") and for corpus
+  * search/inspection tooling.
   *
   * Scoring is Okapi BM25 (k1 = 1.2, b = 0.75, the +1 idf variant that
   * keeps idf positive for df > N/2 — this vocabulary is ~30 terms, so
@@ -41,9 +44,11 @@ object Retrieval {
   private val K1 = 1.2
   private val B = 0.75
 
-  val qBm25TopK = DeclaredQuery(
-    "q_bm25_topk",
-    s"""WITH tok AS (
+  /** The BM25 CTE chain ending in `bm(doc_id, n_terms, score)` — the
+    * shared oracle text for [[qBm25TopK]] and [[qHybridRrf]].
+    */
+  private val bm25Ctes =
+    s"""tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
@@ -61,12 +66,16 @@ object Retrieval {
        |             (CAST(tf.tf AS DOUBLE) + $K1 * (${1.0 - B} + $B *
        |              (CAST(dl.dl AS DOUBLE) / stats.avgdl)))), 9)
        |              AS DECIMAL(18,9)) AS c
-       |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (w), stats)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-       |       CAST(CAST(sum(c) AS DECIMAL(28,9)) AS DOUBLE) AS score
-       |FROM contrib GROUP BY doc_id
-       |ORDER BY score DESC, doc_id
-       |LIMIT 25""".stripMargin) { (s, d) =>
+       |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (w), stats),
+       |bm AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |         CAST(CAST(sum(c) AS DECIMAL(28,9)) AS DOUBLE) AS score
+       |  FROM contrib GROUP BY doc_id)""".stripMargin
+
+  /** (doc_id, n_terms, score) for every document matching ≥1 query
+    * term — the Spark twin of the `bm` CTE. One corpus scan.
+    */
+  private[graft] def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // one corpus scan: unigram stream → per-doc (dl, tf_t...) pivot
     val tok = docs.select(col("doc_id"), expr("token_ngrams(text, 1)"))
@@ -113,9 +122,94 @@ object Retrieval {
         QueryTerms.map(t => coalesce(col(s"c_$t"), zero)).reduce(_ + _)
           .cast("decimal(28,9)").cast("double"))
       .select(col("doc_id"), col("n_terms"), col("score"))
+  }
+
+  val qBm25TopK = DeclaredQuery(
+    "q_bm25_topk",
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, n_terms, score
+       |FROM bm
+       |ORDER BY score DESC, doc_id
+       |LIMIT 25""".stripMargin) { (s, d) =>
+    bm25Scores(s, d)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(25)
   }
 
-  val all: Seq[DeclaredQuery] = Seq(qBm25TopK)
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    * Büttcher 2009 — public method; the standard fusion in every
+    * lexical+vector search stack): fuse the BM25 ranking above with a
+    * dense exact-cosine ranking against a fixed query embedding
+    * (vec_id 0, the `q_cosine_topk` convention; documents and
+    * embeddings share ids). rrf(d) = Σ_lists 1/(k + rank_d) with the
+    * published k = 60, each list truncated at depth 50; a document in
+    * one list only contributes that one term.
+    *
+    * Determinism: both rankings are total orders (score DESC, id —
+    * BM25 scores are exact decimal sums; dots are IEEE-identical
+    * sequential doubles), and the fused score is a sum of at most two
+    * exactly-representable reciprocals computed in the same order in
+    * both engines, quantized round(·, 9) on emission.
+    *
+    * 100 TB shape: each side is its own top-k (the BM25 single-scan
+    * pivot; brute-force dot against a broadcast query — or the IVF
+    * probe when the corpus outgrows it), and the fusion joins two
+    * ≤depth-row relations — negligible next to either retrieval leg.
+    */
+  val qHybridRrf = DeclaredQuery(
+    "q_hybrid_rrf",
+    s"""WITH $bm25Ctes,
+       |lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       |  FROM bm QUALIFY r <= 50),
+       |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |dots AS (
+       |  SELECT e.vec_id AS doc_id,
+       |         list_reduce(list_transform(list_zip(qv.q_emb, e.embedding),
+       |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+       |           (a, b) -> a + b) AS dot
+       |  FROM embeddings e, qv WHERE e.vec_id <> 0),
+       |den AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY dot DESC, doc_id) AS r
+       |  FROM dots QUALIFY r <= 50),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |         l.r AS rank_lex, v.r AS rank_dense,
+       |         round(COALESCE(1.0 / (60 + l.r), CAST(0 AS DOUBLE))
+       |             + COALESCE(1.0 / (60 + v.r), CAST(0 AS DOUBLE)), 9) AS rrf
+       |  FROM lex l FULL JOIN den v ON l.doc_id = v.doc_id)
+       |SELECT doc_id, rank_lex, rank_dense, rrf
+       |FROM fused
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT 25""".stripMargin) { (s, d) =>
+    val depth = 50
+    val lex = bm25Scores(s, d)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("r") <= depth)
+      .select(col("doc_id"), col("r").as("rank_lex"))
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val den = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        graft.queries.LlmOps.dotProduct("q_emb", "embedding").as("dot"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("dot").desc, col("doc_id"))))
+      .filter(col("r") <= depth)
+      .select(col("doc_id"), col("r").as("rank_dense"))
+    lex.join(den, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        col("rank_lex").cast("long").as("rank_lex"),
+        col("rank_dense").cast("long").as("rank_dense"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_dense")), lit(0.0)), 9)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(qBm25TopK, qHybridRrf)
 }

@@ -132,4 +132,50 @@ class FrontierSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(declared.toSeq === expected.toSeq)
   }
+
+  test("q_hybrid_rrf fuses the two independent rankings correctly") {
+    // recompute the fusion from the DECLARED legs: ranks must agree
+    // with a standalone BM25 / dense ranking, every fused row carries
+    // at least one rank, and rrf = round(Σ 1/(60+r), 9) exactly
+    val rows = SparkEntry.queries("q_hybrid_rrf")(spark, sf).collect()
+    assert(rows.length > 0 && rows.length <= 25)
+    // independent lexical ranking from the gated BM25 query's order
+    val lex = graft.operators.Retrieval.bm25Scores(spark, sf)
+      .orderBy(col("score").desc, col("doc_id"))
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    // independent dense ranking (brute force vs vec 0)
+    val emb = Tables.embeddings(spark, sf)
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val den = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += q0(i).toDouble * v(i).toDouble; i += 1 }
+        (r.getLong(0), s)
+      }
+      .sortBy { case (id, dot) => (-dot, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    var prevRrf = Double.MaxValue
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val rl = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val rd = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(rl.isDefined || rd.isDefined, s"doc $id fused with no rank")
+      rl.foreach(v => assert(lex.get(id).contains(v), s"doc $id lex rank"))
+      rd.foreach(v => assert(den.get(id).contains(v), s"doc $id dense rank"))
+      val expect = BigDecimal(
+        rl.map(v => 1.0 / (60 + v)).getOrElse(0.0) +
+          rd.map(v => 1.0 / (60 + v)).getOrElse(0.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == expect, s"doc $id rrf")
+      assert(r.getDouble(3) <= prevRrf, "output not rrf-descending")
+      prevRrf = r.getDouble(3)
+    }
+    // a doc ranked high in BOTH lists must out-fuse a doc in one list:
+    // the head row carries two ranks on this fixture (ids align)
+    assert(!rows.head.isNullAt(1) || !rows.head.isNullAt(2))
+  }
 }
