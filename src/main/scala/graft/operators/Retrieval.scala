@@ -183,10 +183,14 @@ object Retrieval {
        |ORDER BY rrf DESC, doc_id
        |LIMIT 25""".stripMargin) { (s, d) =>
     val depth = 50
+    // rank AFTER a distributed top-k (TakeOrderedAndProject), never a
+    // global row_number over the full candidate set — a single
+    // unpartitioned WindowExec would funnel every matching doc onto
+    // one task at 100 TB; the window below runs over ≤depth rows
     val lex = bm25Scores(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(depth)
       .withColumn("r", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("r") <= depth)
       .select(col("doc_id"), col("r").as("rank_lex"))
     val emb = Tables.embeddings(s, d)
     val qv = emb.filter(col("vec_id") === 0)
@@ -195,9 +199,9 @@ object Retrieval {
       .crossJoin(broadcast(qv))
       .select(col("vec_id").as("doc_id"),
         graft.queries.LlmOps.dotProduct("q_emb", "embedding").as("dot"))
+      .orderBy(col("dot").desc, col("doc_id")).limit(depth)
       .withColumn("r", row_number().over(
         Window.orderBy(col("dot").desc, col("doc_id"))))
-      .filter(col("r") <= depth)
       .select(col("doc_id"), col("r").as("rank_dense"))
     lex.join(den, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
