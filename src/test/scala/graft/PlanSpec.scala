@@ -528,6 +528,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_hybrid_rrf: both fusion legs are distributed top-k, the query " +
+      "vector broadcasts, and no window sees more than depth rows") {
+    val p = planOf("q_hybrid_rrf")
+    // two retrieval legs -> two TakeOrderedAndProject truncations
+    // BEFORE the bounded rank windows (plus the final fused-order one)
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_weighted_sample selects via fused top-k, not a global sort") {
     val p = planOf("q_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"), p)
