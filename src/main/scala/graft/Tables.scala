@@ -123,8 +123,8 @@ object Tables {
       // compute (and possibly run the compaction write job) OUTSIDE
       // the loaded lock — holding it here serialized every concurrent
       // first load behind one table's rewrite (advisor r10). Racing
-      // loads of the SAME path still write once: compactIfFact
-      // double-checks under its own monitor.
+      // loads of the SAME path still write once: compactIfFact's
+      // per-path computeIfAbsent memo is the write-once guarantee.
       val df = compactIfFact(spark, key._2, spark.read.parquet(key._2),
         force = name == "documents")
       loaded.synchronized {

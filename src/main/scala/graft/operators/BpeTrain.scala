@@ -44,12 +44,21 @@ object BpeTrain {
     * the `</w>` end-of-word marker (the classic formulation: merges
     * crossing word boundaries are impossible, and word-final units
     * stay distinct from word-internal ones).
+    *
+    * Words containing U+001F are EXCLUDED (advisor r11): the oracle's
+    * doubled-separator string encoding reserves that code point as the
+    * symbol boundary, so a corpus word containing it would silently
+    * break the replace()-based merge replay. The trainer applies the
+    * same exclusion (mirrored in `oracleChain`'s w0), making the
+    * encoding's precondition part of the operator's contract rather
+    * than an unchecked fixture assumption; real tokenizer pipelines
+    * strip C0 controls in pre-tokenization anyway.
     */
   private[graft] def wordSymbols(docs: DataFrame): DataFrame =
     docs
       .filter(col("text").isNotNull)
       .select(explode(split(col("text"), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(length(col("w")) > 0 && !col("w").contains("\u001f"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .withColumn("syms", concat(
         filter(split(col("w"), ""), s => length(s) > 0),
@@ -281,7 +290,7 @@ object BpeTrain {
          |         $sep || array_to_string(list_append(string_split(w, ''), '</w>'), $sep || $sep) || $sep AS s
          |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w
          |        FROM documents WHERE text IS NOT NULL)
-         |  WHERE len(w) > 0 GROUP BY w)""".stripMargin)
+         |  WHERE len(w) > 0 AND NOT contains(w, $sep) GROUP BY w)""".stripMargin)
     for (k <- 0 until rounds) {
       sb.append(
         s""",

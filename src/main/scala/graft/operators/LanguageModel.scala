@@ -316,18 +316,24 @@ object LanguageModel {
     graft.functions.LmArtifact(bg, bl, ug, ul, floor)
   }
 
-  /** Train-once cache per (corpus, target) — the cachedRatioModel
-    * pattern; racing trains are deterministic so first-put wins.
+  /** Train-once cache per (session, corpus, target) — the
+    * cachedRatioModel pattern; racing trains are deterministic so
+    * first-put wins. Keyed by SparkSession like the sibling round-11
+    * caches (edgeCache, ccLabelCache), so a long-lived JVM with two
+    * sessions over differently-populated same-named dirs cannot serve
+    * a stale model (advisor r11). The static-corpus assumption within
+    * one session stands, as for every per-(session, dir) artifact.
     */
-  private val artifactCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.LmArtifact]()
+  private val artifactCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), graft.functions.LmArtifact]()
 
   def cachedLmArtifact(target: DataFrame, cacheKey: String): graft.functions.LmArtifact = {
-    val cached = artifactCache.get(cacheKey)
+    val key = (target.sparkSession, cacheKey)
+    val cached = artifactCache.get(key)
     if (cached != null) cached
     else {
       val m = trainLmArtifact(target)
-      val prev = artifactCache.putIfAbsent(cacheKey, m)
+      val prev = artifactCache.putIfAbsent(key, m)
       if (prev != null) prev else m
     }
   }

@@ -302,11 +302,14 @@ object TextAnalysis {
     }
   }
 
-  /** Learned quality gate per source (MLlib training is iterative
-    * float → rows-only; TextAnalysisSpec asserts the model separates
-    * its weak extremes and that scoring stays udf-free).
+  /** MLlib logistic-regression quality gate — kept as the library API
+    * for when a production pipeline wants a regularized solver;
+    * TextAnalysisSpec asserts the model separates its weak extremes
+    * and that scoring stays udf-free. The DECLARED `q_quality_classifier`
+    * below trains the deterministic fixed-round twin instead, which is
+    * what the DuckDB oracle can replay.
     */
-  val qQualityClassifier = DeclaredQuery.noOracle("q_quality_classifier") { (s, d) =>
+  def mlQualityClassifier(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     cachedQualityModel(docs, d) match {
       case Some(m) =>
@@ -320,6 +323,283 @@ object TextAnalysis {
         docs.select(col("source"), lit(0L).as("n_docs"),
           lit(0.0).as("avg_quality_prob"), lit(0L).as("n_keep")).limit(0)
     }
+  }
+
+  // ---- deterministic fixed-round quality classifier (round 12) ----
+  //
+  // The gated replacement for the MLlib LR: R rounds of squared-loss
+  // gradient descent on the same 5 weak-supervision features, in the
+  // exact quantized arithmetic that converted IVF (quantized Lloyd)
+  // and BPE (unrolled merges) — every per-doc quantity is an integer
+  // on a fixed micro-grid, every sum is an integer sum (order-free),
+  // and every weight update is one fixed-shape IEEE expression over
+  // exactly-representable operands, so Spark and a chained-CTE DuckDB
+  // replay produce bit-identical weights after every round.
+  //
+  // Magnitude audit (why nothing overflows or rounds differently):
+  //   features normalized to x ∈ [0, Sx=1e4]; weights clamped to
+  //   |W| ≤ Sw·10 = 1e7 ⇒ |z| = |Σ W·x| ≤ 6e11 (long-exact);
+  //   residual |rs| ≤ 6.1e11; gradient term |rs·x| ≤ 6.1e15 < 2^53
+  //   (double-exact product) ⇒ floor(rs·x/1e10) deterministic;
+  //   per-round gradient sum |Σ| ≤ n·6.1e5 (long sum, no overflow).
+
+  /** GD rounds / learning rate (lr = 0.2 enters the update as the
+    * exactly-representable combined constant 20.0 = lr·Sw/Sx). 12
+    * rounds with clamped weights separates the weak extremes on the
+    * fixture (QcDeterministicSpec) and keeps the oracle's unrolled
+    * chain affordable.
+    */
+  val QcRounds = 12
+  private val QcWClamp = 10000000L // |w_real| ≤ 10 on the Sw=1e6 grid
+
+  /** Learned model: 6 integer weights (bias first) on the Sw=1e6 grid
+    * plus the min/max normalization constants (per-feature micro-unit
+    * bounds) scoring must reuse.
+    */
+  final case class QcModel(weights: Array[Long], mins: Array[Long], maxs: Array[Long])
+
+  private val qcFeatNames = Seq("f_tokens", "f_ttr", "f_atl", "f_punct", "f_alnum")
+
+  /** Per-doc quantized raw features: `floor(f·1e6 + 0.5)` BIGINT per
+    * feature (the q_math_funcs discipline) + the quantized heuristic
+    * used for weak labels. Docs with any NULL feature (NULL text,
+    * zero-char docs) are excluded — identically in the oracle.
+    */
+  def qcQuantDocs(docs: DataFrame): DataFrame = {
+    val feats = qualityFeatures(docs)
+      .filter(qcFeatNames.map(col(_).isNotNull).reduce(_ && _))
+    val qs = qcFeatNames.zipWithIndex.map { case (f, i) =>
+      floor(col(f) * lit(1000000.0) + lit(0.5)).cast("long").as(s"q${i + 1}")
+    }
+    feats.select(
+      (Seq(col("doc_id"), col("source")) ++ qs :+
+        floor(col("heuristic") * lit(1000000.0) + lit(0.5)).cast("long").as("qh")): _*)
+  }
+
+  /** Min-max normalize quantized features onto [0, 1e4]:
+    * `floor((q-mn)·1e4/(mx-mn) + 0.5)` — the product (q-mn)·1e4 stays
+    * < 2^53 (exact), the division is one correctly-rounded IEEE op, so
+    * the grid value is portable. Constant features map to 0.
+    */
+  private def qcNormalize(q: DataFrame, mins: Array[Long], maxs: Array[Long]): DataFrame = {
+    val xs = (1 to 5).map { j =>
+      val (mn, mx) = (mins(j - 1), maxs(j - 1))
+      val c =
+        if (mx > mn)
+          floor((col(s"q$j") - lit(mn)).cast("double") * lit(10000.0) /
+            lit((mx - mn).toDouble) + lit(0.5)).cast("long")
+        else lit(0L)
+      c.as(s"x$j")
+    }
+    q.select((Seq(col("doc_id"), col("source"), col("qh")) ++ xs): _*)
+  }
+
+  /** z on the Sw·Sx = 1e10 grid: Σ W_j·x_j with x_0 ≡ Sx (bias). */
+  private def qcZ(w: Array[Long]): org.apache.spark.sql.Column =
+    (1 to 5).map(j => lit(w(j)) * col(s"x$j"))
+      .foldLeft(lit(w(0) * 10000L): org.apache.spark.sql.Column)(_ + _)
+
+  /** Train the fixed-round quantized-GD model. Weak labels are the
+    * heuristic's top/bottom quartiles by EXACT order statistic over
+    * the quantized-heuristic histogram — a domain-bounded relation
+    * (≤3e6 distinct micro-values regardless of corpus size, the
+    * chi²/BM25 discipline), so the cumulative window never sorts
+    * data-sized input. Each GD round is ONE codegen'd aggregate over
+    * the labeled design matrix (weights enter as literals); updates
+    * happen on the driver in the same exact arithmetic the oracle
+    * replays.
+    */
+  def trainQcModel(docs: DataFrame): QcModel = {
+    val q = qcQuantDocs(docs)
+    val mmAggs = (1 to 5).flatMap(j => Seq(min(s"q$j"), max(s"q$j"))) :+ count(lit(1))
+    val mmRow = q.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
+    val n = mmRow.getLong(10)
+    if (n == 0L) return QcModel(Array.fill(6)(0L), Array.fill(5)(0L), Array.fill(5)(0L))
+    val mins = Array.tabulate(5)(j => mmRow.getLong(2 * j))
+    val maxs = Array.tabulate(5)(j => mmRow.getLong(2 * j + 1))
+    // exact quartile thresholds from the qh histogram
+    val m = math.max(n / 4, 1L)
+    val hist = q.groupBy("qh").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // two cumulative consumers
+    import org.apache.spark.sql.expressions.Window
+    val tHi = hist
+      .withColumn("cum", sum("c").over(Window.orderBy(col("qh").desc)))
+      .filter(col("cum") >= m).agg(max("qh")).collect()(0).getLong(0)
+    val tLo = hist
+      .withColumn("cum", sum("c").over(Window.orderBy(col("qh").asc)))
+      .filter(col("cum") >= m).agg(min("qh")).collect()(0).getLong(0)
+    val x = qcNormalize(q, mins, maxs)
+    val lab = x
+      .filter((col("qh") >= tHi) =!= (col("qh") <= tLo))
+      .withColumn("y10",
+        when(col("qh") >= tHi, lit(10000000000L)).otherwise(lit(0L)))
+      .select((("y10" +: (1 to 5).map(j => s"x$j")).map(col)): _*)
+      .localCheckpoint(false) // consumed once per GD round
+    val nl = math.max(lab.count(), 1L)
+    var w = Array.fill(6)(0L)
+    for (_ <- 1 to QcRounds) {
+      val rs = qcZ(w) - col("y10")
+      def gTerm(xj: org.apache.spark.sql.Column) =
+        sum(floor((rs * xj).cast("double") / lit(1.0e10)).cast("long"))
+      val gAggs = gTerm(lit(10000L)) +: (1 to 5).map(j => gTerm(col(s"x$j")))
+      val gRow = lab.agg(gAggs.head, gAggs.tail: _*).collect()(0)
+      w = Array.tabulate(6) { j =>
+        val g = if (gRow.isNullAt(j)) 0L else gRow.getLong(j)
+        val upd = w(j) - math.floor(20.0 * g.toDouble / nl + 0.5).toLong
+        math.max(-QcWClamp, math.min(QcWClamp, upd))
+      }
+    }
+    QcModel(w, mins, maxs)
+  }
+
+  private val qcCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), QcModel]()
+
+  /** Train-once/score-many: deterministic learning ⇒ cached ≡ fresh.
+    * Keyed by (session, dir) like the round-11 artifact caches. The
+    * empty-corpus zero model is NOT cached (nothing was learned).
+    */
+  def cachedQcModel(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      d: String): QcModel = {
+    val cached = qcCache.get((s, d))
+    if (cached != null) cached
+    else {
+      val m = trainQcModel(docs)
+      if (m.mins.sameElements(m.maxs) && m.weights.forall(_ == 0L)) m
+      else {
+        val prev = qcCache.putIfAbsent((s, d), m)
+        if (prev != null) prev else m
+      }
+    }
+  }
+
+  /** Per-doc scores on the 1e10 z-grid (library surface + spec hook):
+    * (doc_id, source, qh, z).
+    */
+  def qcScorePerDoc(docs: DataFrame, m: QcModel): DataFrame =
+    qcNormalize(qcQuantDocs(docs), m.mins, m.maxs)
+      .select(col("doc_id"), col("source"), col("qh"), qcZ(m.weights).as("z"))
+
+  /** Score every featurizable doc with the literal-weight linear model
+    * (one codegen'd scan — no join, no UDF) and roll up per source:
+    * keep-count at the z ≥ 0.5 gate and the mean score in integer
+    * micro-units via the floor(Σ/n + 0.5) discipline (per-doc micro
+    * scores are integers, so the sum is exact and order-free).
+    */
+  def qcScore(docs: DataFrame, m: QcModel): DataFrame =
+    qcNormalize(qcQuantDocs(docs), m.mins, m.maxs)
+      .select(col("source"), qcZ(m.weights).as("z"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("z") >= 5000000000L, 1)).as("n_keep"),
+        floor(
+          sum(floor(col("z").cast("double") / lit(10000.0) + lit(0.5)).cast("long"))
+            .cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("avg_q_micro"))
+      .orderBy("source")
+
+  /** DuckDB replay of [[trainQcModel]] + [[qcScore]]: one MATERIALIZED
+    * CTE per GD round (the BPE/Lloyd unroll — MATERIALIZED is
+    * load-bearing, inlining is exponential), exact-integer gradients,
+    * the same floor/clamp update, the same scoring rollup.
+    */
+  private def qcOracle(rounds: Int): String = {
+    val featSel =
+      """CAST(len(string_split(text, ' ')) AS DOUBLE) AS f1,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS f2,
+        |         CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS f3,
+        |         CAST(len(text) - len(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |           / NULLIF(n_chars, 0) AS f4,
+        |         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS f5""".stripMargin
+    val quant = (1 to 5).map(j =>
+      s"CAST(floor(f$j * 1000000.0 + 0.5) AS BIGINT) AS q$j").mkString(",\n         ")
+    val mm = (1 to 5).map(j => s"min(q$j) AS mn$j, max(q$j) AS mx$j").mkString(", ")
+    val norm = (1 to 5).map(j =>
+      s"""CASE WHEN mm.mx$j > mm.mn$j
+         |      THEN CAST(floor(CAST(q.q$j - mm.mn$j AS DOUBLE) * 10000.0
+         |                      / (mm.mx$j - mm.mn$j) + 0.5) AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS x$j""".stripMargin).mkString(",\n    ")
+    def z(alias: String) =
+      s"$alias.w0 * 10000 + " + (1 to 5).map(j => s"$alias.w$j * x$j").mkString(" + ")
+    val gSums = ("10000" +: (1 to 5).map(j => s"x$j")).zipWithIndex.map { case (xj, j) =>
+      s"COALESCE(sum(CAST(floor(CAST(rs * $xj AS DOUBLE) / 10000000000.0) AS BIGINT)), 0) AS g$j"
+    }.mkString(",\n           ")
+    val updates = (0 to 5).map(j =>
+      s"""greatest(-10000000, least(10000000,
+         |      w.w$j - CAST(floor(20.0 * CAST(g.g$j AS DOUBLE) / n.nl + 0.5) AS BIGINT))) AS w$j""".stripMargin)
+      .mkString(",\n    ")
+    val roundCtes = (1 to rounds).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT x1, x2, x3, x4, x5, (${z("w")}) - y10 AS rs FROM lab, w${k - 1} w),
+         |g$k AS MATERIALIZED (
+         |  SELECT $gSums
+         |    FROM r$k),
+         |w$k AS MATERIALIZED (
+         |  SELECT $updates
+         |  FROM w${k - 1} w, g$k g, nlab n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |         $featSel
+       |  FROM documents),
+       |q AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |         $quant,
+       |         CAST(floor(((f2 + f5) - f4) * 1000000.0 + 0.5) AS BIGINT) AS qh
+       |  FROM f
+       |  WHERE f1 IS NOT NULL AND f2 IS NOT NULL AND f3 IS NOT NULL
+       |    AND f4 IS NOT NULL AND f5 IS NOT NULL),
+       |mm AS (SELECT $mm FROM q),
+       |x AS MATERIALIZED (
+       |  SELECT q.doc_id, q.source, q.qh,
+       |    $norm
+       |  FROM q, mm),
+       |st AS (SELECT greatest(count(*) // 4, 1) AS m FROM x),
+       |thi AS (SELECT max(qh) AS t FROM (
+       |  SELECT qh, sum(c) OVER (ORDER BY qh DESC) AS cum
+       |  FROM (SELECT qh, count(*) AS c FROM x GROUP BY qh)) h, st
+       |  WHERE h.cum >= st.m),
+       |tlo AS (SELECT min(qh) AS t FROM (
+       |  SELECT qh, sum(c) OVER (ORDER BY qh ASC) AS cum
+       |  FROM (SELECT qh, count(*) AS c FROM x GROUP BY qh)) h, st
+       |  WHERE h.cum >= st.m),
+       |lab AS MATERIALIZED (
+       |  SELECT x1, x2, x3, x4, x5,
+       |         CASE WHEN qh >= thi.t THEN CAST(10000000000 AS BIGINT)
+       |              ELSE CAST(0 AS BIGINT) END AS y10
+       |  FROM x, thi, tlo
+       |  WHERE ((qh >= thi.t) AND NOT (qh <= tlo.t))
+       |     OR ((qh <= tlo.t) AND NOT (qh >= thi.t))),
+       |nlab AS (SELECT greatest(count(*), 1) AS nl FROM lab),
+       |w0 AS MATERIALIZED (
+       |  SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |         CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+       |         CAST(0 AS BIGINT) AS w4, CAST(0 AS BIGINT) AS w5),
+       |$roundCtes,
+       |sc AS MATERIALIZED (
+       |  SELECT x.source, ${z("w")} AS z FROM x, w$rounds w)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(*) FILTER (WHERE z >= 5000000000) AS BIGINT) AS n_keep,
+       |  CAST(floor(CAST(sum(CAST(floor(CAST(z AS DOUBLE) / 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |             / count(*) + 0.5) AS BIGINT) AS avg_q_micro
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Learned quality gate per source — VALUE-GATED as of round 12: the
+    * deterministic fixed-round quantized-GD learner replaces the MLlib
+    * LR in the declared query ([[mlQualityClassifier]] stays as the
+    * library API), and the oracle replays all [[QcRounds]] update
+    * rounds as chained CTEs.
+    */
+  val qQualityClassifier = DeclaredQuery(
+    "q_quality_classifier", qcOracle(QcRounds)) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    qcScore(docs, cachedQcModel(s, docs, d))
   }
 
   /** Quality-score distribution per source — SQL-expressible, so it

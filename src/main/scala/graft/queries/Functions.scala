@@ -391,17 +391,53 @@ object Functions {
       .orderBy("l_returnflag", "ship_month")
   }
 
-  /** Training-pipeline stratified sampling: per-stratum fractions via
-    * sampleBy (seeded Bernoulli per row — engine-specific RNG, so
-    * rows-only; the ScalaTest asserts per-stratum proportions and
-    * determinism under the fixed seed).
+  /** Training-pipeline stratified sampling — VALUE-GATED as of round
+    * 12: per-stratum fractions via a deterministic IDENTITY-HASH
+    * threshold (keep iff the doc_id's 60-bit md5 fingerprint — the
+    * same portable hash family every gated dedup query replays —
+    * falls below `floor(fraction · 2⁶⁰)`), so the membership itself
+    * is reproducible across re-runs, re-partitions, and engines, and
+    * the oracle checks the realized strata exactly. This is the
+    * q_mixture_sample discipline applied to stratified sampling with
+    * 2⁻⁶⁰ fraction granularity (mixture uses 2-hex-digit buckets) and
+    * an identity hash instead of a content hash: identity-hash
+    * membership survives document edits, which is what an incremental
+    * pipeline re-deriving its sample wants. `DataFrame.stat.sampleBy`
+    * stays the library API for engine-RNG sampling (ScaleSpec asserts
+    * its per-stratum proportions and fixed-seed determinism).
+    * Unlisted strata keep fraction 0, matching sampleBy's semantics.
+    * One codegen'd scan + a per-lang rollup; no shuffle beyond the
+    * final aggregate — linear at 100 TB.
     */
-  val stratifiedSample = DeclaredQuery.noOracle("q_stratified_sample") { (s, d) =>
-    val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25,
-      "es" -> 1.0, "zh" -> 0.1)
+  val stratifiedSample = DeclaredQuery(
+    "q_stratified_sample",
+    """WITH kept AS (
+      |  SELECT lang, n_chars
+      |  FROM documents
+      |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) <
+      |    CASE lang WHEN 'en' THEN 576460752303423488
+      |              WHEN 'de' THEN 288230376151711744
+      |              WHEN 'fr' THEN 288230376151711744
+      |              WHEN 'es' THEN 1152921504606846976
+      |              WHEN 'zh' THEN 115292150460684697
+      |              ELSE 0 END)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM kept GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    // floor(fraction * 2^60) thresholds, exact: en 0.5, de/fr 0.25,
+    // es 1.0 (2^60 > any 60-bit hash => keep all), zh 0.1
+    val threshold = when(col("lang") === "en", 576460752303423488L)
+      .when(col("lang") === "de", 288230376151711744L)
+      .when(col("lang") === "fr", 288230376151711744L)
+      .when(col("lang") === "es", 1152921504606846976L)
+      .when(col("lang") === "zh", 115292150460684697L)
+      .otherwise(0L)
     Tables.documents(s, d)
-      .stat.sampleBy("lang", fractions, 42L)
-      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      .filter(expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        < threshold)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("sum_chars"))
       .orderBy("lang")
   }
 

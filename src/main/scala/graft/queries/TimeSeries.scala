@@ -193,20 +193,24 @@ object TimeSeries {
       |         CAST(sum(x) AS BIGINT) AS sx,
       |         CAST(sum(x * x) AS BIGINT) AS sxx,
       |         CAST(sum(cents * x) AS BIGINT) AS sxy
-      |  FROM t GROUP BY 1)
+      |  FROM t GROUP BY 1),
+      |e AS (
+      |  SELECT c_mktsegment, n,
+      |         CAST(n AS HUGEINT) * s2  - CAST(s1 AS HUGEINT) * s1 AS vnum,
+      |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vxnum,
+      |         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * s1 AS cvnum
+      |  FROM m)
       |SELECT c_mktsegment,
-      |  CASE WHEN n > 1 THEN round(sqrt(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |  CASE WHEN n > 1 THEN round(sqrt(((CAST(vnum AS DOUBLE) / CAST(n AS DOUBLE))
       |      / CAST(n - 1 AS DOUBLE)) / 10000.0), 6) END AS sd,
-      |  CASE WHEN n > 1 THEN round(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |  CASE WHEN n > 1 THEN round(((CAST(vnum AS DOUBLE) / CAST(n AS DOUBLE))
       |      / CAST(n - 1 AS DOUBLE)) / 10000.0, 6) END AS var,
-      |  CASE WHEN n > 1 THEN round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |  CASE WHEN n > 1 THEN round(((CAST(cvnum AS DOUBLE) / CAST(n AS DOUBLE))
       |      / CAST(n - 1 AS DOUBLE)) / 100.0, 6) + 0.0 END AS cv,
-      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
-      |        AND CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0.0
-      |  THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(s1 AS DOUBLE))
-      |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |           * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))), 6) + 0.0 END AS cr
-      |FROM m
+      |  CASE WHEN vxnum > 0 AND vnum > 0
+      |  THEN round(CAST(cvnum AS DOUBLE)
+      |      / sqrt(CAST(vxnum AS DOUBLE) * CAST(vnum AS DOUBLE)), 6) + 0.0 END AS cr
+      |FROM e
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
     val m = Tables.customer(s, d)
       .select(col("c_mktsegment"),
@@ -220,25 +224,30 @@ object TimeSeries {
         sum("x").cast("long").as("sx"),
         sum(col("x") * col("x")).cast("long").as("sxx"),
         sum(col("cents") * col("x")).cast("long").as("sxy"))
+    // co-moment numerators in EXACT integer arithmetic (advisor r11:
+    // the double-cancellation form could hand sqrt a tiny negative
+    // where DuckDB ERRORS and Spark yields NaN). n·s2 − s1² is ≥ 0 by
+    // Cauchy–Schwarz, and computed exactly (DECIMAL(38,0) here,
+    // HUGEINT in the oracle) it CANNOT round below zero — so sqrt's
+    // argument is non-negative by construction and the degenerate
+    // guards (n > 1; cr's positive-variance test) are exact integer
+    // predicates that cannot disagree between engines.
+    val dec = "decimal(20,0)"
+    val e = m.select(col("c_mktsegment"), col("n"),
+      (col("n").cast(dec) * col("s2") - col("s1").cast(dec) * col("s1")).as("vnum"),
+      (col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx")).as("vxnum"),
+      (col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("s1")).as("cvnum"))
     // mirror the oracle's expression SHAPE exactly — identical IEEE op
     // sequence on identical exact operands ⇒ bit-identical doubles
     val nd = col("n").cast("double"); val n1d = (col("n") - 1).cast("double")
-    val s1d = col("s1").cast("double"); val s2d = col("s2").cast("double")
-    val sxd = col("sx").cast("double"); val sxxd = col("sxx").cast("double")
-    val sxyd = col("sxy").cast("double")
-    val varRaw = ((s2d - s1d * s1d / nd) / n1d) / 10000.0
-    val cvRaw = ((sxyd - sxd * s1d / nd) / n1d) / 100.0
-    val crRaw = (nd * sxyd - sxd * s1d) /
-      sqrt((nd * sxxd - sxd * sxd) * (nd * s2d - s1d * s1d))
-    // degenerate-group guards mirrored in the oracle (advisor r10): a
-    // 1-row group divides by n-1 = 0 and a zero-variance series hands
-    // sqrt a 0 (or, after cancellation, negative) argument — DuckDB
-    // ERRORS on sqrt(<0) and both engines' NULL/NaN conventions
-    // differ, so both sides emit NULL via the SAME exact-arithmetic
-    // predicate instead of relying on engine zero-divisor behavior
+    val vnumD = col("vnum").cast("double"); val vxnumD = col("vxnum").cast("double")
+    val cvnumD = col("cvnum").cast("double")
+    val varRaw = ((vnumD / nd) / n1d) / 10000.0
+    val cvRaw = ((cvnumD / nd) / n1d) / 100.0
+    val crRaw = cvnumD / sqrt(vxnumD * vnumD)
     val nGt1 = col("n") > 1
-    val crDef = (nd * sxxd - sxd * sxd > 0.0) && (nd * s2d - s1d * s1d > 0.0)
-    m.select(col("c_mktsegment"),
+    val crDef = (col("vxnum") > 0) && (col("vnum") > 0)
+    e.select(col("c_mktsegment"),
         when(nGt1, round(sqrt(varRaw), 6)).as("sd"),
         when(nGt1, round(varRaw, 6)).as("var"),
         when(nGt1, round(cvRaw, 6) + 0.0).as("cv"),

@@ -238,6 +238,19 @@ object StreamPipeline {
     * gate (gate → dup-iff-bucket-mate-of-earlier-doc → per-lang
     * admitted counts, all SQL-replayed). The xxhash64 [[verdicts]]
     * path stays the production default with its spec gates.
+    *
+    * VALUE-GATE PRECONDITION (advisor r11; same clause as
+    * `streamSemanticDedupOracle`): the oracle's "dup iff a SMALLER
+    * doc_id shares a bucket" equals the processor's "dup iff an
+    * EARLIER-ARRIVED doc shares a bucket" only when arrival order is
+    * ascending by doc_id — guaranteed for the driver fixture (a
+    * single parquet file → one AvailableNow micro-batch, and
+    * [[PortableVerdictProcessor]] sorts within a batch). A multi-file
+    * corpus or a maxFilesPerTrigger knob interleaves by admission
+    * order; the stream's verdicts stay correct ONLINE-dedup semantics
+    * there, but the SQL replay no longer applies
+    * (StreamPipelineSpec's split-batch case pins cross-batch verdict
+    * consistency, not the oracle).
     */
   def verdictsPortable(docs: DataFrame, k: Int = 16,
       bands: Int = 4): Dataset[DocVerdict] = {
