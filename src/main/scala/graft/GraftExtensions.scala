@@ -115,6 +115,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.OrderedPairs(children(0))
       }))
     e.injectFunction((
+      FunctionIdentifier("token_ngram_distinct"),
+      new ExpressionInfo(classOf[graft.functions.TokenNGramDistinct].getName,
+        "token_ngram_distinct"),
+      (children: Seq[Expression]) => {
+        checkArity("token_ngram_distinct", children, 2)
+        graft.functions.TokenNGramDistinct(children(0),
+          graft.functions.ShingleScan.foldedInt(children(1), "token_ngram_distinct n"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("mask_pairs"),
+      new ExpressionInfo(classOf[graft.functions.MaskPairs].getName, "mask_pairs"),
+      (children: Seq[Expression]) => {
+        checkArity("mask_pairs", children, 1)
+        graft.functions.MaskPairs(children(0))
+      }))
+    e.injectFunction((
       FunctionIdentifier("token_ngram_stats"),
       new ExpressionInfo(classOf[graft.functions.TokenNGramStats].getName, "token_ngram_stats"),
       (children: Seq[Expression]) => {

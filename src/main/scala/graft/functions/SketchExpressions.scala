@@ -302,6 +302,49 @@ object TokenNGramStats {
       .add("n_top", LongType, nullable = false)
 }
 
+/** `token_ngram_distinct(text, n)` → INT: the doc's DISTINCT
+  * n-token-shingle count in one per-row pass (round 12). A doc's
+  * shingles are a pure function of its own text, so this per-doc
+  * total — the containment denominator — never needs the exploded
+  * (doc, shingle) relation: q_containment_pairs attaches it to each
+  * shingle row at scan time and `ordered_pairs` pre-reduces
+  * min(n_a, n_b) per pair, eliminating the per-doc-totals aggregate
+  * and both join-backs the round-11 plan paid. Counts EXACT shingle
+  * strings (zero-copy UTF8String slices), matching the relational
+  * count(DISTINCT gram) bit-for-bit.
+  */
+final case class TokenNGramDistinct(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, "token_ngram_distinct: n must be positive")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "token_ngram_distinct"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  /** Shared by interpreted eval and generated code (addReferenceObj). */
+  def distinctCount(t: UTF8String): Int = {
+    val seen = new java.util.HashSet[UTF8String]()
+    ShingleScan.foreachShingle(t, n) { sh => seen.add(sh); () }
+    seen.size()
+  }
+
+  override def nullSafeEval(t: Any): Any = distinctCount(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenNGramDistinct", this,
+      classOf[TokenNGramDistinct].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.distinctCount($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenNGramDistinct =
+    copy(child = newChild)
+}
+
 /** `winnow_fps(text, n, w)` → ARRAY<BIGINT>: the doc's DISTINCT
   * winnowing fingerprints — for each position p, the minimum shingle
   * hash over the trailing window of w shingles ending at p (partial

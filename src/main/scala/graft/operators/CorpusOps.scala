@@ -69,21 +69,39 @@ object CorpusOps {
          |JOIN cnt cb ON cb.doc_id = id_b
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val dfAll = docs
+      // Round-12 rewrite (VERDICT r11 #3 — was 4.5× DuckDB). The
+      // round-11 plan shuffled the gram stream twice (distinct, then
+      // regroup by gram) and aggregated it a third time to join the
+      // per-doc totals into the buckets. All three costs collapse:
+      //
+      //  1. A doc's shingles come from its single input row, so the
+      //     map-side partial collect_set already removes every
+      //     duplicate (doc, gram) — the groupBy(gh) aggregate IS the
+      //     distinct. One shuffle of the heavy stream, not two.
+      //  2. The per-doc total (containment's denominator) is a pure
+      //     function of the doc's own text, so the codegen'd
+      //     `token_ngram_distinct` computes it AT SCAN TIME (one
+      //     per-row hash-set pass fused in the same stage) and it
+      //     rides each shingle row as a 4-byte struct field;
+      //     `ordered_pairs` pre-reduces min(n_a, n_b) per pair. No
+      //     per-doc-totals aggregate, no join-backs — the whole query
+      //     is scan → one gram-keyed exchange → pair aggregate.
+      //
+      // (A/B'd intermediate: totals as a separate map-only relation
+      // joined onto the reduced pair table — two extra broadcast-join
+      // stages and a second text scan; carrying n through the shuffle
+      // costs ~0.5 MB at sf0.1 and wins on wall clock.)
+      docs
         .filter(col("text").isNotNull && size(split(col("text"), " ", -1)) >= L)
-        .select(col("doc_id"), expr(s"token_ngrams(text, $L)"))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("gh"))
-        .distinct()
-        .groupBy("gh").agg(collect_list(col("doc_id")).as("docs"))
-      val cnt = dfAll.select(explode(col("docs")).as("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
-      val buckets = dfAll
-        .filter(size(col("docs")) >= 2 && size(col("docs")) <= maxDf)
-        .select(col("gh"), explode(col("docs")).as("doc_id"))
-        .join(cnt, "doc_id")
+        .select(col("doc_id"),
+          expr(s"token_ngram_distinct(text, $L)").as("n"),
+          expr(s"token_ngrams(text, $L)"))
+        .select(xxhash64(col("shingle")).as("gh"),
+          struct(col("doc_id").as("id"), col("n")).as("dn"))
         .groupBy("gh")
-        .agg(collect_list(struct(col("doc_id").as("id"), col("n").as("n"))).as("ids"))
-      buckets.select(expr("ordered_pairs(ids)"))
+        .agg(collect_set(col("dn")).as("ids"))
+        .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
+        .select(expr("ordered_pairs(ids)"))
         .groupBy("id_a", "id_b")
         // lnf is constant within a pair (min of the two docs' totals);
         // min() just picks it without dragging it through the key

@@ -411,10 +411,23 @@ class PlanSpec extends SparkSpec {
   test("containment pairs come from bucket generation, not a gram self-join") {
     val p = planOf("q_containment_pairs")
     // candidates materialize through the ordered_pairs generator over
-    // df-bounded buckets; the only join is the per-doc count join-back
+    // df-bounded buckets; round 12: the per-doc total rides each
+    // shingle row from the scan-time token_ngram_distinct expression,
+    // so the plan is JOIN-FREE (one gram-keyed exchange + the pair
+    // aggregate)
     assert(p.contains("orderedpairs"), p)
-    val joins = "Join".r.findAllIn(p).size
-    assert(joins <= 1, s"expected <=1 join (doc-count join-back), got $joins:\n$p")
+    assert(p.contains("tokenngramdistinct") || p.contains("token_ngram_distinct"), p)
+    assert(!p.contains("Join"), s"expected a join-free plan:\n$p")
+  }
+
+  test("brand affinity baskets are single-long bitmasks through mask_pairs") {
+    val p = planOf("q_brand_affinity")
+    // bit_or basket aggregate (8-byte duplicate-idempotent state — no
+    // collect_set, no distinct) + codegen'd mask_pairs expansion; the
+    // only join is the broadcast of part under the basket aggregate
+    assert(p.contains("maskpairs") || p.contains("mask_pairs"), p)
+    assert(p.contains("bit_or"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
   test("attribution is join-free: union + one user window, then the day aggregate") {

@@ -71,11 +71,16 @@ def main():
     # extends the set with the cached component-label artifacts
     # (q_*_semantic_dedup / q_dedup_clusters / the BPE merge table) so
     # the amortization advantage stays visible, not hidden in the total.
+    # Round 12 adds q_quality_classifier (cached quantized-GD model vs
+    # a 12-round chained-CTE replay per DuckDB run) and q_brand_affinity
+    # (memoized 25-value brand dictionary — the one extra action in the
+    # query) to the disclosed set.
     indexed = [q for q in batch if q in (
         "q_ann_ivf", "q_ann_lsh", "q_ann_pq", "q_ann_ivfpq", "q_semantic_dedup",
         "q_lsh_semantic_dedup", "q_dedup_clusters",
         "q_bpe_vocab", "q_bpe_segment",
-        "q_lm_perplexity", "q_lm_quality_buckets")]
+        "q_lm_perplexity", "q_lm_quality_buckets",
+        "q_quality_classifier", "q_brand_affinity")]
     plain = [q for q in batch if q not in indexed]
     d_p, s_p = sum(dq[q] for q in plain), sum(sq[q] for q in plain)
     if indexed:
