@@ -25,9 +25,16 @@ class StreamMetricsSpec extends SparkSpec {
     assert(stateOps.map(_.numRowsTotal).max > 0, stateOps.toString)
     assert(metrics.map(_.stateRowsTotal).max == store.snapshot().size.toLong,
       "state rows must equal the served (account, metric, day) key count")
-    // throughput + event-time: the processing-rate and watermark
-    // fields an operator graphs
+    // throughput: the processing-rate field an operator graphs
     assert(withData.forall(_.processedRowsPerSecond > 0.0))
+  }
+
+  test("watermarked hourly pipeline surfaces watermark + non-negative lag") {
+    // the account cube is deliberately unwatermarked (round 12 — see
+    // accountDailyCounters scaladoc), so the event-time fields are
+    // asserted on the hourly pipeline, which keeps its 1h watermark
+    val (_, metrics) = Serving.runPipelineMetered(
+      spark, sf, new InMemoryServingStore, SparkEnv.scratchDir("metrics-hourly-ckpt"))
     val lastWm = metrics.flatMap(_.watermark)
     assert(lastWm.nonEmpty, "watermarked pipeline must surface its watermark")
     // watermark lag is computable whenever both watermark and max
