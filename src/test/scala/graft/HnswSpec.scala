@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Hnsw
+import org.apache.spark.sql.functions._
+
+/** The round-12 HNSW shard-graph index (K3's graph-based serving
+  * structure): seedless-deterministic construction, bounded degrees,
+  * build-once caching, and the scatter-gather search contract.
+  * Recall vs the exact twin is measured and persisted by AnnRecallSpec
+  * (ANN_RECALL.md) like every other ANN variant.
+  */
+class HnswSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("hnsw build is deterministic and partitioning-invariant") {
+    val a = Hnsw.buildShardGraphs(emb)
+      .orderBy("shard", "vec_id").collect().map(_.toString)
+    val b = Hnsw.buildShardGraphs(emb.repartition(13))
+      .orderBy("shard", "vec_id").collect().map(_.toString)
+    assert(a.nonEmpty && a.sameElements(b),
+      "adjacency must be identical across input partitionings")
+  }
+
+  test("hnsw degrees are bounded by M (2M at level 0) and levels by the hash") {
+    val rows = Hnsw.buildShardGraphs(emb)
+      .select(col("vec_id"), col("level"), col("nbrs")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0); val level = r.getInt(1)
+      val nbrs = r.getSeq[scala.collection.Seq[Long]](2)
+      assert(level == Hnsw.levelOf(id), s"level must derive from the id hash: $id")
+      assert(nbrs.length == level + 1, s"one adjacency list per level: $id")
+      nbrs.zipWithIndex.foreach { case (l, lvl) =>
+        val cap = if (lvl == 0) 2 * Hnsw.M else Hnsw.M
+        assert(l.length <= cap, s"degree ${l.length} > $cap at level $lvl (vec $id)")
+        assert(!l.contains(id), s"no self-edges: $id")
+      }
+    }
+  }
+
+  test("hnsw adjacency stays within the shard (shard-local graphs)") {
+    val rows = Hnsw.buildShardGraphs(emb, shards = 4)
+      .select(col("shard"), col("nbrs")).collect()
+    rows.foreach { r =>
+      val shard = r.getInt(0)
+      r.getSeq[scala.collection.Seq[Long]](1).flatten.foreach { n =>
+        assert((n % 4).toInt == shard, s"neighbor $n escaped shard $shard")
+      }
+    }
+  }
+
+  test("hnsw cached index equals a fresh build and serves the probe shape") {
+    val path = Hnsw.cachedHnswIndex(spark, emb, sf)
+    val path2 = Hnsw.cachedHnswIndex(spark, emb, sf)
+    assert(path == path2, "second lookup must hit the cache")
+    val cached = spark.read.parquet(path)
+      .orderBy("shard", "vec_id").collect().map(_.toString)
+    // parquet round-trip reorders columns (partition col last) — compare
+    // on the same read-back projection
+    val fresh = Hnsw.buildShardGraphs(emb)
+    val freshPath = SparkEnv.scratchDir("hnsw-fresh")
+    fresh.write.mode("overwrite").partitionBy("shard").parquet(freshPath)
+    val fresh2 = spark.read.parquet(freshPath)
+      .orderBy("shard", "vec_id").collect().map(_.toString)
+    assert(cached.sameElements(fresh2))
+    val res = Hnsw.annHnsw(spark.read.parquet(path), emb.filter(col("vec_id") < 5))
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    // contract: k rows per query, ranked by cos_sim desc, no self-hits
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      assert(!rs.exists(_.getLong(1) == q), "self-hit")
+      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.sameElements(sims.sortBy(-(_: Double))), "ranked desc")
+    }
+  }
+
+  test("hnsw handles the empty corpus (no index, no rows, no throw)") {
+    val empty = emb.filter(lit(false))
+    val res = Hnsw.annHnsw(Hnsw.buildShardGraphs(empty), empty)
+    assert(res.collect().isEmpty)
+  }
+}
