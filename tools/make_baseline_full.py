@@ -24,7 +24,7 @@ def main():
     d_s, s_s = sum(dq[q] for q in stream), sum(sq[q] for q in stream)
     lines = []
     a = lines.append
-    a("# BASELINE_full — full-suite DuckDB baseline vs Spark bench (round 11)")
+    a("# BASELINE_full — full-suite DuckDB baseline vs Spark bench (round 12)")
     a("")
     a("Round-8 verdict #1: the 2x bench contract was being judged against a")
     a("10-query 0.27 s headline denominator covering ~6% of the suite. This")
@@ -44,6 +44,14 @@ def main():
     a("  measured AQE-off as a net loss across the suite, see Bench.scala).")
     a("- Totals compare the COMMON query set only (both engines ran the")
     a("  identical semantics; `no_oracle` queries are excluded).")
+    a("- Round-12 refresh (2026-08-15): common set 202 → 204 (the two")
+    a("  last class-(a) rows-only conversions: q_quality_classifier's")
+    a("  12-round quantized-GD chained-CTE replay and")
+    a("  q_stratified_sample's identity-hash thresholds). Spark-side")
+    a("  round-12 rewrites land here: q_containment_pairs (join-free,")
+    a("  scan-time totals), q_brand_affinity (bit_or bitmask baskets +")
+    a("  mask_pairs), q_stream_account_daily (no-watermark upsert cube,")
+    a("  snapshot fast path).")
     a("- Round-11 refresh (2026-08-15): per-query minima across TWO")
     a("  protocol-identical SERIAL same-session runs of EACH engine")
     a("  (never concurrent — a same-host DuckDB run measured +8% on the")
