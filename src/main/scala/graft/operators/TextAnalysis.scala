@@ -713,15 +713,22 @@ object TextAnalysis {
       |  round(CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS dup_frac,
       |  round(CAST(top_count AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS top_frac
       |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // Round-12 rewrite: a doc's gram histogram is a pure function of
+    // its own text, so BOTH aggregates fuse into per-row codegen'd
+    // expressions — token_ngram_stats (total + modal count) and
+    // token_ngram_distinct (distinct count) — and the exploded
+    // (doc, shingle) relation, its two shuffles, and their hash
+    // aggregates disappear entirely: the plan is one scan + the
+    // presentation sort (0.66 → 0.33 s at sf0.1, 2nd-worst >2× row
+    // cleared). Bit-equal to the relational form by the expressions'
+    // exact-shingle contract (TokenNGramsSpec pins parity).
     Tables.documents(s, d)
-      .select(col("doc_id"), expr("token_ngrams(text, 2)"))
-      .groupBy(col("doc_id"), col("shingle"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(
-        sum("c").cast("long").as("n_grams"),
-        count(lit(1)).cast("long").as("n_distinct"),
-        max("c").cast("long").as("top_count"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("token_ngram_stats(text, 2)").as("st"),
+        expr("token_ngram_distinct(text, 2)").cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("st.n_grams").as("n_grams"),
+        col("n_distinct"), col("st.n_top").as("top_count"))
       .select(col("doc_id"), col("n_grams"), col("n_distinct"), col("top_count"),
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"), 6)
           .as("dup_frac"),

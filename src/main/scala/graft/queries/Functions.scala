@@ -375,7 +375,18 @@ object Functions {
     // group on the truncated TIMESTAMP and format once per group
     // after the aggregate — date_format inside the grouping key would
     // string-format every input row instead of every output row
+    // pre-partition by the GROUP KEYS (round 12): with map-side
+    // partials, every task built a k=2048 sketch per group and the
+    // AQE-coalesced final task merged all 16×|groups| of them
+    // single-threaded (456 ms of a 0.89 s query). Hash-distributing
+    // the rows first satisfies the aggregate's distribution, so the
+    // planner emits ONE complete aggregate: each group's sketch builds
+    // exactly once, in parallel across groups, no partial-sketch
+    // serialization or merge at all — the standard trade when the
+    // aggregation STATE outweighs the rows (0.89 → 0.64 s warm at
+    // sf0.1; the residual is the lineitem scan + the exchange).
     Tables.lineitem(s, d)
+      .repartition(32, col("l_returnflag"), date_trunc("month", col("l_shipdate")))
       .groupBy(col("l_returnflag"),
         date_trunc("month", col("l_shipdate")).as("ship_m"))
       .agg(

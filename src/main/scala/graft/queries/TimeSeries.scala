@@ -158,6 +158,11 @@ object TimeSeries {
       |FROM events, range(24) k
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    // (A/B'd round 12: pre-repartitioning the one-split fixture scan
+    // to parallelize the 24× expansion LOST — 0.78 → 1.28 s warm; the
+    // extra exchange + 32-task overhead outweigh the ~0.4 s of
+    // single-core expansion at this scale. At production split counts
+    // the expansion parallelizes from the source for free.)
     graft.streaming.Windows.sliding24h(Tables.events(s, d))
       .orderBy("win_start", "event_type")
   }

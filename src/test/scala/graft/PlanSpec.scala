@@ -614,11 +614,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
-  test("q_gopher_repetition is one corpus scan through the codegen'd " +
-      "bigram generator — no joins, both rollups hash aggregates") {
+  test("q_gopher_repetition is one map-only corpus scan — per-row " +
+      "gram-histogram expressions, no generator, no aggregate, no join") {
     val p = planOf("q_gopher_repetition")
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
-    assert(p.contains("Generate"), p)
+    // round 12: both signals come from the codegen'd per-row
+    // expressions (token_ngram_stats + token_ngram_distinct); the
+    // exploded gram relation and its two hash aggregates are gone
+    assert(p.contains("tokenngramstats") || p.contains("token_ngram_stats"), p)
+    assert(p.contains("tokenngramdistinct") || p.contains("token_ngram_distinct"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("HashAggregate"), p)
     assert(!p.contains("Join"), p)
   }
 
