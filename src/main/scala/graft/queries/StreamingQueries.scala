@@ -613,9 +613,31 @@ object StreamingQueries {
     graft.queries.Analytics5.psiFromCounts(s2.table(qname))
   }
 
+  /** I13 (round 12): offline state-store introspection. Runs the
+    * daily-counter streaming aggregation to completion (noop sink —
+    * the STATE is the artifact), then reads the checkpoint through
+    * Spark 4's `statestore` batch source and gates the decoded
+    * key/value structs against the batch SQL. Proves state-vs-truth
+    * reconciliation end-to-end: the state store's contents — not just
+    * a sink's — equal the batch aggregation of the same input. See
+    * [[graft.streaming.StateReader]] for the operational framing.
+    */
+  val stateReader = DeclaredQuery(
+    "q_state_reader",
+    """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ckpt = graft.streaming.StateReader.dailyCounterCheckpoint(s, d)
+    graft.streaming.StateReader.readDailyCounters(s, ckpt)
+      .orderBy("event_type", "day")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(streamHourly, streamMultiGran, streamAccountDaily, streamNearDups,
       streamCorpusGate, streamCleanPipeline, streamSemanticDedup, streamDsir,
       streamDecontaminate, streamLmScores, streamValuePercentiles,
-      streamUniqueUsers, streamTopTypes, streamPsiDrift)
+      streamUniqueUsers, streamTopTypes, streamPsiDrift, stateReader)
 }

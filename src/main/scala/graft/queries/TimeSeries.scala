@@ -334,8 +334,8 @@ object TimeSeries {
     * IS the exact count. k=2048 > the 1500-user fixture universe at
     * every sf, so the oracle is plain COUNT(DISTINCT) — this proves
     * the custom Aggregator's partial/final merge path bit-exactly
-    * through the judged gate (the k=1024 query below stays rows-only
-    * to exercise the estimating regime).
+    * through the judged gate (the k=64 query below gates the
+    * ESTIMATING regime via the portable md5 family).
     */
   val eventsKmvExact = DeclaredQuery(
     "q_kmv_exact_distinct",
@@ -350,10 +350,52 @@ object TimeSeries {
       .orderBy("bucket")
   }
 
-  val eventsKmvUsers = DeclaredQuery.noOracle("q_kmv_distinct_users") { (s, d) =>
+  /** D5, the ESTIMATING regime — VALUE-GATED (round 12, the last KMV
+    * rows-only row). Two moves make the estimate itself replayable:
+    * (1) the declared query hashes with the portable md5 fp60 family
+    * (`conv(substring(md5(x),1,15),16,10)` ≡ DuckDB's
+    * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`, the
+    * q_stream_near_dups precedent) instead of xxhash64, and (2) the
+    * aggregator emits sketch STATE (distinct-hash count, k-th min)
+    * with the estimator applied as a shared Column expression —
+    * cast-to-double (correctly rounded, same integer), exact 2^60
+    * exponent shift, one division, round: bit-identical across
+    * engines by IEEE 754, no boundary margin to hope about. k=64 sits
+    * BELOW every per-day distinct-user count at both graded sfs
+    * (125–141 at sf0.01, 1309–1356 at sf0.1 — FixtureDriftSpec pins
+    * it), so every output row exercises the estimator, not the exact
+    * fallback; partial sketches still merge across the 32 scan
+    * partitions, so the gate covers the full merge algebra. Production
+    * default stays `kmv_distinct` (xxhash64, k=1024) — one digest +
+    * sign-flip per row instead of an md5; this declared query pays the
+    * md5 for oracle portability, same trade as the streaming minhash
+    * family (SCALING.md md5-vs-xxhash64 A/B).
+    */
+  val eventsKmvUsers = DeclaredQuery(
+    "q_kmv_distinct_users",
+    """WITH h AS (
+      |  SELECT DISTINCT date_trunc('day', ts) AS bucket,
+      |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM events WHERE user_id IS NOT NULL),
+      |s AS (
+      |  SELECT bucket, count(*) AS cnt, list(h ORDER BY h)[64] AS kth
+      |  FROM h GROUP BY bucket)
+      |SELECT CAST(bucket AS TIMESTAMP) AS bucket,
+      |       CASE WHEN cnt < 64 THEN cnt
+      |            ELSE CAST(round(63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0)) AS BIGINT) END AS kmv_users
+      |FROM s
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val k = 64
+    val hashed = when(col("user_id").isNotNull,
+      expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
     Tables.events(s, d)
       .groupBy(date_trunc("day", col("ts")).as("bucket"))
-      .agg(graft.functions.KmvSketch.kmv_distinct(col("user_id")).as("kmv_users"))
+      .agg(graft.functions.KmvSketch.kmv_kth(hashed, k).as("st"))
+      .select(col("bucket"),
+        when(col("st.cnt") < k, col("st.cnt"))
+          .otherwise(round(lit((k - 1).toDouble) /
+            (col("st.kth").cast("double") / lit(1152921504606846976.0))).cast("long"))
+          .as("kmv_users"))
       .orderBy("bucket")
   }
 

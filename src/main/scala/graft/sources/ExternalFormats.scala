@@ -295,7 +295,51 @@ object ExternalFormats {
       .orderBy("lang")
   }
 
+  /** XML ingest (round 12) — Spark 4 ships the former spark-xml as a
+    * built-in source, and enterprise corpora still arrive as XML dumps
+    * (wiki exports, sitemaps, feed archives). Supplier rows round-trip
+    * through `<supplier>` elements: the writer escapes &/</> entities
+    * in s_comment, the reader re-parses under the pinned footer schema
+    * (rowTag is mandatory; inference would cost a second scan like
+    * CSV/JSON). The gate aggregates per nation with a DECIMAL-cast
+    * balance sum AND a total comment length, so entity escaping and
+    * string fidelity are both proven against the parquet-side oracle.
+    *
+    * Scale shape: XML is the one text format here that is NOT
+    * line-splittable (a record spans lines; Spark parallelizes
+    * per-FILE) — the export writes one file per input partition, which
+    * at 100 TB means shard-at-write-time is the layout contract, same
+    * as any multiline-JSON corpus.
+    */
+  val qXmlSource = DeclaredQuery(
+    "q_xml_source",
+    """SELECT s_nationkey, count(*) AS n,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+      |  CAST(sum(length(s_name || ' <&> #' || CAST(s_suppkey AS VARCHAR))) AS BIGINT) AS tag_chars
+      |FROM supplier
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    // `tag` deliberately embeds XML-special characters so the writer
+    // MUST entity-escape (&lt;&amp;&gt;) and the reader must unescape —
+    // the fixture strings alone are entity-free and would leave that
+    // path untested.
+    val src = Tables.supplier(s, d)
+      .select(col("s_nationkey"), col("s_acctbal"),
+        concat(col("s_name"), lit(" <&> #"), col("s_suppkey")).as("tag"))
+    val dir = exportedDir(s"xml:$d", "graft-xml-src") { out =>
+      src.write.mode("overwrite").option("rowTag", "supplier")
+        .format("xml").save(out)
+    }
+    s.read.schema(src.schema).option("rowTag", "supplier")
+      .format("xml").load(dir)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"),
+        sum(length(col("tag"))).as("tag_chars"))
+      .orderBy("s_nationkey")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(qCsvSource, qJsonSource, qOrcSource, qBinarySource, qSchemaEvolution,
-      qTextSource)
+      qTextSource, qXmlSource)
 }

@@ -178,6 +178,40 @@ class FixtureDriftSpec extends SparkSpec {
     }
   }
 
+  test("q_kmv_distinct_users stays in the ESTIMATING regime at the graded " +
+      "sfs: every per-day distinct-user count exceeds k=64") {
+    // The round-12 value gate emits round(63 / frac(kth-min)) for every
+    // bucket — meaningful only while per-day cardinality sits above the
+    // sketch capacity (125–141 at sf0.01, 1309–1356 at sf0.1 when
+    // pinned). If a fixture shrinks below k the query silently becomes
+    // the exact fallback everywhere (still green, but the estimator
+    // path goes untested) — fail a named test instead.
+    for (dir <- Seq(sf01, sf1)) {
+      val minPerDay = Tables.events(spark, dir)
+        .groupBy(date_trunc("day", col("ts")))
+        .agg(countDistinct(col("user_id")).as("nd"))
+        .agg(min(col("nd"))).head().getLong(0)
+      assert(minPerDay > 64L, s"$dir: min per-day distinct users " +
+        s"$minPerDay <= k=64 — q_kmv_distinct_users leaves the estimating regime")
+    }
+  }
+
+  test("q_approx_percentiles stays in GK's provably-exact regime: every " +
+      "l_returnflag group holds < 5e6 rows (eps*n < 0.5 at accuracy=1e7)") {
+    // The round-12 value gate relies on floor(2*eps*n) < 2 so GK can
+    // never merge two g=1 samples — the summary retains all n values
+    // and query(q) is structurally nearest-rank. A fixture past 5e6
+    // rows per group re-enters the estimating regime (still correct to
+    // spec, but the hash gate would go red); fail a named test first.
+    for (dir <- Seq(sf01, sf1)) {
+      val maxN = Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag").count()
+        .agg(max(col("count"))).head().getLong(0)
+      assert(maxN < 5000000L, s"$dir: max returnflag group $maxN >= 5e6 — " +
+        "q_approx_percentiles leaves GK's exact regime at accuracy=1e7")
+    }
+  }
+
   test("documents.text is tab- and newline-free at every graded sf " +
       "(q_text_source's line-framing precondition)") {
     for (dir <- Seq(sf001, sf01, sf1)) {

@@ -35,6 +35,28 @@ class SourceSinkSpec extends SparkSpec {
     assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
   }
 
+  test("xml batch source entity-escapes on write and unescapes on read") {
+    // q_xml_source's fidelity claim rests on the writer actually
+    // emitting &lt;/&amp;/&gt; for embedded XML-special characters —
+    // assert the escape is PRESENT in the raw bytes, then that the
+    // reader restores the original string exactly.
+    val dir = SparkEnv.scratchDir("xml-roundtrip")
+    val src = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"),
+        concat(col("s_name"), lit(" <&> tail")).as("tag"))
+    src.coalesce(1).write.mode("overwrite")
+      .option("rowTag", "supplier").format("xml").save(dir)
+    val raw = spark.read.text(dir)
+    assert(raw.filter(col("value").contains("&lt;&amp;&gt;")).count() > 0,
+      "expected entity-escaped <&> in the raw XML bytes")
+    assert(raw.filter(col("value").contains(" <&> ")).count() == 0,
+      "raw XML must not contain unescaped <&>")
+    val back = spark.read.schema(src.schema)
+      .option("rowTag", "supplier").format("xml").load(dir)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     val conf = spark.conf
     val saved = Seq(
