@@ -287,8 +287,15 @@ object Hnsw {
             }
           }
           qs.iterator.flatMap { case (qId, qVec) =>
-            g.search(qVec, k, ef)
+            // k+1 then self-exclude: the query vector lives in exactly
+            // one shard and always wins rank 1 there (dot = 1); asking
+            // that shard for only k would let the self-hit shadow a
+            // true neighbor (round-12 fix — the parity precondition of
+            // q_ann_hnsw's exact-top-k gate needs the home shard to
+            // surface its full k true candidates).
+            g.search(qVec, k + 1, ef)
               .filter(_._1 != qId)
+              .take(k)
               .map { case (id, d) => (qId, id, d) }
           }
         }

@@ -80,15 +80,18 @@ def main():
     # (q_*_semantic_dedup / q_dedup_clusters / the BPE merge table) so
     # the amortization advantage stays visible, not hidden in the total.
     # Round 12 adds q_quality_classifier (cached quantized-GD model vs
-    # a 12-round chained-CTE replay per DuckDB run) and q_brand_affinity
+    # a 12-round chained-CTE replay per DuckDB run), q_brand_affinity
     # (memoized 25-value brand dictionary — the one extra action in the
-    # query) to the disclosed set.
+    # query), and q_state_reader (the streaming-agg CHECKPOINT is the
+    # build-once artifact; the declared query times the statestore
+    # read, while the oracle re-aggregates the events table per run)
+    # to the disclosed set.
     indexed = [q for q in batch if q in (
         "q_ann_ivf", "q_ann_lsh", "q_ann_pq", "q_ann_ivfpq", "q_semantic_dedup",
         "q_lsh_semantic_dedup", "q_dedup_clusters",
         "q_bpe_vocab", "q_bpe_segment",
         "q_lm_perplexity", "q_lm_quality_buckets",
-        "q_quality_classifier", "q_brand_affinity")]
+        "q_quality_classifier", "q_brand_affinity", "q_state_reader")]
     plain = [q for q in batch if q not in indexed]
     d_p, s_p = sum(dq[q] for q in plain), sum(sq[q] for q in plain)
     if indexed:
