@@ -647,6 +647,43 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q_concentration").contains("BroadcastHashJoin"))
   }
 
+  test("q_kmv_distinct_users merges partial sketches map-side — two " +
+      "ObjectHashAggregate phases, scan pruned to (ts, user_id)") {
+    // the estimating-regime gate's scale shape: partial KmvKth state
+    // built per scan partition, ONE shuffle of ≤ k-long arrays per
+    // (day) key, final merge + the shared estimator expression. A
+    // plan that shuffled raw rows to a single agg phase would move
+    // the corpus instead of the sketch.
+    val p = planOf("q_kmv_distinct_users")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate phases:\n$p")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("ts") && read.contains("user_id") &&
+      !read.contains("props") && !read.contains("event_type"),
+      s"scan must prune to (ts, user_id): $read")
+  }
+
+  test("q_approx_percentiles merges partial GK summaries — two " +
+      "ObjectHashAggregate phases, scan pruned to the two columns") {
+    val p = planOf("q_approx_percentiles")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate phases:\n$p")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_extendedprice") &&
+      !read.contains("l_orderkey"),
+      s"scan must prune to (l_returnflag, l_extendedprice): $read")
+  }
+
+  test("q_state_reader's declared result scans the state store source — " +
+      "a distributed batch scan, not a driver-resident snapshot") {
+    val p = planOf("q_state_reader")
+    assert(!p.contains("LocalTableScan"),
+      s"state must be read through the source, not collected:\n$p")
+    assert(p.toLowerCase.contains("statescan") ||
+      p.toLowerCase.contains("statestore"),
+      s"expected the statestore batch source in the plan:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed (bounded theta joins against
     // a broadcast side); an unbounded CartesianProduct never is.

@@ -44,6 +44,15 @@ def main():
     a("  measured AQE-off as a net loss across the suite, see Bench.scala).")
     a("- Totals compare the COMMON query set only (both engines ran the")
     a("  identical semantics; `no_oracle` queries are excluded).")
+    a("- Round-12 FINAL refresh (2026-08-16): common set 204 → 210 —")
+    a("  the estimator-split sketch gates (q_kmv_distinct_users md5")
+    a("  fp60 + state/estimator split; q_approx_percentiles exact-regime")
+    a("  GK), q_state_reader (statestore source), q_xml_source, and")
+    a("  q_ann_hnsw (exact-parity gate). DuckDB min-merged over FOUR")
+    a("  serial runs this refresh; the duck tool now CPU-warms before")
+    a("  timing exactly like Bench.scala (the host ramps vCPU frequency")
+    a("  under load — warming moved totals < 2%, i.e. prior refreshes")
+    a("  were not cold-biased, but the protocols are now symmetric).")
     a("- Round-12 refresh (2026-08-15): common set 202 → 204 (the two")
     a("  last class-(a) rows-only conversions: q_quality_classifier's")
     a("  12-round quantized-GD chained-CTE replay and")
@@ -91,7 +100,8 @@ def main():
         "q_lsh_semantic_dedup", "q_dedup_clusters",
         "q_bpe_vocab", "q_bpe_segment",
         "q_lm_perplexity", "q_lm_quality_buckets",
-        "q_quality_classifier", "q_brand_affinity", "q_state_reader")]
+        "q_quality_classifier", "q_brand_affinity", "q_state_reader",
+        "q_ann_hnsw")]
     plain = [q for q in batch if q not in indexed]
     d_p, s_p = sum(dq[q] for q in plain), sum(sq[q] for q in plain)
     if indexed:
