@@ -60,6 +60,64 @@ class AggregatorSpec extends AnyFunSuite {
     assert(n == 2L, s"expected 2 distinct non-null values, got $n")
   }
 
+  test("kmv_kth state is partition-invariant (merge law) and exact below k") {
+    // q_kmv_distinct_users' gate leans on the (cnt, kth) STATE being
+    // identical whatever partial-merge tree produced it — assert the
+    // same hashes through 1, 3, and 7 partitions yield byte-equal
+    // state, and that below capacity cnt == exact distinct count.
+    import graft.functions.KmvKthAggregator
+    val hashes = (1 to 500).map(i => (i.toLong * 2654435761L) & ((1L << 60) - 1))
+    val agg = new KmvKthAggregator(64)
+    def run(parts: Int) = {
+      val bufs = hashes.zipWithIndex.groupBy(_._2 % parts).values
+        .map(_.map(_._1).foldLeft(agg.zero)((b, h) => agg.reduce(b, h)))
+      agg.finish(bufs.reduce(agg.merge))
+    }
+    val single = run(1)
+    assert(run(3) == single && run(7) == single,
+      s"merge law broken: ${run(3)} / ${run(7)} vs $single")
+    assert(single.cnt == 64L || hashes.distinct.size < 64)
+    val small = new KmvKthAggregator(1024)
+    val below = hashes.foldLeft(small.zero)((b, h) => small.reduce(b, h))
+    assert(small.finish(below).cnt == hashes.distinct.size.toLong,
+      "below capacity the state must hold every distinct hash")
+    assert(small.finish(below).kth == -1L, "kth sentinel below capacity")
+  }
+
+  test("builtin GK percentile_approx is EXACT nearest-rank at the regime " +
+      "boundary accuracy = 2n+1 (eps*n < 0.5 pins BOTH merge and query)") {
+    // q_approx_percentiles uses accuracy = 1e7 with huge headroom; this
+    // pins the CLAIM at its tightest point. Two constraints must hold
+    // and eps*n < 0.5 (accuracy > 2n) is the binding one:
+    //  - merge: floor(2*eps*n) < 2 keeps every g=1 sample (needs only
+    //    accuracy > n), and
+    //  - query: GK answers any sample within targetError = eps*n of
+    //    the requested rank — measured here: at accuracy = n+1
+    //    (targetError ~ 1) it returns the sample ONE RANK BELOW
+    //    nearest-rank, so retaining all samples alone is NOT enough.
+    // At accuracy = 2n+1, targetError < 0.5 forces the exact rank, and
+    // query(q) must equal sorted[ceil(q*n)] (1-based) for every group
+    // and quantile. (FixtureDriftSpec's n < 5e6 pin == this bound at
+    // the shipped accuracy = 1e7.)
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val li = Tables.lineitem(spark, SparkSpec.sf)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+    val maxN = li.groupBy("g").count().agg(max("count")).as[Long].head()
+    val qs = Seq(0.5, 0.9, 0.99)
+    val approx = li.groupBy("g")
+      .agg(percentile_approx(col("x"),
+        array(qs.map(lit): _*), lit((2 * maxN + 1).toInt)).as("p"))
+      .as[(String, Seq[Double])].collect().toMap
+    val exact = li.as[(String, Double)].collect().groupBy(_._1)
+      .map { case (g, rows) =>
+        val sorted = rows.map(_._2).sorted
+        g -> qs.map(q => sorted(math.ceil(q * sorted.length).toInt - 1))
+      }
+    for ((g, ex) <- exact)
+      assert(approx(g) == ex, s"group $g: GK ${approx(g)} != nearest-rank $ex")
+  }
+
   test("vec_decimal_sum equals the 64-slot decimal SUM form bit-for-bit") {
     // the typed vector-sum must reproduce sum(cast(x as decimal(18,8)))
     // cast back to double EXACTLY — unscaled-long addition is the same

@@ -198,11 +198,13 @@ class FixtureDriftSpec extends SparkSpec {
 
   test("q_approx_percentiles stays in GK's provably-exact regime: every " +
       "l_returnflag group holds < 5e6 rows (eps*n < 0.5 at accuracy=1e7)") {
-    // The round-12 value gate relies on floor(2*eps*n) < 2 so GK can
-    // never merge two g=1 samples — the summary retains all n values
-    // and query(q) is structurally nearest-rank. A fixture past 5e6
-    // rows per group re-enters the estimating regime (still correct to
-    // spec, but the hash gate would go red); fail a named test first.
+    // The round-12 value gate relies on eps*n < 0.5 (accuracy > 2n):
+    // it blocks every g=1 sample merge AND forces GK's query tolerance
+    // (targetError = eps*n) onto the exact rank — the binding
+    // constraint, see AggregatorSpec's boundary test. A fixture past
+    // 5e6 rows per group re-enters the estimating regime (still
+    // correct to spec, but the hash gate would go red); fail a named
+    // test first.
     for (dir <- Seq(sf01, sf1)) {
       val maxN = Tables.lineitem(spark, dir)
         .groupBy("l_returnflag").count()
