@@ -613,6 +613,129 @@ object StreamingQueries {
     graft.queries.Analytics5.psiFromCounts(s2.table(qname))
   }
 
+  /** I7 through the judged gate (round 12; previously spec-tested
+    * only): stream-static enrichment — the streamed events join the
+    * static customer dimension (broadcast; stateless per micro-batch,
+    * always re-reading the dim's latest snapshot — the production
+    * lookup-table shape), then a complete-mode segment rollup. The
+    * oracle is the plain batch join + GROUP BY: stream-batch
+    * unification for the JOIN operator, not just aggregations.
+    */
+  val streamStaticJoin = DeclaredQuery(
+    "q_stream_static_join",
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", graft.SparkEnv.stateParts)
+    val qname = "stream_static_join"
+    val dim = graft.Tables.customer(s2, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = graft.streaming.Ingest.eventStream(s2, d)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        graft.SparkEnv.scratchDir("graft-stream-sjoin-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(qname).orderBy("c_mktsegment")
+  }
+
+  /** I8 through the judged gate (round 12; previously spec-tested
+    * only): watermarked stream-stream interval join — purchases ⋈
+    * clicks by the same user within the preceding hour (the classic
+    * conversion-attribution join). Both sides carry 2 h watermarks and
+    * the join condition carries the time bound, so state is evicted as
+    * event time advances — the 100 TB shape where neither side fits
+    * anywhere. The joined pairs land append-mode in the sink; the
+    * declared result aggregates them per purchase day, and the oracle
+    * replays the identical self-join in SQL.
+    */
+  val streamStreamJoin = DeclaredQuery(
+    "q_stream_stream_join",
+    """SELECT CAST(date_trunc('day', p.ts) AS TIMESTAMP) AS day,
+      |       count(*) AS n_pairs,
+      |       count(DISTINCT p.user_id) AS n_users
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", graft.SparkEnv.stateParts)
+    val qname = "stream_stream_join"
+    val purchases = graft.streaming.Ingest.eventStream(s2, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = graft.streaming.Ingest.eventStream(s2, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    val q = joined.writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation",
+        graft.SparkEnv.scratchDir("graft-stream-ssjoin-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(qname)
+      .groupBy(date_trunc("day", col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_user")).as("n_users"))
+      .orderBy("day")
+  }
+
+  /** I5 through the judged gate (round 12; previously spec-tested
+    * only): streaming exact dedup — dropDuplicates on
+    * (event_type, day, user_id) holds the identity key set in the
+    * state store and emits each key's FIRST arrival (the
+    * at-least-once → exactly-once repair every ingest pipeline runs);
+    * the per-(type, day) count of emitted rows is then COUNT(DISTINCT
+    * user_id) by construction, which the oracle states directly. The
+    * unbounded dropDuplicates is deliberate (deterministic vs any
+    * batching); the watermarked `dropDuplicatesWithinWatermark`
+    * eviction variant stays spec-covered (StreamingSpec).
+    */
+  val streamDedupUsers = DeclaredQuery(
+    "q_stream_dedup_users",
+    """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", graft.SparkEnv.stateParts)
+    val qname = "stream_dedup_users"
+    val dedup = graft.streaming.Ingest.eventStream(s2, d)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("user_id"))
+      .dropDuplicates("event_type", "day", "user_id")
+    val q = dedup.writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation",
+        graft.SparkEnv.scratchDir("graft-stream-dedupu-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(qname)
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type", "day")
+  }
+
   /** I13 (round 12): offline state-store introspection. Runs the
     * daily-counter streaming aggregation to completion (noop sink —
     * the STATE is the artifact), then reads the checkpoint through
@@ -639,5 +762,6 @@ object StreamingQueries {
     Seq(streamHourly, streamMultiGran, streamAccountDaily, streamNearDups,
       streamCorpusGate, streamCleanPipeline, streamSemanticDedup, streamDsir,
       streamDecontaminate, streamLmScores, streamValuePercentiles,
-      streamUniqueUsers, streamTopTypes, streamPsiDrift, stateReader)
+      streamUniqueUsers, streamTopTypes, streamPsiDrift, stateReader,
+      streamStaticJoin, streamStreamJoin, streamDedupUsers)
 }
