@@ -391,7 +391,51 @@ object Maintenance {
       .orderBy("week", "event_type")
   }
 
+  /** Governance audit (round 12): k-anonymity over a quasi-identifier
+    * — the release gate a user-records table (or a training corpus's
+    * metadata sidecar) must pass before leaving the boundary: every
+    * equivalence class of the QI tuple (segment, nation, $1000
+    * balance band) must hold ≥ k individuals, else its members are
+    * re-identifiable by joining public attributes. Reports, per
+    * segment: class count, classes under k=5, rows at risk, and the
+    * minimum class size (the published k of the release). Non-vacuous
+    * at every graded sf (29 unsafe classes / 101 at-risk rows at
+    * sf0.1; the sf0.01 slice is mostly-unsafe — both regimes gated).
+    *
+    * Scale shape: one hash aggregation to class sizes (map-side
+    * partial), one tiny rollup over |QI| classes — the same two-level
+    * shape as q_dq_audit; no joins, no windows. The double band edge
+    * is IEEE-identical across engines (2-decimal values, /1000
+    * correctly rounded in both).
+    */
+  val qKAnonymity = DeclaredQuery(
+    "q_k_anonymity",
+    """WITH classes AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+      |         count(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT c_mktsegment,
+      |  count(*) AS n_classes,
+      |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_unsafe_classes,
+      |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+      |  CAST(min(n) AS BIGINT) AS min_class_size
+      |FROM classes
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val classes = Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("n"))
+    classes.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_unsafe_classes"),
+        sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_at_risk"),
+        min(col("n")).as("min_class_size"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(qUpsertMerge, qScd2History, qRecursiveCte, qDqAudit, qSnapshotDiff,
-      qIncrementalRollup)
+      qIncrementalRollup, qKAnonymity)
 }
