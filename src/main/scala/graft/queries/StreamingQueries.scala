@@ -651,12 +651,20 @@ object StreamingQueries {
   /** I8 through the judged gate (round 12; previously spec-tested
     * only): watermarked stream-stream interval join — purchases ⋈
     * clicks by the same user within the preceding hour (the classic
-    * conversion-attribution join). Both sides carry 2 h watermarks and
-    * the join condition carries the time bound, so state is evicted as
-    * event time advances — the 100 TB shape where neither side fits
-    * anywhere. The joined pairs land append-mode in the sink; the
-    * declared result aggregates them per purchase day, and the oracle
-    * replays the identical self-join in SQL.
+    * conversion-attribution join). The join CONDITION carries the 1 h
+    * time bound; the watermarks govern only state eviction, and the
+    * DECLARED gate sets them to 35 days — past the 31-day fixture
+    * horizon, so NO eviction can occur under ANY ingestion batching
+    * (a leaked maxFilesPerTrigger knob splitting the fixture into
+    * multi-batch runs would otherwise let a 2 h watermark evict
+    * clicks the batch oracle still counts — the round-12 review
+    * finding; the q_stream_dedup_users batching-invariance
+    * discipline applied here). Production sizes the watermark to its
+    * lateness budget for bounded state — those eviction mechanics
+    * stay spec-covered (StreamJoinSpec's watermarked interval join).
+    * The joined pairs land append-mode in the sink; the declared
+    * result aggregates them per purchase day, and the oracle replays
+    * the identical self-join in SQL.
     */
   val streamStreamJoin = DeclaredQuery(
     "q_stream_stream_join",
@@ -675,11 +683,11 @@ object StreamingQueries {
     val purchases = graft.streaming.Ingest.eventStream(s2, d)
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "2 hours")
+      .withWatermark("p_ts", "35 days")
     val clicks = graft.streaming.Ingest.eventStream(s2, d)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "2 hours")
+      .withWatermark("c_ts", "35 days")
     val joined = purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
@@ -720,6 +728,11 @@ object StreamingQueries {
     s2.conf.set("spark.sql.shuffle.partitions", graft.SparkEnv.stateParts)
     val qname = "stream_dedup_users"
     val dedup = graft.streaming.Ingest.eventStream(s2, d)
+      // NULL user_id guard (round-12 review): dropDuplicates keeps
+      // NULL as a key value and the emitted-row count would include
+      // it, but the oracle's COUNT(DISTINCT user_id) excludes NULLs —
+      // the same defense kmv_distinct/q_kmv_distinct_users carry.
+      .filter(col("user_id").isNotNull)
       .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
         col("user_id"))
       .dropDuplicates("event_type", "day", "user_id")
