@@ -109,6 +109,21 @@ class KmvKthAggregator(k: Int) extends KmvStateAggregator[KmvKth](k) {
   override def outputEncoder: Encoder[KmvKth] = Encoders.product[KmvKth]
 }
 
+/** The raw sketch state (sorted sign-flipped minima) as a column —
+  * what makes KMV's SET ALGEBRA expressible relationally: union is
+  * the merge the Aggregator already performs; intersection of two
+  * sketches is `array_intersect` of their state arrays (below
+  * capacity the state IS the full hash set, so the intersection is
+  * exact; past capacity, |A∩B∩minima(U)|/k · est(U) is the standard
+  * estimator — both as plain Column expressions over this output).
+  * This is the operation HLL cannot expose (registers lose identity),
+  * the documented reason this sketch family exists.
+  */
+class KmvArrayAggregator(k: Int) extends KmvStateAggregator[Array[Long]](k) {
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+}
+
 object KmvSketch {
   /** Approximate COUNT(DISTINCT c) via a k-minimum-values sketch.
     * NULL rows do not count: Spark's xxhash64 maps a NULL argument to
@@ -130,4 +145,13 @@ object KmvSketch {
     */
   def kmv_kth(hashed: Column, k: Int): Column =
     udaf(new KmvKthAggregator(k), Encoders.LONG).apply(hashed)
+
+  /** The sketch's state array (sorted minima) for relational set
+    * algebra — see [[KmvArrayAggregator]]. NULL rows skipped.
+    */
+  def kmv_state(c: Column, k: Int = 1024): Column = {
+    import org.apache.spark.sql.functions.when
+    udaf(new KmvArrayAggregator(k), Encoders.LONG)
+      .apply(when(c.isNotNull, xxhash64(c)))
+  }
 }

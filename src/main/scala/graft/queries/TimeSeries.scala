@@ -399,6 +399,47 @@ object TimeSeries {
       .orderBy("bucket")
   }
 
+  /** D5's SET-ALGEBRA leg (round 12): pairwise audience overlap from
+    * KMV sketch STATE — the operation the KmvSketch scaladoc promises
+    * and HLL registers cannot express (register merges lose element
+    * identity; KMV minima keep it). One pass builds a per-event-type
+    * sketch; the 5×5 pairwise overlap is `array_intersect` of the
+    * state arrays — mergeable-state set intersection as a plain
+    * relational expression, no second scan of the corpus. Gated in
+    * the provably-EXACT regime (k=4096 > the 1500-user universe at
+    * every sf, FixtureDriftSpec-pinned): below capacity the state IS
+    * the full distinct-hash set, so the intersection size equals
+    * COUNT(DISTINCT common users), which the oracle states directly —
+    * the q_kmv_exact_distinct discipline extended from cardinality to
+    * set algebra. Past capacity the same state supports the standard
+    * |A∩B∩minima(U)|/k estimator as a Column expression. The exact
+    * relational twin is q_audience_overlap; at 100 TB the sketch path
+    * wins because the |types|·k state merges map-side while the exact
+    * form shuffles every (type, user) pair.
+    */
+  val kmvAudienceOverlap = DeclaredQuery(
+    "q_kmv_audience_overlap",
+    """WITH tu AS (
+      |  SELECT DISTINCT event_type, user_id FROM events
+      |  WHERE user_id IS NOT NULL)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |       CAST(count(*) AS BIGINT) AS n_common_users
+      |FROM tu a JOIN tu b
+      |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val st = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(graft.functions.KmvSketch.kmv_state(col("user_id"), 4096).as("state"))
+    val a = st.select(col("event_type").as("type_a"), col("state").as("sa"))
+    val b = st.select(col("event_type").as("type_b"), col("state").as("sb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long")
+          .as("n_common_users"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** A5/H6: JSON event payload decode — get_json_object on the props
     * column, bucketed counts.
     */
@@ -480,6 +521,7 @@ object TimeSeries {
   val all: Seq[DeclaredQuery] = Seq(
     eventsHourly, eventsRollup, eventsCube, eventsGroupingSets,
     eventsDistinctUsersDaily,
-    eventsApproxUsers, eventsKmvUsers, eventsKmvExact, slidingWindows, statsFuncs,
+    eventsApproxUsers, eventsKmvUsers, eventsKmvExact, kmvAudienceOverlap,
+    slidingWindows, statsFuncs,
     typeCorrelation, jsonExtract, topEventTypesPerUser, heavyHitters)
 }

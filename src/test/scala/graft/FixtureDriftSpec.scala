@@ -196,6 +196,21 @@ class FixtureDriftSpec extends SparkSpec {
     }
   }
 
+  test("q_kmv_audience_overlap stays in the sketch's exact set-algebra " +
+      "regime: the user universe sits below k=4096 at every sf") {
+    // Below capacity the per-type sketch state holds EVERY distinct
+    // user hash, so array_intersect of two states is the exact common
+    // audience — the gate's precondition. A fixture past k re-enters
+    // the estimating regime (the |A∩B∩minima(U)|/k path), which is
+    // spec'd, not hash-gated.
+    for (dir <- Seq(sf001, sf01, sf1)) {
+      val n = Tables.events(spark, dir)
+        .select(countDistinct(col("user_id"))).head().getLong(0)
+      assert(n < 4096L, s"$dir: $n distinct users >= k=4096 — " +
+        "q_kmv_audience_overlap leaves the exact set-algebra regime")
+    }
+  }
+
   test("q_approx_percentiles stays in GK's provably-exact regime: every " +
       "l_returnflag group holds < 5e6 rows (eps*n < 0.5 at accuracy=1e7)") {
     // The round-12 value gate relies on eps*n < 0.5 (accuracy > 2n):
