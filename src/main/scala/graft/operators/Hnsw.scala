@@ -64,10 +64,13 @@ object Hnsw {
     * hash family.
     */
   def levelOf(vecId: Long): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(vecId.toString.getBytes("UTF-8"))
-    val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
-    val fp = java.lang.Long.parseLong(hex, 16) // 60 bits
+    // the ONE portable fp60 implementation (SketchExpressions
+    // discipline: hash math lives in one place so contracts can't
+    // drift) — round-12 review replaced a hex-string reimplementation
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val fp = graft.functions.ShingleScan.md5Fp60(digest,
+      Array.emptyByteArray,
+      org.apache.spark.unsafe.types.UTF8String.fromString(vecId.toString))
     val u = (fp + 1).toDouble / (1L << 60).toDouble // (0, 1]
     math.floor(-math.log(u) * mL).toInt
   }
@@ -237,13 +240,21 @@ object Hnsw {
     * `partitionBy(shard)` per (session, dir) — the cachedExactIvf
     * shape. Deterministic build ⇒ cached ≡ fresh (HnswSpec).
     */
-  def cachedHnswIndex(spark: SparkSession, emb: DataFrame, cacheKey: String): String =
-    indexCache.computeIfAbsent((spark, cacheKey), _ => {
+  def cachedHnswIndex(spark: SparkSession, emb: DataFrame, cacheKey: String): String = {
+    // build OUTSIDE the map (the cachedTrigramModel discipline):
+    // computeIfAbsent would hold the bin lock across the whole index
+    // build+write; racing builds are idempotent (deterministic),
+    // first put wins and the loser's scratch dir is just unused.
+    val cached = indexCache.get((spark, cacheKey))
+    if (cached != null) cached
+    else {
       val path = graft.SparkEnv.scratchDir("hnsw-index")
       buildShardGraphs(emb).write.mode("overwrite")
         .partitionBy("shard").parquet(path)
-      path
-    })
+      val prior = indexCache.putIfAbsent((spark, cacheKey), path)
+      if (prior != null) prior else path
+    }
+  }
 
   /** Scatter-gather ANN top-k: every query searches every shard graph
     * inside that shard's partition (graph loaded once per task, all
@@ -315,8 +326,16 @@ object Hnsw {
     */
   def annHnswTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val emb = graft.Tables.embeddings(spark, dir)
-    if (emb.isEmpty) return annHnsw(buildShardGraphs(emb), emb.limit(0), k)
+    // guard on the BUILD's input (non-null embeddings), not raw rows:
+    // an all-NULL-embedding table would otherwise persist an empty
+    // partitioned dir (no parquet footers) and poison the cache with
+    // a path whose read throws UNABLE_TO_INFER_SCHEMA (round-12
+    // review). The cached read pins the build schema for the same
+    // reason — robust to a zero-file shard directory.
+    val live = emb.filter(col("embedding").isNotNull)
+    if (live.isEmpty) return annHnsw(buildShardGraphs(emb), emb.limit(0), k)
     val path = cachedHnswIndex(spark, emb, dir)
-    annHnsw(spark.read.parquet(path), emb.filter(col("vec_id") < 5), k)
+    annHnsw(spark.read.schema(buildShardGraphs(emb.limit(0)).schema).parquet(path),
+      emb.filter(col("vec_id") < 5), k)
   }
 }

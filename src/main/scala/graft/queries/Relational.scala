@@ -555,9 +555,20 @@ object Relational {
     // materializes once — and the collect was the only extra ACTION
     // in the query, worth a whole ~0.3 s per-action floor on every
     // re-run. Disclosed in BASELINE_full's artifact-backed row.
-    val brands = brandDict.computeIfAbsent((s, d), _ =>
-      Tables.part(s, d).select("p_brand").distinct()
-        .orderBy("p_brand").collect().map(_.getString(0)))
+    // compute OUTSIDE the map (the cachedTrigramModel discipline):
+    // computeIfAbsent would hold the bin lock across a Spark job,
+    // stalling concurrent lookups; racing computes are idempotent
+    // (deterministic derivation), first put wins.
+    val brands = {
+      val cached = brandDict.get((s, d))
+      if (cached != null) cached
+      else {
+        val built = Tables.part(s, d).select("p_brand").distinct()
+          .orderBy("p_brand").collect().map(_.getString(0))
+        val prior = brandDict.putIfAbsent((s, d), built)
+        if (prior != null) prior else built
+      }
+    }
     require(brands.length <= 64,
       s"q_brand_affinity: ${brands.length} brands exceed single-mask capacity 64")
     // typedLit rather than map(...): a zero-entry map() literal is
