@@ -77,4 +77,41 @@ class ApproxDistinctSpec extends SparkSpec {
         s"$day: approx=${viaUnion(day)} exact=$n")
     }
   }
+
+  test("KMV set-algebra ESTIMATING regime: past capacity, the " +
+      "|A∩B∩minima(U)|/k overlap estimator lands within the rsd band") {
+    // q_kmv_audience_overlap's gate covers the exact regime (universe
+    // < k, FixtureDriftSpec-pinned); this pins the documented
+    // past-capacity path the scaladoc and SCALING claim: with a
+    // synthetic universe ≫ k, estimate |A∩B| as
+    // (|sketch(A) ∩ sketch(B) ∩ minima_k(A∪B)| / k) · est(|A∪B|).
+    // Planted overlap: A = [0, 8000), B = [4000, 12000) → |A∩B| = 4000,
+    // |A∪B| = 12000. k = 256 → rsd ≈ 1/√(k−2) ≈ 6.3%; assert 4 rsd.
+    import spark.implicits._
+    import graft.functions.KmvSketch
+    val k = 256
+    val a = (0L until 8000L).toDF("u").select(lit("a").as("s"), col("u"))
+    val b = (4000L until 12000L).toDF("u").select(lit("b").as("s"), col("u"))
+    val st = a.union(b).groupBy("s")
+      .agg(KmvSketch.kmv_state(col("u"), k).as("state"),
+        KmvSketch.kmv_distinct(col("u"), k).as("est"))
+      .as[(String, Array[Long], Long)].collect()
+      .map { case (s, st2, e) => s -> (st2, e) }.toMap
+    val sa = st("a")._1.toSet
+    val sb = st("b")._1.toSet
+    // union sketch = k smallest of the merged minima (state arrays are
+    // sign-flipped ascending, so plain sort ≡ unsigned order)
+    val unionMinima = (st("a")._1 ++ st("b")._1).distinct.sorted.take(k)
+    val estUnion = {
+      val frac = (unionMinima.last.toDouble - Long.MinValue.toDouble) / math.pow(2, 64)
+      math.round((k - 1) / frac)
+    }
+    val rho = unionMinima.count(h => sa.contains(h) && sb.contains(h)).toDouble / k
+    val estOverlap = rho * estUnion
+    val rsd = 1.0 / math.sqrt(k - 2)
+    assert(math.abs(estUnion - 12000.0) / 12000.0 <= 4 * rsd,
+      s"union est $estUnion vs 12000")
+    assert(math.abs(estOverlap - 4000.0) / 4000.0 <= 4 * rsd * 2,
+      s"overlap est $estOverlap vs 4000 (rsd=$rsd)")
+  }
 }
