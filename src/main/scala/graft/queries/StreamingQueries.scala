@@ -749,6 +749,52 @@ object StreamingQueries {
       .orderBy("event_type", "day")
   }
 
+  /** I6's TIMER leg through the judged gate (round 12): abandoned
+    * sessions detected by EVENT-TIME TIMERS — see
+    * [[graft.streaming.AbandonedSessions]]. The oracle sessionizes in
+    * SQL (strict 30-min gap, gaps-and-islands) and applies the
+    * watermark cut as a WHERE clause: only sessions whose close time
+    * (last event + 30 min) is ≤ the corpus max event time are closed —
+    * the same set the stream's timers fire for; in-flight tail
+    * sessions are withheld by both engines. Report: per day of
+    * session start, closed sessions, abandoned (no purchase), and the
+    * event volume trapped in abandoned sessions.
+    */
+  val streamAbandonedSessions = DeclaredQuery(
+    "q_stream_abandoned_sessions",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_type FROM events WHERE user_id IS NOT NULL),
+      |m AS (SELECT max(ts) AS mx FROM e),
+      |s AS (
+      |  SELECT user_id, ts, event_type,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |        ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+      |sess AS (
+      |  SELECT user_id, sid, min(ts) AS start_ts, max(ts) AS last_ts,
+      |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased,
+      |         count(*) AS n_events
+      |  FROM g GROUP BY 1, 2)
+      |SELECT CAST(date_trunc('day', start_ts) AS TIMESTAMP) AS day,
+      |       count(*) AS n_closed,
+      |       CAST(sum(1 - purchased) AS BIGINT) AS n_abandoned,
+      |       CAST(sum(CASE WHEN purchased = 0 THEN n_events ELSE 0 END) AS BIGINT) AS abandoned_events
+      |FROM sess, m
+      |WHERE last_ts + INTERVAL 30 MINUTE <= m.mx
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.streaming.AbandonedSessions.closedSessions(s, d)
+      .groupBy(date_trunc("day", timestamp_micros(col("startT"))).as("day"))
+      .agg(count(lit(1)).as("n_closed"),
+        sum(when(col("purchased"), 0L).otherwise(1L)).as("n_abandoned"),
+        sum(when(col("purchased"), 0L).otherwise(col("nEvents")))
+          .as("abandoned_events"))
+      .orderBy("day")
+  }
+
   /** I13 (round 12): offline state-store introspection. Runs the
     * daily-counter streaming aggregation to completion (noop sink —
     * the STATE is the artifact), then reads the checkpoint through
@@ -776,5 +822,6 @@ object StreamingQueries {
       streamCorpusGate, streamCleanPipeline, streamSemanticDedup, streamDsir,
       streamDecontaminate, streamLmScores, streamValuePercentiles,
       streamUniqueUsers, streamTopTypes, streamPsiDrift, stateReader,
-      streamStaticJoin, streamStreamJoin, streamDedupUsers)
+      streamStaticJoin, streamStreamJoin, streamDedupUsers,
+      streamAbandonedSessions)
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Encoders, SparkSession}
 
 /** Spark 4 transformWithState (SURVEY.md §2 I6, the successor API to
@@ -55,6 +56,35 @@ class TransformWithStateSpec extends SparkSpec {
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
+
+  test("event-time timers emit exactly the watermark-certified sessions " +
+      "(q_stream_abandoned_sessions' cut is real, not vacuous)") {
+    import org.apache.spark.sql.functions._
+    // batch truth: sessionize (strict 30-min gap) and split sessions
+    // into closed (last + 30min <= corpus max) vs in-flight
+    val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val sess = ev
+      .withColumn("brk", when(lag(col("ts"), 1).over(w).isNull
+        .or(col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double") > 1800.0), 1)
+        .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n"))
+    val total = sess.count()
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val closed = sess.filter(
+      col("last_ts").cast("double") * 1000 + 1800000 <= mx).count()
+    // the stream must emit exactly the closed set — and the cut must
+    // be non-trivial (some user's tail session is in flight)
+    val emitted = graft.streaming.AbandonedSessions
+      .closedSessions(spark, sf).count()
+    assert(emitted == closed, s"timers emitted $emitted, batch closed $closed")
+    assert(emitted < total, s"watermark cut is vacuous: all $total sessions closed")
   }
 
   test("transformWithState keeps per-key running counts across batches") {
