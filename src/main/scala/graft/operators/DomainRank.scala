@@ -67,18 +67,8 @@ object DomainRank {
     (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame, Long)]()
 
   def cachedSourceGraph(s: org.apache.spark.sql.SparkSession,
-      d: String): (DataFrame, DataFrame, Long) = {
-    // build OUTSIDE the map (the cachedTrigramModel discipline): the
-    // |V| count is an action; computeIfAbsent would hold the bin lock
-    // across it. Racing builds are idempotent; first put wins.
-    val cached = graphCache.get((s, d))
-    if (cached != null) cached
-    else {
-      val built = sourceGraph(Tables.documents(s, d))
-      val prior = graphCache.putIfAbsent((s, d), built)
-      if (prior != null) prior else built
-    }
-  }
+      d: String): (DataFrame, DataFrame, Long) =
+    graft.Memo.memo(graphCache, (s, d))(sourceGraph(Tables.documents(s, d)))
 
   /** (src, dst, w, outw) weighted domain edges + (source, idx)
     * dictionary + |V|. One corpus scan; everything else is

@@ -66,18 +66,8 @@ object GraphOps {
   /** Undirected support-filtered edges (a < b) of the supplier
     * co-occurrence graph.
     */
-  def supplierEdges(s: SparkSession, d: String): DataFrame = {
-    // build OUTSIDE the map (the cachedTrigramModel discipline):
-    // localCheckpoint is an eager job; computeIfAbsent would hold the
-    // bin lock across it. Racing builds are idempotent; first put wins.
-    val cached = edgeCache.get((s, d))
-    if (cached != null) cached
-    else {
-      val built = buildSupplierEdges(s, d)
-      val prior = edgeCache.putIfAbsent((s, d), built)
-      if (prior != null) prior else built
-    }
-  }
+  def supplierEdges(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(edgeCache, (s, d))(buildSupplierEdges(s, d))
 
   private def buildSupplierEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))

@@ -240,21 +240,13 @@ object Hnsw {
     * `partitionBy(shard)` per (session, dir) — the cachedExactIvf
     * shape. Deterministic build ⇒ cached ≡ fresh (HnswSpec).
     */
-  def cachedHnswIndex(spark: SparkSession, emb: DataFrame, cacheKey: String): String = {
-    // build OUTSIDE the map (the cachedTrigramModel discipline):
-    // computeIfAbsent would hold the bin lock across the whole index
-    // build+write; racing builds are idempotent (deterministic),
-    // first put wins and the loser's scratch dir is just unused.
-    val cached = indexCache.get((spark, cacheKey))
-    if (cached != null) cached
-    else {
+  def cachedHnswIndex(spark: SparkSession, emb: DataFrame, cacheKey: String): String =
+    graft.Memo.memo(indexCache, (spark, cacheKey)) {
       val path = graft.SparkEnv.scratchDir("hnsw-index")
       buildShardGraphs(emb).write.mode("overwrite")
         .partitionBy("shard").parquet(path)
-      val prior = indexCache.putIfAbsent((spark, cacheKey), path)
-      if (prior != null) prior else path
+      path
     }
-  }
 
   /** Scatter-gather ANN top-k: every query searches every shard graph
     * inside that shard's partition (graph loaded once per task, all
@@ -324,18 +316,34 @@ object Hnsw {
   /** The AnnRecallSpec probe shape shared by the other variants:
     * queries = vec_id < 5 of the corpus, k = 3, cached index.
     */
+  /** The persisted adjacency schema, pinned statically (round-12
+    * review: deriving it per call via buildShardGraphs(limit(0))
+    * built a full Dataset plan on every warm probe). Must stay in
+    * lockstep with [[buildShardGraphs]]'s toDF columns; HnswSpec's
+    * cached-vs-fresh equality would catch drift.
+    */
+  private val indexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("shard", IntegerType),
+      StructField("vec_id", LongType),
+      StructField("level", IntegerType),
+      StructField("vec", ArrayType(FloatType)),
+      StructField("nbrs", ArrayType(ArrayType(LongType)))))
+  }
+
   def annHnswTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val emb = graft.Tables.embeddings(spark, dir)
     // guard on the BUILD's input (non-null embeddings), not raw rows:
     // an all-NULL-embedding table would otherwise persist an empty
     // partitioned dir (no parquet footers) and poison the cache with
     // a path whose read throws UNABLE_TO_INFER_SCHEMA (round-12
-    // review). The cached read pins the build schema for the same
-    // reason — robust to a zero-file shard directory.
+    // review). The cached read pins the schema for the same reason —
+    // robust to a zero-file shard directory.
     val live = emb.filter(col("embedding").isNotNull)
     if (live.isEmpty) return annHnsw(buildShardGraphs(emb), emb.limit(0), k)
     val path = cachedHnswIndex(spark, emb, dir)
-    annHnsw(spark.read.schema(buildShardGraphs(emb.limit(0)).schema).parquet(path),
+    annHnsw(spark.read.schema(indexSchema).parquet(path),
       emb.filter(col("vec_id") < 5), k)
   }
 }

@@ -522,20 +522,8 @@ object Similarity {
       groupedDedupEdges(assigned, tau, blocks))
     val labels =
       if (cacheKey.isEmpty) build()
-      else {
-        // build OUTSIDE the map (the cachedTrigramModel discipline):
-        // componentsStar runs O(log n) iterative jobs; computeIfAbsent
-        // would hold the bin lock across all of them. Racing builds
-        // are idempotent; first put wins.
-        val key = (assigned.sparkSession, cacheKey)
-        val cached = dedupLabelCache.get(key)
-        if (cached != null) cached
-        else {
-          val built = build()
-          val prior = dedupLabelCache.putIfAbsent(key, built)
-          if (prior != null) prior else built
-        }
-      }
+      else graft.Memo.memo(dedupLabelCache,
+        (assigned.sparkSession, cacheKey))(build())
     assigned.select(col("vec_id"), col("grp"))
       .join(labels.select(col("node").as("vec_id"), col("label")), Seq("vec_id"), "left")
       .select(col("vec_id"), col("grp"),

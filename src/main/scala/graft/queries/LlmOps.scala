@@ -458,20 +458,9 @@ object LlmOps {
       |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    // build OUTSIDE the map (the cachedTrigramModel discipline):
-    // componentsStar runs O(log n) iterative jobs; computeIfAbsent
-    // would hold the bin lock across all of them. Racing builds are
-    // idempotent; first put wins.
-    val labels = {
-      val cached = ccLabelCache.get((s, d))
-      if (cached != null) cached
-      else {
-        val built = graft.operators.Dedup.componentsStar(
-          exactNearDupStats(docs).select("id_a", "id_b"))
-        val prior = ccLabelCache.putIfAbsent((s, d), built)
-        if (prior != null) prior else built
-      }
-    }
+    val labels = graft.Memo.memo(ccLabelCache, (s, d))(
+      graft.operators.Dedup.componentsStar(
+        exactNearDupStats(docs).select("id_a", "id_b")))
     docs.select("doc_id")
       .join(labels.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))

@@ -555,20 +555,9 @@ object Relational {
     // materializes once — and the collect was the only extra ACTION
     // in the query, worth a whole ~0.3 s per-action floor on every
     // re-run. Disclosed in BASELINE_full's artifact-backed row.
-    // compute OUTSIDE the map (the cachedTrigramModel discipline):
-    // computeIfAbsent would hold the bin lock across a Spark job,
-    // stalling concurrent lookups; racing computes are idempotent
-    // (deterministic derivation), first put wins.
-    val brands = {
-      val cached = brandDict.get((s, d))
-      if (cached != null) cached
-      else {
-        val built = Tables.part(s, d).select("p_brand").distinct()
-          .orderBy("p_brand").collect().map(_.getString(0))
-        val prior = brandDict.putIfAbsent((s, d), built)
-        if (prior != null) prior else built
-      }
-    }
+    val brands = graft.Memo.memo(brandDict, (s, d))(
+      Tables.part(s, d).select("p_brand").distinct()
+        .orderBy("p_brand").collect().map(_.getString(0)))
     require(brands.length <= 64,
       s"q_brand_affinity: ${brands.length} brands exceed single-mask capacity 64")
     // typedLit rather than map(...): a zero-entry map() literal is

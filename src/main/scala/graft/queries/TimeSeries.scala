@@ -437,6 +437,11 @@ object TimeSeries {
       .select(col("type_a"), col("type_b"),
         size(array_intersect(col("sa"), col("sb"))).cast("long")
           .as("n_common_users"))
+      // zero-overlap pairs are OMITTED, matching the oracle's inner
+      // join on user_id, which produces no row for a disjoint pair
+      // (round-12 review: emitting n=0 rows would red the gate on any
+      // fixture with a non-overlapping type pair)
+      .filter(col("n_common_users") > 0)
       .orderBy("type_a", "type_b")
   }
 

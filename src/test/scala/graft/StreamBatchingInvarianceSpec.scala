@@ -20,9 +20,6 @@ class StreamBatchingInvarianceSpec extends SparkSpec {
     val dir = SparkEnv.scratchDir("chunked-sf")
     spark.read.parquet(s"$sf/events.parquet").repartition(4)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    // the stream-static join also needs the dim table beside it
-    spark.read.parquet(s"$sf/customer.parquet")
-      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     dir
   }
 

@@ -76,9 +76,12 @@ class TransformWithStateSpec extends SparkSpec {
       .groupBy("user_id", "sid")
       .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n"))
     val total = sess.count()
-    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    // µs precision throughout — getTimestamp().getTime would ms-floor
+    // mx while last_ts keeps µs, a mixed cut matching neither engine
+    // on boundary rows (round-12 review)
+    val mx = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
     val closed = sess.filter(
-      col("last_ts").cast("double") * 1000 + 1800000 <= mx).count()
+      unix_micros(col("last_ts")) + 1800000000L <= mx).count()
     // the stream must emit exactly the closed set — and the cut must
     // be non-trivial (some user's tail session is in flight)
     val emitted = graft.streaming.AbandonedSessions
