@@ -99,6 +99,14 @@ class KmvSketchAggregator(k: Int) extends KmvStateAggregator[Long](k) {
   * integer, so the emitted estimate is bit-identical by construction
   * — the q_stats_funcs exact-moments discipline applied to a sketch.
   * kth = -1 below capacity (the exact regime; never consumed there).
+  *
+  * `cnt` is NOT an exact cardinality: the buffer is capped at k, so
+  * cnt = min(distinct-hash count, k). The declared query's CASE
+  * branches on `cnt < k` (exact regime) vs `cnt >= k` (estimating
+  * regime), and the capped value and the true distinct count select
+  * the SAME branch in every case — below capacity they are equal, at
+  * or past capacity both are >= k — which is the only property the
+  * gate consumes. Callers must not treat cnt as a distinct count.
   */
 case class KmvKth(cnt: Long, kth: Long)
 

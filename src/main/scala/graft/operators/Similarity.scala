@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{DeclaredQuery, Tables}
 import graft.functions.VectorFunctions.vec_dot
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -154,10 +154,10 @@ object Similarity {
   def buildIvfIndex(candidates: DataFrame, nCells: Int = 16,
       seed: Long = 42L): Option[IvfIndex] = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
-    val toVec = udf((a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
-    val withFeatures = candidates.withColumn("features", toVec(col("embedding")))
+    // Spark's own array->Vector bridge (ml.functions.array_to_vector;
+    // the float array upcasts to double on the way in) — no hand UDF.
+    val withFeatures = candidates.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
     if (withFeatures.isEmpty) None
     else {
       val model = new KMeans().setK(nCells).setSeed(seed)
@@ -175,25 +175,35 @@ object Similarity {
     * within the probed fraction. Works identically against a freshly
     * built index or one reloaded from a cell-partitioned table.
     */
-  /** nProbe-nearest-centroid cell list per query vector (MLlib
-    * training interop — the model is driver-resident, the udf closure
-    * carries only nCells×64 floats).
+  /** nProbe-nearest-centroid cell list per query vector, as a pure
+    * Column expression over embedded centroid constants (nCells×64
+    * floats — model parameters, not data; literal arrays in the plan
+    * exactly like the hyperplane constants in q_ann_lsh). Arithmetic
+    * matches the trainer's scalar loop bit-for-bit: float subtract,
+    * float multiply, double accumulate. Distance ties break by cell
+    * id via lexicographic struct ordering — the same order a stable
+    * sort over the index-ordered centroid array produces. Codegen'd
+    * end to end; replaces the last hand `udf` in main source.
     */
-  private def probeCellsUdf(
-      centroids: Array[(org.apache.spark.ml.linalg.Vector, Int)], nProbe: Int) =
-    udf { (q: Seq[Float]) =>
-      centroids.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < q.length) { val t = q(j) - c(j); d += t * t; j += 1 }
-        (i, d)
-      }.sortBy(_._2).take(nProbe).map(_._1)
+  private def probeCellsCol(
+      centroids: Array[(org.apache.spark.ml.linalg.Vector, Int)],
+      nProbe: Int, q: Column): Column = {
+    val scored = centroids.map { case (c, i) =>
+      val cLit = lit(c.toArray.map(_.toFloat))
+      val d = aggregate(
+        zip_with(q, cLit, (a, b) => ((a - b) * (a - b)).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d.as("d"), lit(i).as("i"))
     }
+    transform(slice(array_sort(array(scored.toIndexedSeq: _*)), 1, nProbe),
+      s => s.getField("i"))
+  }
 
   def probeIvf(index: IvfIndex, queries: DataFrame, k: Int,
       nProbe: Int = 2): DataFrame = {
     val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("cell", explode(probeCellsUdf(index.centroids, nProbe)(col("q_emb"))))
+      .withColumn("cell", explode(probeCellsCol(index.centroids, nProbe, col("q_emb"))))
     val sims = index.indexed.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -280,15 +290,16 @@ object Similarity {
   def trainPq(candidates: DataFrame, m: Int = 8, ksub: Int = 16,
       seed: Long = 42L): Option[graft.functions.PqModel] = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
     require(Dim % m == 0,
       s"trainPq: m=$m must divide Dim=$Dim (trailing dims would be silently dropped)")
     if (candidates.isEmpty) return None
     val dsub = Dim / m
-    val sliceVec = udf((a: Seq[Float], s: Int) =>
-      Vectors.dense(a.slice(s * dsub, (s + 1) * dsub).map(_.toDouble).toArray))
     val cents = (0 until m).map { s =>
-      val sub = candidates.withColumn("features", sliceVec(col("embedding"), lit(s)))
+      // built-in slice (1-based) + Spark's array->Vector bridge — the
+      // per-subspace feature column without a hand UDF
+      val sub = candidates.withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector(
+          slice(col("embedding"), s * dsub + 1, dsub)))
       new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(5)
         .setFeaturesCol("features").setPredictionCol("code")
         .fit(sub)
@@ -373,7 +384,7 @@ object Similarity {
     // (round-5 verdict #3)
     val coded = codedRel.getOrElse(ivfPqCodes(index, model))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("cell", explode(probeCellsUdf(index.centroids, nProbe)(col("q_emb"))))
+      .withColumn("cell", explode(probeCellsCol(index.centroids, nProbe, col("q_emb"))))
     // cells are disjoint, so each (query, member) pair appears once
     val approx = coded.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -699,9 +710,14 @@ object Similarity {
     val pts = ivfPts(emb).localCheckpoint(false) // 2·updates+3 consumers
     val fp = expr(
       "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    // distributed top-nCells (TakeOrderedAndProject) FIRST, then the
+    // global rank window runs over <= nCells rows — the Retrieval
+    // rank-after-top-k idiom; same rows/numbering as ranking the full
+    // relation (WindowGroupLimit pruned that form too, but this shape
+    // never plans a full-relation WindowExec at all)
     val seeds = emb.select(col("vec_id"), fp.as("fp"))
+      .orderBy(col("fp"), col("vec_id")).limit(nCells)
       .withColumn("rn", row_number().over(Window.orderBy("fp", "vec_id")))
-      .filter(col("rn") <= nCells)
       .select(col("vec_id"), (col("rn") - 1).as("cell"))
     def distances(cents: DataFrame): DataFrame = pts.join(cents, "d")
       .select(col("vec_id"), col("cell"),
@@ -885,9 +901,10 @@ object Similarity {
       .localCheckpoint(false) // 2·updates+3 consumers
     val fp = expr(
       "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    // rank after distributed top-ksub — see exactIvfTrain's seeds
     val seeds = emb.select(col("vec_id"), fp.as("fp"))
+      .orderBy(col("fp"), col("vec_id")).limit(ksub)
       .withColumn("rn", row_number().over(Window.orderBy("fp", "vec_id")))
-      .filter(col("rn") <= ksub)
       .select(col("vec_id"), (col("rn") - 1).as("code"))
     def distances(books: DataFrame): DataFrame = pts
       .join(books.select(col("code"), col("d"), col("c")), "d")

@@ -719,9 +719,16 @@ object StreamingQueries {
     */
   val streamDedupUsers = DeclaredQuery(
     "q_stream_dedup_users",
+    // The WHERE mirrors the stream side's NULL-user filter at GROUP
+    // granularity (round-13 advice): without it, a (type, day) group
+    // containing ONLY null-user rows would yield an oracle row with
+    // n_users = 0 while the stream omits the group entirely. Filtering
+    // before grouping makes group omission semantics identical by
+    // construction instead of by fixture accident.
     """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
       |       count(DISTINCT user_id) AS n_users
       |FROM events
+      |WHERE user_id IS NOT NULL
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
     val s2 = s.newSession()
