@@ -224,9 +224,128 @@ object Hnsw {
           rows.sortBy(_._1).foreach { case (id, vec, _) =>
             g.insert(id, vec, levelOf(id))
           }
-          g.ids.indices.map { i =>
-            (shard, g.ids(i), g.levels(i), g.vecs(i),
-              g.nbrs(i).map(_.map(g.ids(_)).toArray).toArray)
+          emitRows(shard, g)
+        }
+      }
+      .toDF("shard", "vec_id", "level", "vec", "nbrs")
+  }
+
+  /** Rebuild the in-memory graph from persisted adjacency rows
+    * (vec_id, level, vec, nbrs) WITHOUT re-running insertion: nodes in
+    * ascending vec_id, persisted id-adjacency translated to positions.
+    * The result is bit-identical to the state [[buildShardGraphs]]'s
+    * builder left behind: ascending insertion gives the same node
+    * positions, the persisted buffers preserve neighbor-list order,
+    * and the entry rule (max level, tie -> min id) reproduces the
+    * builder's first-node-to-reach-max-level entry point exactly —
+    * which is what lets [[upsertHnsw]]'s fast path CONTINUE insertion
+    * on a reconstructed graph as if the build had never stopped.
+    */
+  private def reconstruct(
+      rows: Seq[(Long, Int, Array[Float], Array[Array[Long]])]): ShardGraph = {
+    val g = new ShardGraph
+    val sorted = rows.sortBy(_._1)
+    sorted.foreach { case (id, level, vec, _) =>
+      val node = g.ids.length
+      g.ids += id; g.vecs += vec; g.levels += level
+      g.nbrs += Array.fill(level + 1)(scala.collection.mutable.ArrayBuffer[Int]())
+      g.idx(id) = node
+      if (g.entry < 0 || level > g.levels(g.entry) ||
+        (level == g.levels(g.entry) && id < g.ids(g.entry))) g.entry = node
+    }
+    sorted.foreach { case (id, _, _, nb) =>
+      val node = g.idx(id)
+      nb.zipWithIndex.foreach { case (lvl, l) =>
+        g.nbrs(node)(l) ++= lvl.flatMap(g.idx.get(_))
+      }
+    }
+    g
+  }
+
+  private def emitRows(shard: Int, g: ShardGraph)
+      : Seq[(Int, Long, Int, Array[Float], Array[Array[Long]])] =
+    g.ids.indices.map { i =>
+      (shard, g.ids(i), g.levels(i), g.vecs(i),
+        g.nbrs(i).map(_.map(g.ids(_)).toArray).toArray)
+    }
+
+  /** Online insertion — the index's incremental-upsert story (the one
+    * capability gap a serving deployment hits with build-once/
+    * rebuild-never). Semantics: upsert rows into the shard that owns
+    * them (pmod(vec_id, shards), the build's placement rule); the
+    * returned adjacency relation equals [[buildShardGraphs]] over the
+    * merged corpus EXACTLY — HnswSpec's law: insert-then-search ≡
+    * rebuild-then-search, byte-level on the adjacency.
+    *
+    * Cost model, per the law's two regimes:
+    *  - APPEND (every new id above the shard's current max — the
+    *    ascending-ingest posture `streaming/StreamPipeline.scala`
+    *    already documents): the shard's built graph is reconstructed
+    *    from its persisted adjacency and insertion simply CONTINUES —
+    *    O(new·ef·log n) per shard, no rebuild. Bit-parity with the
+    *    full build holds because ascending insertion makes
+    *    (old asc, then new asc) the full build's exact insertion
+    *    sequence, and [[reconstruct]] restores the builder's state.
+    *  - REPLACE or out-of-order ids: that shard alone rebuilds from
+    *    raw vectors (new vec wins on id collision — true upsert);
+    *    HNSW has no principled delete, so replace = shard rebuild by
+    *    design (the 8.7×-per-decade build cost applies to ONE shard,
+    *    not the corpus).
+    * Untouched shards pass through verbatim — no graph work, no
+    * reconstruction; persisted `partitionBy(shard)` layouts rewrite
+    * only the touched partitions (dynamic partition overwrite).
+    *
+    * `touchedShards` (test hook): counts shards that did graph work.
+    */
+  def upsertHnsw(graph: DataFrame, newRows: DataFrame,
+      shards: Int = NumShards,
+      touchedShards: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val existing = graph
+      .select(col("shard"), col("vec_id"), col("level"), col("vec"),
+        col("nbrs"), lit(false).as("is_new"))
+    val incoming = newRows
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+      .select(pmod(col("vec_id"), lit(shards)).cast("int").as("shard"),
+        col("vec_id"), lit(0).as("level"), col("embedding").as("vec"),
+        lit(null).cast("array<array<bigint>>").as("nbrs"),
+        lit(true).as("is_new"))
+    existing.unionAll(incoming)
+      .repartition(shards, col("shard"))
+      .as[(Int, Long, Int, Array[Float], Array[Array[Long]], Boolean)]
+      .mapPartitions { it =>
+        it.toVector.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+          val (news, olds) = rows.partition(_._6)
+          if (news.isEmpty) {
+            rows.iterator.map(r => (shard, r._2, r._3, r._4, r._5))
+          } else {
+            touchedShards.foreach(_.add(1L))
+            val maxOld = if (olds.isEmpty) Long.MinValue else olds.map(_._2).max
+            val g =
+              if (olds.nonEmpty && news.forall(_._2 > maxOld)) {
+                // append fast path: continue insertion on the
+                // reconstructed built state
+                val cont = reconstruct(olds.map(r => (r._2, r._3, r._4, r._5)))
+                news.sortBy(_._2).foreach { case (_, id, _, vec, _, _) =>
+                  cont.insert(id, vec, levelOf(id))
+                }
+                cont
+              } else {
+                // replace / out-of-order: rebuild this shard from raw
+                // vectors, new vec winning an id collision
+                val byId = scala.collection.mutable.LinkedHashMap[Long, Array[Float]]()
+                olds.foreach(r => byId(r._2) = r._4)
+                news.foreach(r => byId(r._2) = r._4)
+                val fresh = new ShardGraph
+                byId.toSeq.sortBy(_._1).foreach { case (id, vec) =>
+                  fresh.insert(id, vec, levelOf(id))
+                }
+                fresh
+              }
+            emitRows(shard, g)
           }
         }
       }
@@ -270,25 +389,7 @@ object Hnsw {
       .as[(Int, Long, Int, Array[Float], Array[Array[Long]])]
       .mapPartitions { it =>
         it.toVector.groupBy(_._1).iterator.flatMap { case (_, rows) =>
-          val g = new ShardGraph
-          // rebuild the in-memory graph WITHOUT re-running insertion:
-          // nodes in ascending vec_id, then translate persisted id
-          // adjacency to positions
-          val sorted = rows.sortBy(_._2)
-          sorted.foreach { case (_, id, level, vec, _) =>
-            val node = g.ids.length
-            g.ids += id; g.vecs += vec; g.levels += level
-            g.nbrs += Array.fill(level + 1)(scala.collection.mutable.ArrayBuffer[Int]())
-            g.idx(id) = node
-            if (g.entry < 0 || level > g.levels(g.entry) ||
-              (level == g.levels(g.entry) && id < g.ids(g.entry))) g.entry = node
-          }
-          sorted.foreach { case (_, id, _, _, nb) =>
-            val node = g.idx(id)
-            nb.zipWithIndex.foreach { case (lvl, l) =>
-              g.nbrs(node)(l) ++= lvl.flatMap(g.idx.get(_))
-            }
-          }
+          val g = reconstruct(rows.map(r => (r._2, r._3, r._4, r._5)))
           qs.iterator.flatMap { case (qId, qVec) =>
             // k+1 then self-exclude: the query vector lives in exactly
             // one shard and always wins rank 1 there (dot = 1); asking

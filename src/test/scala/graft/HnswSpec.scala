@@ -82,4 +82,58 @@ class HnswSpec extends SparkSpec {
     val res = Hnsw.annHnsw(Hnsw.buildShardGraphs(empty), empty)
     assert(res.collect().isEmpty)
   }
+
+  private def adjacency(df: org.apache.spark.sql.DataFrame): Array[String] =
+    df.orderBy("shard", "vec_id").collect().map(_.toString)
+
+  test("upsert law, append regime: insert-then-search ≡ rebuild-then-search " +
+      "(byte-identical adjacency, only owning shards touched)") {
+    val ids = emb.select(max("vec_id")).head.getLong(0)
+    val cut = ids - ids / 5 // last ~20% of ids arrive later
+    val old = emb.filter(col("vec_id") <= cut)
+    val late = emb.filter(col("vec_id") > cut)
+    assert(!late.isEmpty, "fixture must leave a non-empty tail")
+    val touched = spark.sparkContext.longAccumulator("touchedShards")
+    val upserted = Hnsw.upsertHnsw(
+      Hnsw.buildShardGraphs(old), late, touchedShards = Some(touched))
+    // every new id exceeds every old id, so each touched shard takes
+    // the append fast path (reconstruct + continue insertion) and the
+    // result must equal building the merged corpus from scratch,
+    // byte-for-byte — the law that makes incremental ingest safe
+    assert(adjacency(upserted).sameElements(adjacency(Hnsw.buildShardGraphs(emb))))
+    assert(touched.value > 0 && touched.value <= Hnsw.NumShards)
+  }
+
+  test("upsert law, rebuild regime: out-of-order and replacing ids still " +
+      "equal the full rebuild (new vector wins an id collision)") {
+    // interleaved: odd ids arrive after even ids — no shard can append
+    val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val up1 = Hnsw.upsertHnsw(Hnsw.buildShardGraphs(evens), odds)
+    assert(adjacency(up1).sameElements(adjacency(Hnsw.buildShardGraphs(emb))))
+    // replace: re-upsert vec_id 0 with a different vector; result must
+    // equal a fresh build over the corpus carrying the replacement
+    val replaced = emb.withColumn("embedding",
+      when(col("vec_id") === 0,
+        expr("transform(embedding, x -> CAST(-x AS FLOAT))"))
+        .otherwise(col("embedding")))
+    val up2 = Hnsw.upsertHnsw(
+      Hnsw.buildShardGraphs(emb), replaced.filter(col("vec_id") === 0))
+    assert(adjacency(up2).sameElements(adjacency(Hnsw.buildShardGraphs(replaced))))
+  }
+
+  test("upsert leaves unowned shards untouched (pass-through, no graph work)") {
+    val ids = emb.select(max("vec_id")).head.getLong(0)
+    // tail ids all landing in ONE shard: ids > cut with pmod == 2
+    val old = emb.filter(col("vec_id") <= ids - 40)
+    val late = emb.filter(col("vec_id") > ids - 40 &&
+      pmod(col("vec_id"), lit(Hnsw.NumShards)) === 2)
+    assert(!late.isEmpty)
+    val touched = spark.sparkContext.longAccumulator("touchedShards")
+    val up = Hnsw.upsertHnsw(Hnsw.buildShardGraphs(old), late,
+      touchedShards = Some(touched))
+    up.queryExecution.toRdd.count() // force execution
+    assert(touched.value == 1L,
+      s"only shard 2 owns new ids, but ${touched.value} shards did graph work")
+  }
 }
