@@ -39,6 +39,30 @@ object SparkEnv {
   def stateParts: String = sys.props.getOrElse("graft.test.stateParts",
     sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "2"))
 
+  /** Cloned session for a stateful streaming pipeline (round 13 —
+    * was 14 scattered newSession+conf.set blocks): state-partition
+    * count sized to state volume ([[stateParts]]), and the state-store
+    * provider selectable for measurement without a code change
+    * (sys-prop `graft.test.stateProvider` / env
+    * SPARK_GRAFT_STATE_PROVIDER = "rocksdb" — tools/StateAbProf's
+    * same-JVM A/B). transformWithState pipelines pass rocksdb=true
+    * unconditionally (Spark 4 requires that provider). The measured
+    * default for the declared AGGREGATION pipelines stays HDFS-backed:
+    * at their 10³–10⁴-key state sizes the in-heap map beats RocksDB's
+    * per-batch native write/commit (SCALING.md round-13 A/B table);
+    * RocksDB is the right provider when state outgrows executor heap —
+    * key count, not a fixed class, decides.
+    */
+  def stateSession(parent: SparkSession, rocksdb: Boolean = false): SparkSession = {
+    val s2 = parent.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", stateParts)
+    val wantRocks = rocksdb || sys.props.get("graft.test.stateProvider")
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_PROVIDER")).contains("rocksdb")
+    if (wantRocks) s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2
+  }
+
   /** Scratch root for Spark local dirs + streaming checkpoints:
     * tmpfs when available (always, in this environment), else the
     * default java tmpdir.

@@ -115,11 +115,7 @@ object StreamingQueries {
     // RocksDB instance each, fixed at first checkpoint) is sized to
     // the stream, not the CPU count — same pattern and env knob as
     // Serving.stateSession, and the caller's session is untouched
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions",
-      graft.SparkEnv.stateParts)
-    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val s2 = graft.SparkEnv.stateSession(s, rocksdb = true)
     val qname = "stream_near_dups_cand"
     // layout-robust source (bare file OR part-file directory — see
     // Ingest.streamTable)
@@ -173,9 +169,7 @@ object StreamingQueries {
       |  UNION ALL SELECT '3_repetition', CAST(count(*) FILTER (WHERE lang_ok AND len_ok AND rep_ok) AS BIGINT) FROM f)
       |ORDER BY stage""".stripMargin) { (s, d) =>
     val docSchema = graft.Tables.documents(s, d).schema
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions",
-      graft.SparkEnv.stateParts)
+    val s2 = graft.SparkEnv.stateSession(s)
     val qname = "stream_corpus_gate"
     val docsStream = graft.streaming.Ingest
       .streamTable(s2, d, "documents", docSchema) // layout-robust source
@@ -252,11 +246,7 @@ object StreamingQueries {
   val streamCleanPipeline = DeclaredQuery("q_stream_clean_pipeline",
       cleanPipelineOracle) { (s, d) =>
     val docSchema = graft.Tables.documents(s, d).schema
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions",
-      graft.SparkEnv.stateParts)
-    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val s2 = graft.SparkEnv.stateSession(s, rocksdb = true)
     val docsStream = graft.streaming.Ingest
       .streamTable(s2, d, "documents", docSchema)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
@@ -292,11 +282,7 @@ object StreamingQueries {
   val streamSemanticDedup = DeclaredQuery("q_stream_semantic_dedup",
       graft.operators.Similarity.streamSemanticDedupOracle(nPlanes = 4, tau = 0.4)) { (s, d) =>
     val embSchema = graft.Tables.embeddings(s, d).schema
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions",
-      graft.SparkEnv.stateParts)
-    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val s2 = graft.SparkEnv.stateSession(s, rocksdb = true)
     val qname = "stream_semantic_dedup_v"
     val vecs = graft.streaming.Ingest.streamTable(s2, d, "embeddings", embSchema)
       .select(col("vec_id"), col("embedding"))
@@ -330,9 +316,7 @@ object StreamingQueries {
     val model = graft.operators.Importance
       .cachedRatioModel(docs, col("lang") === "en", cacheKey = s"en:$d")
     val docSchema = docs.schema
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions",
-      graft.SparkEnv.stateParts)
+    val s2 = graft.SparkEnv.stateSession(s)
     val qname = "stream_dsir_weights_v"
     val stream = graft.streaming.Ingest
       .streamTable(s2, d, "documents", docSchema)
@@ -383,9 +367,7 @@ object StreamingQueries {
     val sorted = graft.streaming.StreamDecontaminate.cachedBenchGramHashes(
       docs.filter(col("doc_id") % 10 === 0), cacheKey = s"bench8:$d")
     val docSchema = docs.schema
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions",
-      graft.SparkEnv.stateParts)
+    val s2 = graft.SparkEnv.stateSession(s)
     val qname = "stream_decontaminate_v"
     val stream = graft.streaming.Ingest
       .streamTable(s2, d, "documents", docSchema)
@@ -421,9 +403,7 @@ object StreamingQueries {
     val model = graft.operators.LanguageModel.cachedLmArtifact(
       docs.filter(col("lang") === "en"), cacheKey = s"lm-en:$d")
     val docSchema = docs.schema
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions",
-      graft.SparkEnv.stateParts)
+    val s2 = graft.SparkEnv.stateSession(s)
     val qname = "stream_lm_scores_v"
     val stream = graft.streaming.Ingest
       .streamTable(s2, d, "documents", docSchema)
@@ -462,9 +442,7 @@ object StreamingQueries {
       """SELECT event_type || '/hour/' || strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS key,
         |       CAST(count(*) AS BIGINT) AS n_events,
         |""".stripMargin, ",\n", "\nFROM events\nGROUP BY 1\nORDER BY 1")) { (s, d) =>
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions",
-      graft.SparkEnv.stateParts)
+    val s2 = graft.SparkEnv.stateSession(s)
     val qname = "stream_value_pcts_v"
     val agg = graft.streaming.Ingest.eventStream(s2, d)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -506,9 +484,7 @@ object StreamingQueries {
       |FROM events
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions",
-      graft.SparkEnv.stateParts)
+    val s2 = graft.SparkEnv.stateSession(s)
     val qname = "stream_unique_users_v"
     val agg = graft.streaming.Ingest.eventStream(s2, d)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -553,9 +529,7 @@ object StreamingQueries {
       |       CAST(n AS BIGINT) AS n_events
       |FROM r WHERE rk <= 3
       |ORDER BY key, rank""".stripMargin) { (s, d) =>
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions",
-      graft.SparkEnv.stateParts)
+    val s2 = graft.SparkEnv.stateSession(s)
     val qname = "stream_top_types_v"
     val agg = graft.streaming.Ingest.eventStream(s2, d)
       .groupBy(window(col("ts"), "1 hour").as("w"))
@@ -592,9 +566,7 @@ object StreamingQueries {
   val streamPsiDrift = DeclaredQuery(
     "q_stream_psi_drift",
     graft.queries.Analytics5.qPsiDrift.oracle.get) { (s, d) =>
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions",
-      graft.SparkEnv.stateParts)
+    val s2 = graft.SparkEnv.stateSession(s)
     val qname = "stream_psi_counts"
     val agg = graft.streaming.Ingest.eventStream(s2, d)
       .groupBy(
@@ -628,8 +600,7 @@ object StreamingQueries {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", graft.SparkEnv.stateParts)
+    val s2 = graft.SparkEnv.stateSession(s)
     val qname = "stream_static_join"
     val dim = graft.Tables.customer(s2, d)
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -677,8 +648,7 @@ object StreamingQueries {
       | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", graft.SparkEnv.stateParts)
+    val s2 = graft.SparkEnv.stateSession(s)
     val qname = "stream_stream_join"
     val purchases = graft.streaming.Ingest.eventStream(s2, d)
       .filter(col("event_type") === "purchase")
@@ -731,8 +701,7 @@ object StreamingQueries {
       |WHERE user_id IS NOT NULL
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", graft.SparkEnv.stateParts)
+    val s2 = graft.SparkEnv.stateSession(s)
     val qname = "stream_dedup_users"
     val dedup = graft.streaming.Ingest.eventStream(s2, d)
       // NULL user_id guard (round-12 review): dropDuplicates keeps

@@ -326,16 +326,8 @@ object Serving {
     * real cluster this is the same knob, sized to state volume instead.
     */
   private[streaming] def stateSession(spark: SparkSession,
-      rocksdb: Boolean = false): SparkSession = {
-    val s2 = spark.newSession()
-    // test-prop override exists solely for tools/StreamProf's
-    // same-JVM A/B (env is fixed per process)
-    s2.conf.set("spark.sql.shuffle.partitions", graft.SparkEnv.stateParts)
-    // transformWithState pipelines require the RocksDB provider
-    if (rocksdb) s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    s2
-  }
+      rocksdb: Boolean = false): SparkSession =
+    graft.SparkEnv.stateSession(spark, rocksdb) // round 13: centralized
 
   /** Run the full streaming pipeline to completion (AvailableNow) and
     * return the store contents. The sink is executor-side

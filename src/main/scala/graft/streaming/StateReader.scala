@@ -49,8 +49,7 @@ object StateReader {
     // physical property (the store count), sized like the other
     // streaming pipelines rather than inheriting the batch shuffle
     // width (the round-11 stateParts right-sizing).
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", SparkEnv.stateParts)
+    val s2 = SparkEnv.stateSession(s)
     val agg = Ingest.eventStream(s2, d)
       .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
         col("value"))
