@@ -484,7 +484,80 @@ object Maintenance {
       .orderBy("c_mktsegment")
   }
 
+  /** Governance audit, part 3 (round 13): t-closeness — the refinement
+    * l-diversity still misses (Li et al. 2007): a class can hold l
+    * distinct sensitive values yet leak by SKEW (its distribution far
+    * from the table's — e.g. a class whose balances are all in the top
+    * band reveals "rich" even with 3 distinct values). Audits, per
+    * k-anonymity QI class (segment, nation), the Earth Mover's
+    * Distance between the class's balance-band distribution and the
+    * global one over the ordered band domain:
+    * EMD = Σ|cumP − cumQ| / (m−1). Classes with EMD > t = 0.2 are
+    * "wide"; reports per segment the wide count, rows at risk, and the
+    * max EMD (the published t of the release).
+    *
+    * Cross-engine exactness: the cumulative difference is kept as an
+    * INTEGER numerator (cumC·G − cumG·n over common denominator n·G),
+    * |·| summed exactly in BIGINT, ONE double division at the end; the
+    * t-threshold compares num·5 > n·G·(m−1) in exact integers — the
+    * q_anomaly_hours/q_linear_attribution integer-sums discipline, so
+    * no float accumulation order can split the engines. Identical SQL
+    * text runs in both (the Spark side binds the customer view).
+    *
+    * Regimes: sf0.01 has wide classes in 3 of 5 segments (12-row
+    * classes are spiky); sf0.1's 120-row classes all sit inside
+    * t = 0.2 (max EMD ≈ 0.07) — the mostly-safe release, with max_emd
+    * still carrying per-segment signal. Scale shape: two hash
+    * aggregations over the table + windows over the |QI|×m grid
+    * (~1375 rows at any corpus size); no data-sized window, no
+    * data-sized join.
+    */
+  private def tClosenessSql(customer: String): String =
+    s"""WITH cust AS (
+       |  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+       |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+       |  FROM $customer),
+       |bands AS (SELECT DISTINCT band FROM cust),
+       |nb AS (SELECT count(*) AS m FROM bands),
+       |gband AS (SELECT band, count(*) AS g FROM cust GROUP BY 1),
+       |gtot AS (SELECT count(*) AS gn FROM cust),
+       |classes AS (SELECT seg, nat, count(*) AS n FROM cust GROUP BY 1, 2),
+       |cls_cnt AS (SELECT seg, nat, band, count(*) AS cnt FROM cust GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT c.seg, c.nat, c.n, b.band, COALESCE(x.cnt, 0) AS cnt
+       |  FROM classes c CROSS JOIN bands b
+       |  LEFT JOIN cls_cnt x ON x.seg = c.seg AND x.nat = c.nat AND x.band = b.band),
+       |cum AS (
+       |  SELECT seg, nat, n, band,
+       |         sum(cnt) OVER (PARTITION BY seg, nat ORDER BY band) AS cumc
+       |  FROM grid),
+       |cumglob AS (
+       |  SELECT band, sum(g) OVER (ORDER BY band) AS cumg FROM gband),
+       |per_class AS (
+       |  SELECT c.seg, c.nat, c.n,
+       |         sum(abs(c.cumc * t.gn - g.cumg * c.n)) AS num,
+       |         c.n * t.gn * (nb.m - 1) AS denom
+       |  FROM cum c
+       |  JOIN cumglob g ON c.band = g.band
+       |  CROSS JOIN gtot t CROSS JOIN nb
+       |  GROUP BY c.seg, c.nat, c.n, t.gn, nb.m)
+       |SELECT seg AS c_mktsegment,
+       |       count(*) AS n_classes,
+       |       CAST(sum(CASE WHEN num * 5 > denom THEN 1 ELSE 0 END) AS BIGINT) AS n_wide,
+       |       CAST(sum(CASE WHEN num * 5 > denom THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       |       round(max(CAST(num AS DOUBLE) / denom), 9) AS max_emd
+       |FROM per_class
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  val qTCloseness = DeclaredQuery(
+    "q_t_closeness", tClosenessSql("customer")) { (s, d) =>
+    val suf = d.replaceAll("[^A-Za-z0-9]", "_")
+    Tables.customer(s, d).createOrReplaceTempView(s"tclose_customer_$suf")
+    s.sql(tClosenessSql(s"tclose_customer_$suf"))
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(qUpsertMerge, qScd2History, qRecursiveCte, qDqAudit, qSnapshotDiff,
-      qIncrementalRollup, qKAnonymity, qLDiversity)
+      qIncrementalRollup, qKAnonymity, qLDiversity, qTCloseness)
 }
