@@ -24,7 +24,7 @@ def main():
     d_s, s_s = sum(dq[q] for q in stream), sum(sq[q] for q in stream)
     lines = []
     a = lines.append
-    a("# BASELINE_full — full-suite DuckDB baseline vs Spark bench (round 12)")
+    a("# BASELINE_full — full-suite DuckDB baseline vs Spark bench (round 13)")
     a("")
     a("Round-8 verdict #1: the 2x bench contract was being judged against a")
     a("10-query 0.27 s headline denominator covering ~6% of the suite. This")
@@ -44,6 +44,15 @@ def main():
     a("  measured AQE-off as a net loss across the suite, see Bench.scala).")
     a("- Totals compare the COMMON query set only (both engines ran the")
     a("  identical semantics; `no_oracle` queries are excluded).")
+    a("- Round-13 refresh (2026-08-16): common set 216 → 218 (the new")
+    a("  governance gates q_l_diversity and q_t_closeness). The headline")
+    a("  mover is the codegen compile cache (SCALING.md round-13 floor")
+    a("  decomposition): spark.sql.codegen.cache.maxEntries was at its")
+    a("  100-entry default against a ~2k-unit query library, so every")
+    a("  action of every pass recompiled every whole-stage unit; sized")
+    a("  to 5000 the suite dropped 96.9 → 72.2 s in the A/B and Spark")
+    a("  now beats DuckDB outright on the common AND batch cuts. DuckDB")
+    a("  side min-merged over two serial 2-pass sessions as before.")
     a("- Round-12 FINAL refresh (2026-08-16): common set 204 → 210 —")
     a("  the estimator-split sketch gates (q_kmv_distinct_users md5")
     a("  fp60 + state/estimator split; q_approx_percentiles exact-regime")
