@@ -552,9 +552,52 @@ object Maintenance {
 
   val qTCloseness = DeclaredQuery(
     "q_t_closeness", tClosenessSql("customer")) { (s, d) =>
-    val suf = d.replaceAll("[^A-Za-z0-9]", "_")
-    Tables.customer(s, d).createOrReplaceTempView(s"tclose_customer_$suf")
-    s.sql(tClosenessSql(s"tclose_customer_$suf"))
+    // The oracle's CTE tree references `cust` five times; inlining it
+    // as SQL would re-scan the corpus per consumer (measured: 6
+    // FileScans in the plan). The declared form aggregates the corpus
+    // ONCE to the |QI|×m class-count relation (PlanSpec: ≤1 customer
+    // scan) and derives every other CTE — class sizes, global band
+    // counts, totals, the band domain — from that ≤1375-row
+    // localCheckpoint, in the exact integer arithmetic the shared SQL
+    // states, so the gate's bit-parity argument is unchanged.
+    val cust = Tables.customer(s, d).select(
+      col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+      floor(col("c_acctbal") / 1000).cast("long").as("band"))
+    val clsCnt = cust.groupBy("seg", "nat", "band")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // one corpus scan feeds 5 consumers
+    val classes = clsCnt.groupBy("seg", "nat").agg(sum("cnt").as("n"))
+    val gband = clsCnt.groupBy("band").agg(sum("cnt").as("g"))
+    val nb = gband.agg(count(lit(1)).as("m"))
+    val gtot = gband.agg(sum("g").as("gn"))
+    val grid = classes.crossJoin(gband.select("band"))
+      .join(clsCnt, Seq("seg", "nat", "band"), "left")
+      .select(col("seg"), col("nat"), col("n"), col("band"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val wClass = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg", "nat").orderBy("band")
+    val wGlob = org.apache.spark.sql.expressions.Window.orderBy("band")
+    val cum = grid.withColumn("cumc", sum("cnt").over(wClass))
+    // the global cumulative runs over the m-row band domain (value-
+    // domain window, the q_anomaly_hours class), never over data
+    val cumglob = gband
+      .withColumn("cumg", sum("g").over(wGlob)).select("band", "cumg")
+    val perClass = cum.join(cumglob, "band")
+      .crossJoin(gtot).crossJoin(nb)
+      .groupBy("seg", "nat", "n", "gn", "m")
+      .agg(sum(abs(col("cumc") * col("gn") - col("cumg") * col("n"))).as("num"))
+      .select(col("seg"), col("n"), col("num"),
+        (col("n") * col("gn") * (col("m") - 1)).as("denom"))
+    perClass.groupBy("seg")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("num") * 5 > col("denom"), 1L).otherwise(0L))
+          .as("n_wide"),
+        sum(when(col("num") * 5 > col("denom"), col("n")).otherwise(0L))
+          .as("rows_at_risk"),
+        round(max(col("num").cast("double") / col("denom")), 9).as("max_emd"))
+      .select(col("seg").as("c_mktsegment"), col("n_classes"),
+        col("n_wide"), col("rows_at_risk"), col("max_emd"))
+      .orderBy("c_mktsegment")
   }
 
   val all: Seq[DeclaredQuery] =

@@ -717,6 +717,16 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache() // localCheckpoint'd sufficient stats
   }
 
+  test("q_t_closeness scans customer once — every CTE derives from the " +
+      "checkpointed class-count relation") {
+    // the oracle's cust CTE has five consumers; an inlined SQL form
+    // re-scanned the corpus per consumer (6 FileScans measured). The
+    // declared plan aggregates once and reuses the |QI|×m relation.
+    val p = planOf("q_t_closeness")
+    assert("customer\\.parquet".r.findAllIn(p).size <= 1,
+      s"q_t_closeness rescans customer:\n$p")
+  }
+
   test("small final ORDER BY drops its range exchange at runtime " +
       "(SmallSortSinglePartition), keeping the identical total order") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
