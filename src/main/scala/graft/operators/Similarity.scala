@@ -182,8 +182,12 @@ object Similarity {
     * matches the trainer's scalar loop bit-for-bit: float subtract,
     * float multiply, double accumulate. Distance ties break by cell
     * id via lexicographic struct ordering — the same order a stable
-    * sort over the index-ordered centroid array produces. Codegen'd
-    * end to end; replaces the last hand `udf` in main source.
+    * sort over the index-ordered centroid array produces. The HOFs
+    * (zip_with/aggregate/transform) are CodegenFallback like the udf
+    * they replace — acceptable because this projects the QUERY set
+    * (small side by definition), never the corpus; the win is an
+    * expression tree Catalyst can see through (prunable, no closure
+    * serialization), and zero hand `udf`s left in main source.
     */
   private def probeCellsCol(
       centroids: Array[(org.apache.spark.ml.linalg.Vector, Int)],
