@@ -291,9 +291,22 @@ object Hnsw {
     *    HNSW has no principled delete, so replace = shard rebuild by
     *    design (the 8.7×-per-decade build cost applies to ONE shard,
     *    not the corpus).
-    * Untouched shards pass through verbatim — no graph work, no
-    * reconstruction; persisted `partitionBy(shard)` layouts rewrite
-    * only the touched partitions (dynamic partition overwrite).
+    *
+    * Only the TOUCHED shards move (round-13 review): the owning shard
+    * ids are collected up front (bounded by the shard count —
+    * metadata, not data), only those shards' existing rows join the
+    * shuffle + graph work, and every other shard's adjacency passes
+    * through as an untouched, unshuffled filter of the input. A
+    * deployment ingesting incrementally writes JUST the rebuilt side
+    * `partitionBy("shard")` with dynamic partition overwrite — the
+    * untouched partitions are never rewritten; the returned union
+    * exists for whole-index consumers (search, specs).
+    *
+    * Contract: vec_ids within one newRows batch must be unique — two
+    * DIFFERENT vectors for the same id in a single batch have no
+    * well-defined winner and throw IllegalArgumentException (exact
+    * duplicates collapse silently); an id colliding with an EXISTING
+    * node is the replace path above.
     *
     * `touchedShards` (test hook): counts shards that did graph work.
     */
@@ -303,9 +316,6 @@ object Hnsw {
       : DataFrame = {
     val spark = graph.sparkSession
     import spark.implicits._
-    val existing = graph
-      .select(col("shard"), col("vec_id"), col("level"), col("vec"),
-        col("nbrs"), lit(false).as("is_new"))
     val incoming = newRows
       .select(col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull)
@@ -313,43 +323,60 @@ object Hnsw {
         col("vec_id"), lit(0).as("level"), col("embedding").as("vec"),
         lit(null).cast("array<array<bigint>>").as("nbrs"),
         lit(true).as("is_new"))
-    existing.unionAll(incoming)
-      .repartition(shards, col("shard"))
+    val touched = incoming.select("shard").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ shard count — metadata-sized
+    val outCols = Seq(col("shard"), col("vec_id"), col("level"),
+      col("vec"), col("nbrs"))
+    if (touched.isEmpty) return graph.select(outCols: _*)
+    val untouched = graph
+      .filter(!col("shard").isin(touched: _*)).select(outCols: _*)
+    val rebuilt = graph.filter(col("shard").isin(touched: _*))
+      .select(col("shard"), col("vec_id"), col("level"), col("vec"),
+        col("nbrs"), lit(false).as("is_new"))
+      .unionAll(incoming)
+      .repartition(touched.size, col("shard"))
       .as[(Int, Long, Int, Array[Float], Array[Array[Long]], Boolean)]
       .mapPartitions { it =>
         it.toVector.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
-          val (news, olds) = rows.partition(_._6)
-          if (news.isEmpty) {
-            rows.iterator.map(r => (shard, r._2, r._3, r._4, r._5))
-          } else {
-            touchedShards.foreach(_.add(1L))
-            val maxOld = if (olds.isEmpty) Long.MinValue else olds.map(_._2).max
-            val g =
-              if (olds.nonEmpty && news.forall(_._2 > maxOld)) {
-                // append fast path: continue insertion on the
-                // reconstructed built state
-                val cont = reconstruct(olds.map(r => (r._2, r._3, r._4, r._5)))
-                news.sortBy(_._2).foreach { case (_, id, _, vec, _, _) =>
-                  cont.insert(id, vec, levelOf(id))
-                }
-                cont
-              } else {
-                // replace / out-of-order: rebuild this shard from raw
-                // vectors, new vec winning an id collision
-                val byId = scala.collection.mutable.LinkedHashMap[Long, Array[Float]]()
-                olds.foreach(r => byId(r._2) = r._4)
-                news.foreach(r => byId(r._2) = r._4)
-                val fresh = new ShardGraph
-                byId.toSeq.sortBy(_._1).foreach { case (id, vec) =>
-                  fresh.insert(id, vec, levelOf(id))
-                }
-                fresh
+          val (rawNews, olds) = rows.partition(_._6)
+          // duplicate-id contract: exact duplicates collapse, two
+          // different vectors for one id in a batch fail loudly (the
+          // append path would otherwise insert both as graph nodes)
+          val news = rawNews.groupBy(_._2).map { case (id, vs) =>
+            val vecs = vs.map(_._4)
+            require(vecs.forall(v => java.util.Arrays.equals(v, vecs.head)),
+              s"upsertHnsw: vec_id $id appears with ${vecs.length} " +
+                "conflicting vectors in one batch — no well-defined winner")
+            vs.head
+          }.toVector
+          touchedShards.foreach(_.add(1L))
+          val maxOld = if (olds.isEmpty) Long.MinValue else olds.map(_._2).max
+          val g =
+            if (olds.nonEmpty && news.forall(_._2 > maxOld)) {
+              // append fast path: continue insertion on the
+              // reconstructed built state
+              val cont = reconstruct(olds.map(r => (r._2, r._3, r._4, r._5)))
+              news.sortBy(_._2).foreach { case (_, id, _, vec, _, _) =>
+                cont.insert(id, vec, levelOf(id))
               }
-            emitRows(shard, g)
-          }
+              cont
+            } else {
+              // replace / out-of-order: rebuild this shard from raw
+              // vectors, new vec winning an id collision
+              val byId = scala.collection.mutable.LinkedHashMap[Long, Array[Float]]()
+              olds.foreach(r => byId(r._2) = r._4)
+              news.foreach(r => byId(r._2) = r._4)
+              val fresh = new ShardGraph
+              byId.toSeq.sortBy(_._1).foreach { case (id, vec) =>
+                fresh.insert(id, vec, levelOf(id))
+              }
+              fresh
+            }
+          emitRows(shard, g)
         }
       }
       .toDF("shard", "vec_id", "level", "vec", "nbrs")
+    untouched.unionAll(rebuilt)
   }
 
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[

@@ -177,12 +177,16 @@ object Similarity {
     */
   /** nProbe-nearest-centroid cell list per query vector, as a pure
     * Column expression over embedded centroid constants (nCells×64
-    * floats — model parameters, not data; literal arrays in the plan
+    * DOUBLES — model parameters, not data; literal arrays in the plan
     * exactly like the hyperplane constants in q_ann_lsh). Arithmetic
-    * matches the trainer's scalar loop bit-for-bit: float subtract,
-    * float multiply, double accumulate. Distance ties break by cell
-    * id via lexicographic struct ordering — the same order a stable
-    * sort over the index-ordered centroid array produces. The HOFs
+    * matches the udf it replaced exactly: the KMeans centroids stay
+    * at their native double precision (rounding them to float could
+    * flip the probe ranking of near-equidistant cells away from the
+    * double-precision assignment the corpus vectors got — round-13
+    * review), the float query coordinate widens to double, subtract/
+    * square/accumulate all in double. Distance ties break by cell id
+    * via lexicographic struct ordering — the same order a stable sort
+    * over the index-ordered centroid array produces. The HOFs
     * (zip_with/aggregate/transform) are CodegenFallback like the udf
     * they replace — acceptable because this projects the QUERY set
     * (small side by definition), never the corpus; the win is an
@@ -193,9 +197,9 @@ object Similarity {
       centroids: Array[(org.apache.spark.ml.linalg.Vector, Int)],
       nProbe: Int, q: Column): Column = {
     val scored = centroids.map { case (c, i) =>
-      val cLit = lit(c.toArray.map(_.toFloat))
+      val cLit = lit(c.toArray) // Array[Double] — native model precision
       val d = aggregate(
-        zip_with(q, cLit, (a, b) => ((a - b) * (a - b)).cast("double")),
+        zip_with(q, cLit, (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x)
       struct(d.as("d"), lit(i).as("i"))
     }
@@ -207,6 +211,11 @@ object Similarity {
       nProbe: Int = 2): DataFrame = {
     val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // NULL query embeddings are skipped like annHnsw/buildShardGraphs
+      // skip NULL corpus rows: without this, every centroid distance is
+      // null and array_sort's tie-break would fabricate cells 0..nProbe-1
+      // for a query that has no vector (round-13 review; the old udf NPE'd)
+      .filter(col("q_emb").isNotNull)
       .withColumn("cell", explode(probeCellsCol(index.centroids, nProbe, col("q_emb"))))
     val sims = index.indexed.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -388,6 +397,7 @@ object Similarity {
     // (round-5 verdict #3)
     val coded = codedRel.getOrElse(ivfPqCodes(index, model))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .filter(col("q_emb").isNotNull) // see probeIvf's NULL-query note
       .withColumn("cell", explode(probeCellsCol(index.centroids, nProbe, col("q_emb"))))
     // cells are disjoint, so each (query, member) pair appears once
     val approx = coded.join(broadcast(q), Seq("cell"))

@@ -503,6 +503,12 @@ object Maintenance {
     * q_anomaly_hours/q_linear_attribution integer-sums discipline, so
     * no float accumulation order can split the engines. Identical SQL
     * text runs in both (the Spark side binds the customer view).
+    * Overflow bound (round-13 review): the numerator terms are ≤ n·G ≤
+    * G², so int64 holds exactly up to G ≈ 3·10⁹ audited rows — beyond
+    * any real release-audit dimension; past it Spark's ANSI mode FAILS
+    * LOUDLY (never silently wraps — the ExactSum.moneySum posture)
+    * while DuckDB would promote to HUGEINT, and the documented upgrade
+    * is CAST both engines' products to DECIMAL(38,0) (exact to 10³⁸).
     *
     * Regimes: sf0.01 has wide classes in 3 of 5 segments (12-row
     * classes are spiky); sf0.1's 120-row classes all sit inside

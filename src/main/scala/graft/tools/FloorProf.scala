@@ -65,8 +65,12 @@ object FloorProf {
           deserMs += m.executorDeserializeTime
         }
         val ti = t.taskInfo
-        if (ti != null) schedDelayMs +=
-          math.max(0L, ti.duration - (if (m != null) m.executorRunTime else 0L))
+        // duration − run − deserialize: pure launch/result overhead
+        // (leaving deserialize in here double-counted it vs the deser
+        // column — round-13 review)
+        if (ti != null) schedDelayMs += math.max(0L,
+          ti.duration - (if (m != null)
+            m.executorRunTime + m.executorDeserializeTime else 0L))
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -84,7 +88,14 @@ object FloorProf {
         val t0 = System.nanoTime()
         df.queryExecution.toRdd.count()
         val wallMs = (System.nanoTime() - t0) / 1e6
-        Thread.sleep(120) // listener drain
+        // drain the listener bus until task counts stop moving (a fixed
+        // short sleep undercounted taskRun under load and overstated
+        // the derived floor — round-13 review); cap at 2 s
+        var last = -1
+        var waited = 0
+        while (tasks != last && waited < 2000) {
+          last = tasks; Thread.sleep(100); waited += 100
+        }
         val planMs = df.queryExecution.tracker.phases.values
           .map(p => p.endTimeMs - p.startTimeMs).sum
         (wallMs, planMs, jobs, stages, tasks, taskRunMs, schedDelayMs, deserMs)

@@ -31,24 +31,37 @@ object StateAbProf {
     spark.range(1000).selectExpr("sum(id)").count()
     graft.Bench.warmCpu(spark)
     val results = scala.collection.mutable.Map[(String, String), Double]()
-    for (_ <- 1 to passes; provider <- Seq("default", "rocksdb")) {
-      if (provider == "rocksdb") sys.props("graft.test.stateProvider") = "rocksdb"
-      else sys.props.remove("graft.test.stateProvider")
-      for (name <- targets) {
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-        val t = (System.nanoTime() - t0) / 1e9
-        val k = (name, provider)
-        results(k) = math.min(results.getOrElse(k, Double.MaxValue), t)
+    try {
+      for (_ <- 1 to passes; provider <- Seq("default", "rocksdb")) {
+        if (provider == "rocksdb") sys.props("graft.test.stateProvider") = "rocksdb"
+        else sys.props.remove("graft.test.stateProvider")
+        for (name <- targets) {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          // a failed leg is recorded as absent, not fatal: the summary
+          // must survive one provider's crash (round-13 review)
+          try {
+            SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+            val t = (System.nanoTime() - t0) / 1e9
+            val k = (name, provider)
+            results(k) = math.min(results.getOrElse(k, Double.MaxValue), t)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[stateab] $name/$provider failed: ${e.getMessage}")
+          }
+        }
       }
-    }
-    sys.props.remove("graft.test.stateProvider")
+    } finally sys.props.remove("graft.test.stateProvider")
     println("| query | HDFS-backed s | RocksDB s | rocks/hdfs |")
     println("|---|---|---|---|")
     for (name <- targets) {
-      val h = results((name, "default")); val r = results((name, "rocksdb"))
-      println(f"| $name | $h%.2f | $r%.2f | ${r / h}%.2f× |")
+      (results.get((name, "default")), results.get((name, "rocksdb"))) match {
+        case (Some(h), Some(r)) =>
+          println(f"| $name | $h%.2f | $r%.2f | ${r / h}%.2f× |")
+        case (h, r) =>
+          println(s"| $name | ${h.fold("FAILED")(v => f"$v%.2f")} | " +
+            s"${r.fold("FAILED")(v => f"$v%.2f")} | — |")
+      }
     }
     spark.stop()
   }

@@ -106,10 +106,14 @@ class HnswSpec extends SparkSpec {
 
   test("upsert law, rebuild regime: out-of-order and replacing ids still " +
       "equal the full rebuild (new vector wins an id collision)") {
-    // interleaved: odd ids arrive after even ids — no shard can append
-    val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
-    val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
-    val up1 = Hnsw.upsertHnsw(Hnsw.buildShardGraphs(evens), odds)
+    // interleaved: multiples of 3 arrive late. gcd(3, NumShards=4) = 1,
+    // so EVERY shard holds a non-empty old graph AND interleaved new
+    // ids — the populated-old out-of-order rebuild (a pmod-2 split
+    // would route all news into empty-old shards and never exercise
+    // the old+new merge; round-13 review)
+    val firsts = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val late = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val up1 = Hnsw.upsertHnsw(Hnsw.buildShardGraphs(firsts), late)
     assert(adjacency(up1).sameElements(adjacency(Hnsw.buildShardGraphs(emb))))
     // replace: re-upsert vec_id 0 with a different vector; result must
     // equal a fresh build over the corpus carrying the replacement
@@ -120,6 +124,24 @@ class HnswSpec extends SparkSpec {
     val up2 = Hnsw.upsertHnsw(
       Hnsw.buildShardGraphs(emb), replaced.filter(col("vec_id") === 0))
     assert(adjacency(up2).sameElements(adjacency(Hnsw.buildShardGraphs(replaced))))
+  }
+
+  test("upsert duplicate-id contract: exact duplicates collapse, " +
+      "conflicting vectors fail loudly") {
+    val ids = emb.select(max("vec_id")).head.getLong(0)
+    val old = emb.filter(col("vec_id") <= ids - 40)
+    val late = emb.filter(col("vec_id") > ids - 40)
+    val doubled = late.unionAll(late) // exact duplicates: collapse
+    val up = Hnsw.upsertHnsw(Hnsw.buildShardGraphs(old), doubled)
+    assert(adjacency(up).sameElements(adjacency(Hnsw.buildShardGraphs(emb))))
+    val conflicted = late.unionAll(late.withColumn("embedding",
+      expr("transform(embedding, x -> CAST(-x AS FLOAT))")))
+    val err = intercept[org.apache.spark.SparkException] {
+      Hnsw.upsertHnsw(Hnsw.buildShardGraphs(old), conflicted)
+        .queryExecution.toRdd.count()
+    }
+    assert(err.getMessage.contains("conflicting vectors") ||
+      Option(err.getCause).exists(_.getMessage.contains("conflicting vectors")))
   }
 
   test("upsert leaves unowned shards untouched (pass-through, no graph work)") {
