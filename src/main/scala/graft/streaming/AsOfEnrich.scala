@@ -26,8 +26,16 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   *
   * Scale: state per key is the key's version history, not the fact
   * stream — bounded by dimension churn. For unbounded-churn dims, pass
-  * a TTL (versions older than the fact watermark minus the TTL can
-  * never match a future fact once facts arrive in watermark order).
+  * a TTL to bound the history list. TTL eviction is safe for
+  * SUPERSEDED versions only (facts arriving in watermark order can
+  * no longer match them) — but a key's LATEST version must survive
+  * indefinitely, because as-of matches arbitrarily old versions when
+  * no newer one exists (a slow-churn key would otherwise silently
+  * stop enriching once its only version aged out — round-13 review).
+  * The processor therefore keeps the newest version in a separate
+  * non-TTL ValueState and falls back to it when the TTL'd list has
+  * no match: per-key state stays bounded (TTL'd churn window + ONE
+  * pinned row), and slow-churn keys stay correct forever.
   */
 object AsOfEnrich {
 
@@ -46,10 +54,16 @@ object AsOfEnrich {
   class Processor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, In, Out] {
     @transient private var versions: ListState[(Long, Long)] = _
+    @transient private var newest: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       versions = getHandle.getListState[(Long, Long)]("versions",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), ttl)
+      // the key's newest version, pinned WITHOUT a TTL: the one row
+      // that must outlive any eviction window (see class doc)
+      newest = getHandle.getValueState[(Long, Long)]("newest",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[In],
         timerValues: TimerValues): Iterator[Out] = {
@@ -64,22 +78,44 @@ object AsOfEnrich {
           val m = (existing ++ rights.map(r => (r.t, r.payload)))
             .distinct.sorted.toArray
           versions.put(m)
+          val cand = m.last
+          if (!newest.exists() || Ordering[(Long, Long)].lt(newest.get(), cand))
+            newest.update(cand)
           m
         }
+      val pinned = if (newest.exists()) Some(newest.get()) else None
       lefts.sortBy(l => (l.t, l.payload)).iterator.flatMap { l =>
-        // binary search for the LAST index with rt <= l.t — in the
-        // (t, payload)-sorted array that is also the greatest payload
-        // among rt ties, the batch operator's tiebreak
-        var lo = 0; var hi = merged.length - 1; var best = -1
-        while (lo <= hi) {
-          val mid = (lo + hi) >>> 1
-          if (merged(mid)._1 <= l.t) { best = mid; lo = mid + 1 }
-          else hi = mid - 1
-        }
-        if (best < 0) None
-        else Some(Out(key, l.t, l.payload, merged(best)._1, merged(best)._2))
+        resolve(merged, pinned, l.t)
+          .map { case (rt, rp) => Out(key, l.t, l.payload, rt, rp) }
       }
     }
+  }
+
+  /** The match decision, factored pure so the TTL-eviction fallback is
+    * hermetically testable (the Spark-side integration of
+    * processing-time TTL hung in this environment's RocksDB checksum
+    * checkpoint manager — thread-dumped round 13 — so the spec pins
+    * THIS function's law instead of driving eviction end-to-end):
+    * binary-search the LAST surviving version with rt <= lt (in the
+    * (t, payload)-sorted array that is also the greatest payload among
+    * rt ties, the batch operator's tiebreak), then fall back to the
+    * pinned newest version. If pinned.t <= lt it IS the global
+    * greatest at-or-before lt (nothing between it and lt can exist —
+    * it is the newest overall); when both candidates exist, max() of
+    * the two is exactly the batch operator's answer.
+    */
+  private[graft] def resolve(merged: Array[(Long, Long)],
+      pinned: Option[(Long, Long)], lt: Long): Option[(Long, Long)] = {
+    var lo = 0; var hi = merged.length - 1; var best = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (merged(mid)._1 <= lt) { best = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    val fromList = if (best < 0) None else Some(merged(best))
+    val fromPin = pinned.filter(_._1 <= lt)
+    (fromList ++ fromPin)
+      .reduceOption((a, b) => Ordering[(Long, Long)].max(a, b))
   }
 
   /** Wire a tagged-union stream through the processor. Requires the

@@ -72,7 +72,7 @@ final class InMemoryServingStore extends ServingStore {
   private val data = new ConcurrentHashMap[String, ServingStore.CounterRow]()
   private val seenBatches = ConcurrentHashMap.newKeySet[Long]()
   private val storeId: String = java.util.UUID.randomUUID().toString
-  InMemoryServingStore.instances.put(storeId, this)
+  InMemoryServingStore.register(storeId, this)
 
   private[streaming] def put(r: ServingStore.CounterRow): Unit = data.put(r.key, r)
 
@@ -98,9 +98,23 @@ final class InMemoryServingStore extends ServingStore {
 }
 
 object InMemoryServingStore {
-  private val instances = new ConcurrentHashMap[String, InMemoryServingStore]()
+  // LRU-bounded like Tables.loaded (round-13 review): stores carry
+  // DATA-sized counter maps, and an unbounded registry pins every
+  // store a long-lived JVM (the sbt test JVM makes hundreds) ever
+  // created. An evicted store only breaks executor-side lookups for a
+  // stream that is still writing to it — 256 concurrently-live test
+  // doubles is far past any real usage; a production KV store connects
+  // by address and has no JVM registry at all.
+  private val instances =
+    new java.util.LinkedHashMap[String, InMemoryServingStore](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, InMemoryServingStore]): Boolean =
+        size() > 256
+    }
+  private[streaming] def register(id: String, s: InMemoryServingStore): Unit =
+    instances.synchronized(instances.put(id, s))
   private[streaming] def instance(id: String): InMemoryServingStore =
-    Option(instances.get(id)).getOrElse(
+    Option(instances.synchronized(instances.get(id))).getOrElse(
       throw new IllegalStateException(s"no serving store '$id' in this JVM"))
 }
 
@@ -139,7 +153,12 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
     */
   private def withPartitionCols(keyed: DataFrame): DataFrame = {
     val segs = split(col("key"), "/")
-    val gran = element_at(segs, -2)
+    // size guard (round-13 review): a key with no '/' yields a
+    // 1-element array and element_at(segs, -2) THROWS under Spark 4's
+    // default ANSI mode instead of landing in the documented
+    // gran=NONE fallback; CaseWhen short-circuits, so the guarded
+    // branch never evaluates for short keys
+    val gran = when(size(segs) >= 2, element_at(segs, -2))
     val bucket = element_at(segs, -1)
     keyed
       .withColumn("gran", when(gran.isin(GRANS: _*), gran).otherwise("NONE"))
@@ -187,11 +206,19 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
     // an empty store (no batch ever committed — e.g. empty source) has
     // no parquet footers to infer from; answer with the empty counter
     // relation instead of UNABLE_TO_INFER_SCHEMA
-    if (!hasData) {
+    val dirs = committedBatchDirs
+    if (dirs.isEmpty) {
       import spark.implicits._
       return Seq.empty[ServingStore.CounterRow].toDF()
     }
-    val base = spark.read.parquet(path)
+    // read ONLY committed batch dirs (_SUCCESS present — round-13
+    // review): a reader racing a REPLAYED batch's delete-then-rewrite
+    // previously saw a partially-renamed directory and resolved some
+    // keys to half a batch; gating on the commit marker makes the
+    // consistency unit a whole committed batch, with racing reads
+    // falling back to the key's previous batch (stale, never partial).
+    // basePath keeps batch_id/gran/pday partition discovery intact.
+    val base = spark.read.option("basePath", path).parquet(dirs: _*)
     val filtered = pred.fold(base)(base.filter)
     // single-snapshot fast path (round 12): within one batch directory
     // keys are unique by the sink contract (update-mode aggregation
@@ -200,7 +227,7 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
     // merge has nothing to merge until a SECOND batch commits — skip
     // the groupBy/max_by shuffle entirely. An AvailableNow replay
     // (the declared q_stream_account_daily) is exactly this case.
-    if (batchDirCount <= 1)
+    if (dirs.length <= 1)
       filtered.select(col("key"), col("nEvents"), col("sumValue"))
     else filtered
       .groupBy("key")
@@ -208,13 +235,28 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
       .select(col("key"), col("v.nEvents").as("nEvents"), col("v.sumValue").as("sumValue"))
   }
 
-  private def batchDirCount: Int = {
+  /** Batch dirs that are both COMMITTED (_SUCCESS marker — Spark's
+    * job-commit protocol writes it last) and non-empty (a zero-row
+    * micro-batch commits a dir with a marker but no parquet footers,
+    * which an explicit-dirs read cannot infer a schema from).
+    */
+  private def committedBatchDirs: Seq[String] = {
     val root = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(root)) 0
+    if (!java.nio.file.Files.exists(root)) Seq.empty
     else {
       val s = java.nio.file.Files.list(root)
-      try s.filter(p => p.getFileName.toString.startsWith("batch_id=")).count().toInt
-      finally s.close()
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("batch_id="))
+          .filter(p => java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+          .filter { p =>
+            val w = java.nio.file.Files.walk(p)
+            try w.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+            finally w.close()
+          }
+          .map(_.toString).toSeq.sorted
+      } finally s.close()
     }
   }
 
@@ -254,17 +296,7 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
     else lookup(keyPrefix).as[ServingStore.CounterRow].collect().toSeq
   }
 
-  private def hasData: Boolean = {
-    // a zero-row micro-batch still creates its batch_id= dir (with no
-    // part files under it), so "dir non-empty" is not enough — look
-    // for an actual parquet footer anywhere in the tree
-    val root = java.nio.file.Paths.get(path)
-    java.nio.file.Files.exists(root) && {
-      val s = java.nio.file.Files.walk(root)
-      try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
-      finally s.close()
-    }
-  }
+  private def hasData: Boolean = committedBatchDirs.nonEmpty
 
   override def snapshot(): Seq[ServingStore.CounterRow] = {
     import spark.implicits._

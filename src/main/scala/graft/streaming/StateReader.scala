@@ -32,16 +32,27 @@ import org.apache.spark.sql.streaming.Trigger
 object StateReader {
 
   private val ckptCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), String]()
+    (String, String, String), String]()
 
-  /** Run the per-(event_type, day) counter aggregation once per
-    * (session, dir); return its checkpoint location. Build-once /
-    * probe-many like the ANN index and component-label artifacts: a
-    * deployment materializes the checkpoint by RUNNING the job; the
-    * state read is the per-query cost.
+  /** Run the per-(event_type, day) counter aggregation once and return
+    * its checkpoint location. Build-once / probe-many like the ANN
+    * index and component-label artifacts: a deployment materializes
+    * the checkpoint by RUNNING the job; the state read is the
+    * per-query cost. Cache key = everything that determines the
+    * ARTIFACT — the corpus dir plus the two knobs frozen into a
+    * checkpoint (state partition count, provider class) — rather than
+    * the SparkSession object (round-13 review: a session key pins
+    * every closed session for the JVM lifetime, and the built
+    * checkpoint is in fact session-independent — any session can read
+    * it; keying by the knobs also keeps tools/StateAbProf's provider
+    * A/B from reusing the other provider's store format).
     */
-  def dailyCounterCheckpoint(s: SparkSession, d: String): String =
-    graft.Memo.memo(ckptCache, (s, d))(buildCheckpoint(s, d))
+  def dailyCounterCheckpoint(s: SparkSession, d: String): String = {
+    val key = (d, SparkEnv.stateParts,
+      sys.props.get("graft.test.stateProvider")
+        .orElse(sys.env.get("SPARK_GRAFT_STATE_PROVIDER")).getOrElse("default"))
+    graft.Memo.memo(ckptCache, key)(buildCheckpoint(s, d))
+  }
 
   private def buildCheckpoint(s: SparkSession, d: String): String = {
     val ckpt = SparkEnv.scratchDir("graft-state-reader-ckpt")

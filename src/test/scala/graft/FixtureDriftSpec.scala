@@ -211,6 +211,24 @@ class FixtureDriftSpec extends SparkSpec {
     }
   }
 
+  test("events carries no NULL user_id or value (the typed streaming " +
+      "pipelines' encoder precondition)") {
+    // Attribution.In / TimeWeighted.Ev deserialize user_id and
+    // cents into PRIMITIVE Longs: a NULL would abort the streaming
+    // query with a non-nullable-field error while the batch oracle
+    // (LEFT-join / window semantics) would keep the row — a silent
+    // engine split. The fixture has no NULLs today; this pin makes a
+    // driver regeneration that introduces them fail HERE by name
+    // instead of as an opaque encoder crash (round-13 review).
+    for (dir <- Seq(sf001, sf01, sf1)) {
+      val bad = Tables.events(spark, dir)
+        .filter(col("user_id").isNull || col("value").isNull).count()
+      assert(bad == 0L, s"$dir: $bad events rows with NULL user_id/value — " +
+        "add null handling to Attribution/TimeWeighted (and align their " +
+        "oracles) before accepting such a fixture")
+    }
+  }
+
   test("q_stream_abandoned_sessions' ms-floored timer cut equals the " +
       "oracle's microsecond cut (no session closes inside max(ts)'s ms)") {
     // Timers/watermark run at ms precision; the oracle compares

@@ -104,6 +104,32 @@ class StreamJoinSpec extends SparkSpec {
     }
   }
 
+  test("as-of enrichment: a slow-churn key's LATEST version survives TTL " +
+      "eviction (the pinned-newest fallback law, hermetic)") {
+    // Driving processing-time TTL end-to-end hung this environment's
+    // RocksDB checksum checkpoint manager (all task slots parked in
+    // ChecksumCancellableFSDataOutputStream.close — thread-dumped,
+    // round 13), so the law is pinned on the factored-pure resolver
+    // the processor delegates to. Scenario: the key's only version
+    // (t=10) aged out of the TTL'd list, the non-TTL pin holds it —
+    // the fact at t=50 must still enrich (the previous implementation
+    // silently dropped it).
+    import graft.streaming.AsOfEnrich.resolve
+    assert(resolve(Array.empty, Some((10L, 100L)), 50L) == Some((10L, 100L)))
+    // a pinned version NEWER than the fact is not a valid match
+    assert(resolve(Array.empty, Some((60L, 100L)), 50L) == None)
+    // list match + older pin: the surviving list row wins
+    assert(resolve(Array((20L, 5L)), Some((20L, 5L)), 50L) == Some((20L, 5L)))
+    // pin is newest overall and <= fact time: it supersedes any
+    // surviving (older) list row — max() picks it
+    assert(resolve(Array((20L, 5L)), Some((40L, 9L)), 50L) == Some((40L, 9L)))
+    // no version at-or-before the fact anywhere: inner as-of emits none
+    assert(resolve(Array((60L, 5L)), Some((60L, 5L)), 50L) == None)
+    // payload tiebreak at equal t mirrors the batch operator
+    assert(resolve(Array((10L, 1L), (10L, 3L)), Some((10L, 3L)), 50L)
+      == Some((10L, 3L)))
+  }
+
   test("socket source ingests wire JSON events (A4: the ZMQ-SUB stand-in)") {
     import graft.streaming.Ingest
     // a minimal TCP publisher: accepts one connection, writes JSON
