@@ -85,6 +85,23 @@ object Dedup {
     }
   }
 
+  /** [[bandStructs]]' PORTABLE-family twin (round-13 review: this
+    * builder existed verbatim in both streaming consumers): the band
+    * key is the band's r raw signature values joined ':' — exactly the
+    * raw-tuple bucket equality the `q_minhash_near_dups` oracle
+    * replays, with no band hash between signature and bucket (a hash
+    * there could in principle bucket pairs the oracle's raw-tuple
+    * equality never sees).
+    */
+  private[graft] def portableBandStructs(k: Int, bands: Int) = {
+    val r = k / bands
+    (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":",
+          (1 to r).map(j => element_at(col("sig"), b * r + j)): _*).as("band_key"))
+    }
+  }
+
   def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
     // whole-signature expression: one codegen'd pass per doc, NO
     // explode/groupBy shuffle (bit-identical to minhashSignatures —

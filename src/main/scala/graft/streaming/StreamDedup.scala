@@ -42,20 +42,28 @@ object StreamDedup {
     */
   case class CandPair(id_a: Long, id_b: Long)
 
-  class Processor extends StatefulProcessor[(Int, Long), BandRow, CandPair] {
+  /** The LSH bucket index, generic over the bucket KEY type (xxhash64
+    * `band_sig: Long` vs portable raw-tuple `band_key: String`) and
+    * the arriving row type — round-13 review: the two monomorphic
+    * twins were verbatim copies, so any fix to the index logic had to
+    * land twice. Emits one [[CandPair]] per (prior member, new
+    * arrival); replayed docs (already members) add nothing.
+    */
+  class BucketIndexProcessor[K, R](docId: R => Long)
+      extends StatefulProcessor[K, R, CandPair] {
     @transient private var members: ListState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       members = getHandle.getListState[Long]("members",
         Encoders.scalaLong, TTLConfig.NONE)
 
-    override def handleInputRows(key: (Int, Long), rows: Iterator[BandRow],
+    override def handleInputRows(key: K, rows: Iterator[R],
         timerValues: TimerValues): Iterator[CandPair] = {
       val existing = members.get().toVector
       val seen = existing.toSet
       // ascending id order within the batch keeps output orientation
       // deterministic regardless of partition iteration order
-      val fresh = rows.map(_.doc_id).toVector.distinct.sorted
+      val fresh = rows.map(docId).toVector.distinct.sorted
         .filterNot(seen) // replayed docs add nothing
       if (fresh.isEmpty) return Iterator.empty
       val out = Vector.newBuilder[CandPair]
@@ -88,7 +96,8 @@ object StreamDedup {
         col("doc_id"))
       .as[BandRow]
       .groupByKey(b => (b.band, b.band_sig))
-      .transformWithState(new Processor(), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new BucketIndexProcessor[(Int, Long), BandRow](_.doc_id),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** One (bucket, member) arrival in the PORTABLE family: the band
@@ -99,32 +108,6 @@ object StreamDedup {
     * raw-tuple equality never sees).
     */
   case class PortableBandRow(band: Int, band_key: String, doc_id: Long)
-
-  class PortableProcessor
-      extends StatefulProcessor[(Int, String), PortableBandRow, CandPair] {
-    @transient private var members: ListState[Long] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      members = getHandle.getListState[Long]("members",
-        Encoders.scalaLong, TTLConfig.NONE)
-
-    override def handleInputRows(key: (Int, String), rows: Iterator[PortableBandRow],
-        timerValues: TimerValues): Iterator[CandPair] = {
-      val existing = members.get().toVector
-      val seen = existing.toSet
-      val fresh = rows.map(_.doc_id).toVector.distinct.sorted
-        .filterNot(seen)
-      if (fresh.isEmpty) return Iterator.empty
-      val out = Vector.newBuilder[CandPair]
-      var prior = existing
-      fresh.foreach { d =>
-        prior.foreach(p => out += CandPair(p, d))
-        prior :+= d
-      }
-      members.appendList(fresh.toArray)
-      out.result().iterator
-    }
-  }
 
   /** [[candidates]] in the oracle-portable md5 family (round 11):
     * `minhash_sig_md5` signatures, raw-tuple band keys — the stream
@@ -137,12 +120,7 @@ object StreamDedup {
       bands: Int = 4): Dataset[CandPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val r = k / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(":",
-          (1 to r).map(j => element_at(col("sig"), b * r + j)): _*).as("band_key"))
-    }
+    val bandCols = Dedup.portableBandStructs(k, bands)
     docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), expr(s"minhash_sig_md5(text, 3, $k)").as("sig"))
@@ -151,6 +129,8 @@ object StreamDedup {
         col("doc_id"))
       .as[PortableBandRow]
       .groupByKey(b => (b.band, b.band_key))
-      .transformWithState(new PortableProcessor(), TimeMode.None(), OutputMode.Append())
+      .transformWithState(
+        new BucketIndexProcessor[(Int, String), PortableBandRow](_.doc_id),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -54,29 +54,35 @@ object StreamPipeline {
     * enumeration is the offline-audit shape. Replayed docs (already
     * members) emit nothing — idempotent under micro-batch replay.
     */
-  class VerdictProcessor extends StatefulProcessor[(Int, Long), BandDoc, DocVerdict] {
+  /** Generic over the bucket KEY type (xxhash64 Long vs portable
+    * raw-tuple String — round-13 review: the two monomorphic verdict
+    * processors were verbatim copies) and the row type; `fields`
+    * projects the arriving row to (doc_id, lang, text).
+    */
+  class VerdictProcessor[K, R](fields: R => (Long, String, String))
+      extends StatefulProcessor[K, R, DocVerdict] {
     @transient private var members: ListState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       members = getHandle.getListState[Long]("members",
         Encoders.scalaLong, TTLConfig.NONE)
 
-    override def handleInputRows(key: (Int, Long), rows: Iterator[BandDoc],
+    override def handleInputRows(key: K, rows: Iterator[R],
         timerValues: TimerValues): Iterator[DocVerdict] = {
       val existing = members.get().toVector
       val seen = existing.toSet
       // ascending id order within the batch: earlier id = earlier
       // arrival, matching the batch pipeline's sorted-pair orientation
-      val fresh = rows.toVector.groupBy(_.doc_id).values.map(_.head)
-        .toVector.sortBy(_.doc_id).filterNot(d => seen(d.doc_id))
+      val fresh = rows.map(fields).toVector.groupBy(_._1).values.map(_.head)
+        .toVector.sortBy(_._1).filterNot(d => seen(d._1))
       if (fresh.isEmpty) return Iterator.empty
       val out = Vector.newBuilder[DocVerdict]
       var nPrior = existing.size
-      fresh.foreach { d =>
-        out += DocVerdict(d.doc_id, d.lang, d.text, nPrior > 0)
+      fresh.foreach { case (id, lang, text) =>
+        out += DocVerdict(id, lang, text, nPrior > 0)
         nPrior += 1
       }
-      members.appendList(fresh.map(_.doc_id).toArray)
+      members.appendList(fresh.map(_._1).toArray)
       out.result().iterator
     }
   }
@@ -99,7 +105,9 @@ object StreamPipeline {
         col("doc_id"), col("lang"), col("text"))
       .as[BandDoc]
       .groupByKey(b => (b.band, b.band_sig))
-      .transformWithState(new VerdictProcessor(), TimeMode.None(), OutputMode.Append())
+      .transformWithState(
+        new VerdictProcessor[(Int, Long), BandDoc](d => (d.doc_id, d.lang, d.text)),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** The full composed pipeline: verdicts → per-doc rollup → shard-
@@ -205,32 +213,6 @@ object StreamPipeline {
   case class PortableBandDoc(band: Int, band_key: String, doc_id: Long,
       lang: String, text: String)
 
-  class PortableVerdictProcessor
-      extends StatefulProcessor[(Int, String), PortableBandDoc, DocVerdict] {
-    @transient private var members: ListState[Long] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      members = getHandle.getListState[Long]("members",
-        Encoders.scalaLong, TTLConfig.NONE)
-
-    override def handleInputRows(key: (Int, String), rows: Iterator[PortableBandDoc],
-        timerValues: TimerValues): Iterator[DocVerdict] = {
-      val existing = members.get().toVector
-      val seen = existing.toSet
-      val fresh = rows.toVector.groupBy(_.doc_id).values.map(_.head)
-        .toVector.sortBy(_.doc_id).filterNot(d => seen(d.doc_id))
-      if (fresh.isEmpty) return Iterator.empty
-      val out = Vector.newBuilder[DocVerdict]
-      var nPrior = existing.size
-      fresh.foreach { d =>
-        out += DocVerdict(d.doc_id, d.lang, d.text, nPrior > 0)
-        nPrior += 1
-      }
-      members.appendList(fresh.map(_.doc_id).toArray)
-      out.result().iterator
-    }
-  }
-
   /** [[verdicts]] in the oracle-portable md5 family (round 11):
     * `minhash_sig_md5` k=16, 4 raw-tuple band buckets — the same
     * candidate generation the `q_minhash_near_dups` oracle replays,
@@ -256,12 +238,7 @@ object StreamPipeline {
       bands: Int = 4): Dataset[DocVerdict] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val r = k / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(":",
-          (1 to r).map(j => element_at(col("sig"), b * r + j)): _*).as("band_key"))
-    }
+    val bandCols = graft.operators.Dedup.portableBandStructs(k, bands)
     CorpusGate.withFlags(docs)
       .filter(col("lang_ok") && col("len_ok") && col("rep_ok"))
       .select(col("doc_id"), col("lang"), col("text"),
@@ -272,7 +249,9 @@ object StreamPipeline {
         col("doc_id"), col("lang"), col("text"))
       .as[PortableBandDoc]
       .groupByKey(b => (b.band, b.band_key))
-      .transformWithState(new PortableVerdictProcessor(), TimeMode.None(),
+      .transformWithState(
+        new VerdictProcessor[(Int, String), PortableBandDoc](
+          d => (d.doc_id, d.lang, d.text)), TimeMode.None(),
         OutputMode.Append())
   }
 
