@@ -162,7 +162,12 @@ final case class AsOfJoinExec(
         val keyOrd = RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType))
         val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
         val emitPred = condExpr.map(c => Predicate.create(c, lOut ++ rOut))
-        emitPred.foreach(_.initialize(0))
+        // seed with the task's REAL partition id (round-13 review; a
+        // hardcoded 0 would give a nondeterministic predicate — only
+        // reachable by constructing AsOfJoinPlan directly — identical
+        // seeds on every partition), matching built-in execs
+        emitPred.foreach(_.initialize(
+          Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)))
         val distProj = distExpr.map(e => UnsafeProjection.create(Seq(e), lOut ++ rOut))
         val distOrd = distExpr.map(e =>
           RowOrdering.createNaturalAscendingOrdering(Seq(e.dataType)))

@@ -32,8 +32,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * `If(size(l) = size(r), DotProductF(l, r), NULL)` — bare
   * DotProductF would throw where the original query returned NULL,
   * and an optimizer rule injected for every session must never turn
-  * a NULL-producing query into a failed job. The guard is two
-  * codegen'd length reads, branch-predicted away on well-formed data.
+  * a NULL-producing query into a failed job. Because the guard
+  * DUPLICATES l and r, the rewrite fires only on CHEAP inputs
+  * (attributes / literals / struct-field reads): for a computed
+  * array (e.g. `slice(a, 1, 128)`) the duplicated occurrence would
+  * materialize the array twice per row — subexpression elimination
+  * does not merge an If-condition occurrence with a branch occurrence
+  * — costing more than the HOF it replaces saves (round-13 review).
+  * On cheap inputs the guard is two codegen'd length reads,
+  * branch-predicted away on well-formed data.
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 
@@ -63,6 +70,13 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Inputs cheap enough to duplicate into the Size guard (class doc). */
+  private def isCheap(e: Expression): Boolean = e match {
+    case _: Attribute | _: Literal => true
+    case g: GetStructField => isCheap(g.child)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
@@ -76,8 +90,10 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
             // the rewrite duplicates l and r into the Size guard: a
             // nondeterministic array would be evaluated independently
             // there and in DotProductF, guarding a DIFFERENT value
-            // than the one dotted — only rewrite deterministic inputs
+            // than the one dotted — only rewrite deterministic inputs,
+            // and only CHEAP ones (duplication cost — class doc)
             l.deterministic && r.deterministic &&
+            isCheap(l) && isCheap(r) &&
             isDoubleCastMultiply(mult, x, y) &&
             ((sameVar(accRef, acc) && sameVar(vRef, v)) ||
               (sameVar(accRef, v) && sameVar(vRef, acc))) &&

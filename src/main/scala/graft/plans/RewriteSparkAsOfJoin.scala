@@ -40,12 +40,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * AsOfJoinSpec asserts parity with Spark's own rewrite on every
   * direction × exact × tolerance combination on tie-free data.
   */
-object RewriteSparkAsOfJoin extends Rule[LogicalPlan] {
-
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(a, b) => conjuncts(a) ++ conjuncts(b)
-    case other => Seq(other)
-  }
+object RewriteSparkAsOfJoin extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   /** The two operands of any "a minus b" form the analyzer can leave
     * in the order expression. `AsOfJoin.apply` builds a raw `Subtract`,
@@ -93,7 +89,7 @@ object RewriteSparkAsOfJoin extends Rule[LogicalPlan] {
   /** allowExactMatches, read from the base comparison conjunct. */
   private def exactness(asOfCond: Expression, dir: String,
       lt: Expression, rt: Expression): Option[Boolean] = {
-    val cs = conjuncts(asOfCond)
+    val cs = splitConjunctivePredicates(asOfCond)
     def has(p: Expression => Boolean) = cs.exists(p)
     dir match {
       case "backward" =>
@@ -127,9 +123,15 @@ object RewriteSparkAsOfJoin extends Rule[LogicalPlan] {
     plan.resolveOperatorsUp {
       case j @ AsOfJoin(l, r, asOfCond, Some(cond), Inner, orderExpr, tolAssert)
           if j.resolved &&
+            // batch inputs only (round-13 review): the merge exec is a
+            // stateless per-micro-batch zipPartitions — intercepting a
+            // STREAMING joinAsOf would silently drop cross-batch
+            // matches, where falling through lets Spark's own rewrite
+            // hit the UnsupportedOperationChecker and fail loudly
+            !l.isStreaming && !r.isStreaming &&
             // the API's tolerance ≥ 0 assertion must hold provably
             tolAssert.forall(a => a.foldable && a.eval() == true) =>
-        val keyPairs = conjuncts(cond).map {
+        val keyPairs = splitConjunctivePredicates(cond).map {
           case EqualTo(a, b) if a.references.subsetOf(l.outputSet) &&
               b.references.subsetOf(r.outputSet) => Some((a, b))
           case EqualTo(a, b) if b.references.subsetOf(l.outputSet) &&

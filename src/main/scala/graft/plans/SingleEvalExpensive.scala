@@ -79,7 +79,8 @@ final case class OnceEvalBarrier(child: Expression) extends UnaryExpression {
   * dominant cost of the passage-overlap pipeline, so a 3×→1× on that
   * stage is a 3× on the whole scan stage.
   */
-object SingleEvalExpensive extends Rule[LogicalPlan] {
+object SingleEvalExpensive extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   /** The engine's marked-expensive scalars: whole-document scans and
     * model-applying encoders — everything whose per-row cost dwarfs a
@@ -122,11 +123,6 @@ object SingleEvalExpensive extends Rule[LogicalPlan] {
       case x => x.mapChildren(replace(_, sub, attr))
     }
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(a, b) => conjuncts(a) ++ conjuncts(b)
-    case other => Seq(other)
-  }
-
   /** Hoist `subs` into a barrier projection below the filter; rewrite
     * the costly conjuncts and the optional parent project list to
     * reference the hoisted attributes. Conjuncts NOT touching a
@@ -138,16 +134,26 @@ object SingleEvalExpensive extends Rule[LogicalPlan] {
       : (Option[Seq[NamedExpression]], Expression, LogicalPlan) = {
     val aliases = subs.map(s => Alias(OnceEvalBarrier(s), "_graft_once")())
     val attrs = aliases.map(_.toAttribute)
-    val (costlyCjs, cheapCjs) = conjuncts(cond).partition(c =>
+    val (costlyCjs, cheapCjs) = splitConjunctivePredicates(cond).partition(c =>
       subs.exists(s => countIn(c, s) >= 1))
     val below: LogicalPlan =
       if (cheapCjs.isEmpty) child else Filter(cheapCjs.reduce(And), child)
     val bottom = Project(child.output ++ aliases, below)
+    // replace OUTERMOST subs first (round-13 review): two hoisted subs
+    // can nest (a costly expression occurring standalone AND inside a
+    // larger costly expression's other occurrence site); replacing the
+    // inner one first would mutate the enclosing sub, turning its own
+    // replacement into a silent no-op — the hoisted alias computes but
+    // is never referenced, and the expensive expression keeps
+    // re-deriving. Node-count-descending order rewrites a container
+    // before anything it contains.
+    val ordered = subs.zip(attrs)
+      .sortBy { case (s, _) => -s.collect { case _ => () }.length }
     val newCond = costlyCjs.map(c =>
-      subs.zip(attrs).foldLeft(c) { case (x, (s, a)) => replace(x, s, a) })
+      ordered.foldLeft(c) { case (x, (s, a)) => replace(x, s, a) })
       .reduce(And)
     val newList = projList.map(_.map { ne =>
-      subs.zip(attrs).foldLeft(ne: Expression) {
+      ordered.foldLeft(ne: Expression) {
         case (x, (s, a)) => replace(x, s, a)
       }.asInstanceOf[NamedExpression]
     })

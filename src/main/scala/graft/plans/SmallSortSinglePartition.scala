@@ -74,7 +74,30 @@ object SmallSortSinglePartition extends Rule[LogicalPlan] {
         case _: LocalRelation | _: OneRowRelation => true
         case _ => false
       }
-      if (stages.nonEmpty && allLeavesSmall)
+      // coalesce(1) legality tightened (round-13 review): per-leaf
+      // bounds alone neither cap the CONCATENATED input (200 small
+      // leaves) nor intermediate blow-up (an unexecuted many-to-many
+      // join or generator between the leaves and the sort can turn
+      // 16 MB of stage output into GBs before a later aggregate
+      // shrinks the sort-input ESTIMATE under the threshold) — so the
+      // one-task form additionally needs the SUM of leaf sizes under
+      // the bound and NO row-multiplying operator in the final stage.
+      // (Operators already executed live INSIDE the materialized
+      // LogicalQueryStage leaves, whose stats are real bytes; only the
+      // not-yet-run final-stage subtree is visible here.) Anything
+      // that fails falls to repartition(1): the multiplying work keeps
+      // upstream parallelism and only the sorted result single-tasks.
+      val sumLeaves = leaves.collect {
+        case q: LogicalQueryStage => q.stats.sizeInBytes
+      }.sum
+      val rowMultiplying = s.child.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.Generate => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.Expand => true
+        case _ => false
+      }
+      if (stages.nonEmpty && allLeavesSmall && sumLeaves <= maxBytes &&
+          !rowMultiplying)
         s.copy(global = false,
           child = Repartition(1, shuffle = false, s.child))
       else
