@@ -37,11 +37,14 @@ abstract class KmvStateAggregator[OUT](k: Int)
     if (hashed == null) return buf
     // flip sign bit: treats Long as unsigned for ordering
     val h = hashed.longValue() ^ Long.MinValue
+    // one binary search per accepted value (round-13 review: the
+    // duplicate check and the insertion previously each searched)
     if (buf.length < k) {
-      if (java.util.Arrays.binarySearch(buf, h) < 0) insertSorted(buf, h) else buf
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos < 0) insertAt(buf, h, -pos - 1) else buf
     } else if (h < buf.last) {
       val pos = java.util.Arrays.binarySearch(buf, h)
-      if (pos < 0) insertSorted(buf, h).take(k) else buf
+      if (pos < 0) insertAt(buf, h, -pos - 1).take(k) else buf
     } else buf
   }
 
@@ -58,9 +61,7 @@ abstract class KmvStateAggregator[OUT](k: Int)
     out.take(n)
   }
 
-  private def insertSorted(buf: Array[Long], v: Long): Array[Long] = {
-    val pos = java.util.Arrays.binarySearch(buf, v)
-    val ins = -pos - 1
+  private def insertAt(buf: Array[Long], v: Long, ins: Int): Array[Long] = {
     val out = new Array[Long](buf.length + 1)
     System.arraycopy(buf, 0, out, 0, ins)
     out(ins) = v

@@ -58,17 +58,7 @@ final case class MaskPairs(mask: Expression) extends Generator {
         rest &= rest - 1
         k += 1
       }
-      new Iterator[InternalRow] {
-        private var a = 0
-        private var b = 1
-        override def hasNext: Boolean = a < n - 1
-        override def next(): InternalRow = {
-          val r = InternalRow(pos(a), pos(b))
-          b += 1
-          if (b == n) { a += 1; b = a + 1 }
-          r
-        }
-      }
+      new TriangularPairs(n, (a, b) => InternalRow(pos(a), pos(b)))
     }
   }
 

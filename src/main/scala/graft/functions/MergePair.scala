@@ -26,7 +26,18 @@ import org.apache.spark.unsafe.types.UTF8String
 final case class MergePair(child: Expression, left: String, right: String)
     extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  /** containsNull follows the INPUT (round-13 review): merge() copies
+    * a null element through to the output (null equals neither pair
+    * symbol), so declaring containsNull=false over a nullable-element
+    * input would hand the optimizer a false no-null promise — wrong
+    * IsNotNull pruning or NPEs downstream. The BPE trainer feeds
+    * split()-produced arrays (containsNull=false), so its rounds keep
+    * the tight type.
+    */
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(StringType, n) => ArrayType(StringType, containsNull = n)
+    case _ => ArrayType(StringType, containsNull = true) // pre-checkInput
+  }
   override def prettyName: String = "merge_pair"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

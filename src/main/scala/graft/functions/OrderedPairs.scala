@@ -41,6 +41,10 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructType}
   * NULL array → no rows (same convention as [[CharNGrams]]); NULL
   * elements are skipped (cannot occur from collect_list, which drops
   * nulls, but the generator must not NPE on hand-built arrays).
+  * Duplicate ids collapse to one element, keeping the MIN n (same
+  * defense class: collect_set of structs could carry one id twice
+  * with different counts, and an un-deduped run would emit a
+  * contract-violating self-pair id_a == id_b — round-13 review).
   * Registered as SQL `ordered_pairs` via [[graft.GraftExtensions]].
   */
 final case class OrderedPairs(ids: Expression) extends Generator {
@@ -96,18 +100,19 @@ final case class OrderedPairs(ids: Expression) extends Generator {
         id(q + 1) = idP; nf(q + 1) = nfP
         p += 1
       }
-      if (n < 2) Iterator.empty
-      else new Iterator[InternalRow] {
-        private var a = 0
-        private var b = 1
-        override def hasNext: Boolean = a < n - 1
-        override def next(): InternalRow = {
-          val r = InternalRow(id(a), id(b), math.min(nf(a), nf(b)))
-          b += 1
-          if (b == n) { a += 1; b = a + 1 }
-          r
-        }
+      // collapse adjacent duplicate ids (see class doc): keep MIN n,
+      // the same reduction pair emission applies — a duplicate id
+      // would otherwise self-pair
+      var w = 0
+      var s2 = 0
+      while (s2 < n) {
+        if (w > 0 && id(w - 1) == id(s2)) nf(w - 1) = math.min(nf(w - 1), nf(s2))
+        else { id(w) = id(s2); nf(w) = nf(s2); w += 1 }
+        s2 += 1
       }
+      val nd = w
+      new TriangularPairs(nd,
+        (a, b) => InternalRow(id(a), id(b), math.min(nf(a), nf(b))))
     }
   }
 
@@ -129,4 +134,21 @@ final case class OrderedPairs(ids: Expression) extends Generator {
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): OrderedPairs =
     copy(ids = newChildren(0))
+}
+
+/** Triangular (a < b) index-pair walk shared by the pair generators
+  * (round-13 review: the stateful iterator existed verbatim in
+  * ordered_pairs and mask_pairs). Empty for n < 2 by construction.
+  */
+private[functions] final class TriangularPairs(
+    n: Int, emit: (Int, Int) => InternalRow) extends Iterator[InternalRow] {
+  private var a = 0
+  private var b = 1
+  override def hasNext: Boolean = a < n - 1
+  override def next(): InternalRow = {
+    val r = emit(a, b)
+    b += 1
+    if (b == n) { a += 1; b = a + 1 }
+    r
+  }
 }

@@ -149,9 +149,14 @@ final case class PqAdcDist(left: Expression, right: Expression, model: PqModel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqModel", model, classOf[PqModel].getName)
+    // freshName, not a hard-coded local: two pq_adc_dist calls in one
+    // codegen scope (both children non-nullable -> no brace-scoped
+    // null guard) would otherwise redefine the same variable and kick
+    // the whole stage back to interpreted execution (round-13 review)
+    val r = ctx.freshName("r")
     nullSafeCodeGen(ctx, ev, (c, q) =>
-      s"""java.lang.Double r = $ref.adcOrNull($c, $q);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+      s"""java.lang.Double $r = $ref.adcOrNull($c, $q);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
          |""".stripMargin)
   }
 

@@ -65,7 +65,12 @@ case class SignBucket(child: Expression,
     }
     var b = 0L
     var i = 0
-    while (i < nP) { if (acc(i) >= 0.0) b |= (1L << i); i += 1 }
+    // !(x < 0): sets the bit for NaN too, matching the COMPOSED form's
+    // Spark comparison (nanSafeCompareDoubles: NaN > any value, so
+    // vec_dot(..) >= 0 is TRUE on NaN) — a primitive `>= 0.0` cleared
+    // it and broke bit-parity on dirty vectors (round-13 review);
+    // -0.0 agrees in both forms (equal to 0.0)
+    while (i < nP) { if (!(acc(i) < 0.0)) b |= (1L << i); i += 1 }
     b
   }
 
@@ -95,7 +100,8 @@ case class SignBucket(child: Expression,
          |}
          |long $b = 0L;
          |for (int $i = 0; $i < $nP; $i++) {
-         |  if ($acc[$i] >= 0.0) $b |= (1L << $i);
+         |  // NaN-safe sign (see eval): !(x < 0) == Spark's x >= 0
+         |  if (!($acc[$i] < 0.0)) $b |= (1L << $i);
          |}
          |${ev.value} = $b;
        """.stripMargin
