@@ -21,13 +21,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * hash-matches are unaffected.
   *
   * Null semantics: null if either array is null (matching the HOF
-  * form); arrays are required to be same-length, checked at eval.
+  * form). Mismatched lengths: the DIRECT `vec_dot` surface throws — a
+  * dimension mismatch is a data error and the loud contract is
+  * spec-pinned — while `nullOnMismatch = true` (used ONLY by
+  * [[graft.plans.RewriteDotProduct]]) returns null instead, exactly
+  * the HOF fold's zip_with-padding semantics. The flag is what lets
+  * the rewrite evaluate each operand ONCE with no If(size=size) guard:
+  * the earlier guard duplicated both operands per row on computed
+  * arrays (round-13 review).
   */
-case class DotProductF(left: Expression, right: Expression)
+case class DotProductF(left: Expression, right: Expression,
+    nullOnMismatch: Boolean = false)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean =
+    nullOnMismatch || left.nullable || right.nullable
   override def prettyName: String = "vec_dot"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -45,8 +54,11 @@ case class DotProductF(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
-    require(y.numElements() == n,
-      s"$prettyName: mismatched vector lengths ${n} vs ${y.numElements()}")
+    if (y.numElements() != n) {
+      if (nullOnMismatch) return null
+      throw new IllegalArgumentException(
+        s"$prettyName: mismatched vector lengths ${n} vs ${y.numElements()}")
+    }
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -61,16 +73,20 @@ case class DotProductF(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val mismatch =
+        if (nullOnMismatch) s"${ev.isNull} = true;"
+        else s"""throw new IllegalArgumentException("vec_dot: mismatched vector lengths");"""
       s"""
          |final int $n = $a.numElements();
          |if ($b.numElements() != $n) {
-         |  throw new IllegalArgumentException("vec_dot: mismatched vector lengths");
+         |  $mismatch
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
-         |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -28,19 +28,17 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *
   * The rewrite is semantics-preserving on malformed input too:
   * mismatched array lengths yield NULL through zip_with's null
-  * padding (null element poisons the fold), so the rewritten form is
-  * `If(size(l) = size(r), DotProductF(l, r), NULL)` — bare
-  * DotProductF would throw where the original query returned NULL,
-  * and an optimizer rule injected for every session must never turn
-  * a NULL-producing query into a failed job. Because the guard
-  * DUPLICATES l and r, the rewrite fires only on CHEAP inputs
-  * (attributes / literals / struct-field reads): for a computed
-  * array (e.g. `slice(a, 1, 128)`) the duplicated occurrence would
-  * materialize the array twice per row — subexpression elimination
-  * does not merge an If-condition occurrence with a branch occurrence
-  * — costing more than the HOF it replaces saves (round-13 review).
-  * On cheap inputs the guard is two codegen'd length reads,
-  * branch-predicted away on well-formed data.
+  * padding (null element poisons the fold), so the rewrite emits
+  * `DotProductF(l, r, nullOnMismatch = true)` — the expression's own
+  * length check returns NULL in that mode, exactly the fold's answer,
+  * where the direct `vec_dot` surface keeps its loud data-error
+  * throw. Round-13 review: the earlier `If(size(l) = size(r), …)`
+  * guard DUPLICATED both operands, materializing a computed array
+  * (e.g. `slice(a, …)`, or a projection inlined by CollapseProject)
+  * twice per row — subexpression elimination does not merge an
+  * If-condition occurrence with a branch occurrence. Folding the
+  * check into the expression evaluates each operand exactly once,
+  * which also makes the rewrite safe for nondeterministic inputs.
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 
@@ -70,12 +68,6 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Inputs cheap enough to duplicate into the Size guard (class doc). */
-  private def isCheap(e: Expression): Boolean = e match {
-    case _: Attribute | _: Literal => true
-    case g: GetStructField => isCheap(g.child)
-    case _ => false
-  }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
@@ -87,23 +79,13 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
               Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), false),
             LambdaFunction(finBody, Seq(fin: NamedLambdaVariable), false))
           if isFloatArray(l) && isFloatArray(r) &&
-            // the rewrite duplicates l and r into the Size guard: a
-            // nondeterministic array would be evaluated independently
-            // there and in DotProductF, guarding a DIFFERENT value
-            // than the one dotted — only rewrite deterministic inputs,
-            // and only CHEAP ones (duplication cost — class doc)
-            l.deterministic && r.deterministic &&
-            isCheap(l) && isCheap(r) &&
             isDoubleCastMultiply(mult, x, y) &&
             ((sameVar(accRef, acc) && sameVar(vRef, v)) ||
               (sameVar(accRef, v) && sameVar(vRef, acc))) &&
             sameVar(finBody, fin) =>
-        // Size(legacySizeOfNull = false) is NULL on a NULL array, so a
-        // NULL input short-circuits the If predicate to the NULL branch
-        // — same result as the fold it replaces.
-        If(EqualTo(Size(l, legacySizeOfNull = false),
-            Size(r, legacySizeOfNull = false)),
-          DotProductF(l, r),
-          Literal(null, DoubleType))
+        // single evaluation of each operand; NULL array → NULL (the
+        // expression is null-safe), mismatched lengths → NULL via the
+        // nullOnMismatch mode — both exactly the fold's semantics
+        DotProductF(l, r, nullOnMismatch = true)
     }
 }
