@@ -69,19 +69,24 @@ object ClusteredLayout {
   private val layoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def cachedZorderedEvents(spark: SparkSession, sfDir: String): String = {
-    val cached = layoutCache.get(sfDir)
-    if (cached != null) cached
-    else {
-      val path = graft.SparkEnv.scratchDir(
-        s"zorder-events-${java.lang.Integer.toHexString(sfDir.hashCode)}")
-      val ev = Tables.events(spark, sfDir)
-      val (a, b) = eventDims
-      zorderWrite(ev, scaledZKey(ev, a, b), path, nFiles = 32)
-      val prev = layoutCache.putIfAbsent(sfDir, path)
-      if (prev != null) prev else path
+  def cachedZorderedEvents(spark: SparkSession, sfDir: String): String =
+    // latch-after-write-under-monitor (the exportedDir discipline —
+    // round-13 review: the earlier unsynchronized check-then-act let
+    // concurrent first callers each run the full rewrite, orphaning
+    // the loser's 32-file copy on RAM-backed scratch until JVM exit)
+    layoutCache.synchronized {
+      val cached = layoutCache.get(sfDir)
+      if (cached != null) cached
+      else {
+        val path = graft.SparkEnv.scratchDir(
+          s"zorder-events-${java.lang.Integer.toHexString(sfDir.hashCode)}")
+        val ev = Tables.events(spark, sfDir)
+        val (a, b) = eventDims
+        zorderWrite(ev, scaledZKey(ev, a, b), path, nFiles = 32)
+        layoutCache.put(sfDir, path)
+        path
+      }
     }
-  }
 
   /** Hash-gated: a two-dimension selective scan over the z-ordered
     * copy. Values are layout-independent (the oracle reads the RAW
@@ -101,8 +106,13 @@ object ClusteredLayout {
       |ORDER BY event_type""".stripMargin) { (s, d) =>
     val path = cachedZorderedEvents(s, d)
     s.read.parquet(path)
+      // to_timestamp parses in the SESSION timezone (pinned UTC) like
+      // the SQL literal both engines cut at; java.sql.Timestamp.valueOf
+      // parsed in the JVM DEFAULT timezone, which nothing pins — on a
+      // non-UTC JVM the cut drifted by the zone offset (round-13
+      // review; the only main-code use of that pattern)
       .filter(col("user_id").between(3, 7) &&
-        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00")))
+        col("ts") < to_timestamp(lit("2024-01-16 00:00:00")))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))

@@ -92,7 +92,12 @@ object ExternalFormats {
       |FROM orders
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>
+    // pre-select the referenced columns (the q_orc_source discipline —
+    // round-13 review: the full-width export serialized six unused
+    // orders columns to JSON text on every first export; the format
+    // gate should pay encode/decode for the bytes the query reads)
     val src = Tables.orders(s, d)
+      .select("o_orderstatus", "o_totalprice", "o_orderdate")
     val dir = exportedDir(s"json:$d", "graft-json-src") { out =>
       src.write.mode("overwrite").json(out)
     }
@@ -124,7 +129,8 @@ object ExternalFormats {
       |FROM part
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>
-    // pre-select the referenced columns (like the CSV/JSON twins):
+    // pre-select the referenced columns (like the JSON twin; the CSV
+    // export stays deliberately full-width per its own scaladoc):
     // the format gate should pay encode/decode for the bytes the
     // query reads, not the whole table
     val src = Tables.part(s, d).select("p_brand", "p_retailprice", "p_size")
@@ -170,12 +176,24 @@ object ExternalFormats {
       |  CAST(sum(8 + octet_length(encode(text))) AS BIGINT) AS total_bytes,
       |  CAST(sum((n_chars % 1024) + 16) AS BIGINT) AS total_w
       |FROM documents
-      |WHERE doc_id < 1000
+      |WHERE doc_id < 1000 AND text IS NOT NULL
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>
     val dir = exportedDir(s"bin:$d", "graft-bin-src") { outDir =>
+      // ship the SESSION'S Hadoop configuration to the executors
+      // (round-13 review): a bare `new Configuration()` in the closure
+      // ignored spark.hadoop.* (default FS, credentials), resolving an
+      // unqualified outDir to the executor-LOCAL filesystem on exactly
+      // the cluster this code path exists for — blobs would scatter
+      // across executor disks and the read-back silently under-count
+      val hconf = org.apache.spark.GraftHadoopConfBridge
+        .broadcastConf(s.sparkContext)
       graft.operators.Multimodal
         .asFakeImage(Tables.documents(s, d).filter(col("doc_id") < 1000))
+        // defend against a null-text doc like q_text_source does: a
+        // null payload would NPE the writer task; the oracle carries
+        // the same non-null filter so file counts stay aligned
+        .filter(col("payload").isNotNull)
         .select("doc_id", "payload")
         .foreachPartition { (it: Iterator[Row]) =>
           // Resolve the path through the Hadoop FileSystem API (round-8
@@ -188,7 +206,7 @@ object ExternalFormats {
           // chmod per file (measured 0.4 -> 4.3 s on 1000 blobs,
           // round 9), pure harness overhead a real cluster FS never pays.
           val hp = new org.apache.hadoop.fs.Path(outDir)
-          val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = hp.getFileSystem(hconf.value.value)
           val localFast = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
             fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
           it.foreach { r =>

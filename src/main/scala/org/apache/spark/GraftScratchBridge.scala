@@ -13,3 +13,17 @@ object GraftScratchBridge {
   def deleteOnExit(dir: java.io.File): Unit =
     util.ShutdownHookManager.registerShutdownDeleteDir(dir)
 }
+
+/** Bridge to `private[spark]` SerializableConfiguration: wrap the
+  * session's Hadoop configuration for executor-side FileSystem
+  * resolution (round-13 review — a bare `new Configuration()` in a
+  * task closure ignores spark.hadoop.* and resolves unqualified paths
+  * to the executor-local FS on exactly the clusters the export paths
+  * exist for). Same access-qualifier rationale as
+  * [[GraftScratchBridge]].
+  */
+object GraftHadoopConfBridge {
+  def broadcastConf(sc: SparkContext)
+      : org.apache.spark.broadcast.Broadcast[util.SerializableConfiguration] =
+    util.SerializableConfiguration.broadcast(sc, sc.hadoopConfiguration)
+}
