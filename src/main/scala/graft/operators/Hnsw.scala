@@ -309,6 +309,9 @@ object Hnsw {
     * node is the replace path above.
     *
     * `touchedShards` (test hook): counts shards that did graph work.
+    * Incremented inside mapPartitions, so task retries / speculative
+    * execution double-count — consumers must treat it as "at least
+    * once per touched shard", never an exact count (round-14 advice).
     */
   def upsertHnsw(graph: DataFrame, newRows: DataFrame,
       shards: Int = NumShards,
@@ -323,6 +326,14 @@ object Hnsw {
         col("vec_id"), lit(0).as("level"), col("embedding").as("vec"),
         lit(null).cast("array<array<bigint>>").as("nbrs"),
         lit(true).as("is_new"))
+      // pin ONE evaluation of newRows: `incoming` feeds both the
+      // touched-shard collect and the rebuilt union below; a
+      // nondeterministic source re-evaluated between the two could
+      // route a row to a shard absent from `touched`, duplicating that
+      // shard in the output (untouched pass-through AND news-only
+      // rebuild). The batch is incremental-sized by definition, so the
+      // eager materialization is cheap (round-14 advice).
+      .localCheckpoint()
     val touched = incoming.select("shard").distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ shard count — metadata-sized
     val outCols = Seq(col("shard"), col("vec_id"), col("level"),

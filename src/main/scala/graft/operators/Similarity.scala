@@ -214,8 +214,11 @@ object Similarity {
       // NULL query embeddings are skipped like annHnsw/buildShardGraphs
       // skip NULL corpus rows: without this, every centroid distance is
       // null and array_sort's tie-break would fabricate cells 0..nProbe-1
-      // for a query that has no vector (round-13 review; the old udf NPE'd)
-      .filter(col("q_emb").isNotNull)
+      // for a query that has no vector (round-13 review; the old udf NPE'd).
+      // A NULL ELEMENT inside an otherwise non-null embedding has the same
+      // failure shape (one null term nulls the whole zip_with/aggregate
+      // distance), so the guard covers both (round-14 advice).
+      .filter(col("q_emb").isNotNull && forall(col("q_emb"), e => e.isNotNull))
       .withColumn("cell", explode(probeCellsCol(index.centroids, nProbe, col("q_emb"))))
     val sims = index.indexed.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -397,7 +400,7 @@ object Similarity {
     // (round-5 verdict #3)
     val coded = codedRel.getOrElse(ivfPqCodes(index, model))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .filter(col("q_emb").isNotNull) // see probeIvf's NULL-query note
+      .filter(col("q_emb").isNotNull && forall(col("q_emb"), e => e.isNotNull)) // see probeIvf's NULL-query note
       .withColumn("cell", explode(probeCellsCol(index.centroids, nProbe, col("q_emb"))))
     // cells are disjoint, so each (query, member) pair appears once
     val approx = coded.join(broadcast(q), Seq("cell"))

@@ -551,7 +551,8 @@ object Maintenance {
        |       count(*) AS n_classes,
        |       CAST(sum(CASE WHEN num * 5 > denom THEN 1 ELSE 0 END) AS BIGINT) AS n_wide,
        |       CAST(sum(CASE WHEN num * 5 > denom THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
-       |       round(max(CAST(num AS DOUBLE) / denom), 9) AS max_emd
+       |       round(max(CASE WHEN denom = 0 THEN 0.0
+       |                      ELSE CAST(num AS DOUBLE) / denom END), 9) AS max_emd
        |FROM per_class
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
@@ -600,7 +601,14 @@ object Maintenance {
           .as("n_wide"),
         sum(when(col("num") * 5 > col("denom"), col("n")).otherwise(0L))
           .as("rows_at_risk"),
-        round(max(col("num").cast("double") / col("denom")), 9).as("max_emd"))
+        // m = 1 degeneracy guard (round-14 advice): a single-band
+        // domain gives denom = n·gn·(m−1) = 0 with num = 0 too — EMD is
+        // trivially 0 (everything in one band), but 0/0 is NULL in
+        // DuckDB while Spark's ANSI divide diverges; the CASE pins both
+        // engines to the semantically-right 0.0
+        round(max(when(col("denom") === 0, lit(0.0))
+          .otherwise(col("num").cast("double") / col("denom"))), 9)
+          .as("max_emd"))
       .select(col("seg").as("c_mktsegment"), col("n_classes"),
         col("n_wide"), col("rows_at_risk"), col("max_emd"))
       .orderBy("c_mktsegment")

@@ -631,8 +631,11 @@ object StreamingQueries {
     * clicks the batch oracle still counts — the round-12 review
     * finding; the q_stream_dedup_users batching-invariance
     * discipline applied here). Production sizes the watermark to its
-    * lateness budget for bounded state — those eviction mechanics
-    * stay spec-covered (StreamJoinSpec's watermarked interval join).
+    * lateness budget for bounded state — that plan is now ALSO a
+    * declared gate: `q_stream_stream_join_wm` runs the 2 h-watermark
+    * form through real multi-batch eviction over time-ordered ingest
+    * chunks (round 14), and the eviction mechanics additionally stay
+    * spec-covered (StreamJoinSpec's watermarked interval join).
     * The joined pairs land append-mode in the sink; the declared
     * result aggregates them per purchase day, and the oracle replays
     * the identical self-join in SQL.
@@ -666,6 +669,72 @@ object StreamingQueries {
       .outputMode("append")
       .option("checkpointLocation",
         graft.SparkEnv.scratchDir("graft-stream-ssjoin-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(qname)
+      .groupBy(date_trunc("day", col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_user")).as("n_users"))
+      .orderBy("day")
+  }
+
+  /** I8, the SCALE-HONEST twin (round 14, VERDICT r13 #2): the same
+    * purchase⋈click interval join with a PRODUCTION-SIZED 2-hour
+    * watermark, driven through REAL multi-batch state eviction. The
+    * 35-day `q_stream_stream_join` stays the determinism gate (no
+    * eviction under any batching); this twin is the plan that survives
+    * 100× — bounded state — gated with the SAME full-join oracle,
+    * which is exact here because the ingest layer delivers event-time
+    * order: [[graft.streaming.Ingest.timeChunkedEventDir]] rewrites
+    * the fixture as 10 day-range files with ascending mtimes, streamed
+    * `maxFilesPerTrigger=1` (one chunk per micro-batch, 10 real
+    * batches through the join state machinery). Chunks are day-
+    * disjoint and admitted in order, so cross-batch disorder is zero —
+    * no row is ever late, every qualifying pair is emitted, and the
+    * watermark's only job is its production one: evicting state that
+    * can no longer match (clicks once the watermark passes c_ts + 1 h,
+    * purchases once it passes p_ts). Peak state ≈ one ingest chunk +
+    * the 3 h join horizon regardless of total corpus size — the
+    * boundedness StreamJoinSpec asserts from the run's own progress
+    * metrics (numRowsTotal ≪ corpus) — where the 35-day gate's state
+    * is the whole corpus by design. GATE PRECONDITION (the
+    * AbandonedSessions discipline): admission order is mtime order;
+    * the builder stamps strictly increasing mtimes, so the order is
+    * total by construction, not by listing accident.
+    */
+  val streamStreamJoinWm = DeclaredQuery(
+    "q_stream_stream_join_wm",
+    """SELECT CAST(date_trunc('day', p.ts) AS TIMESTAMP) AS day,
+      |       count(*) AS n_pairs,
+      |       count(DISTINCT p.user_id) AS n_users
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val s2 = graft.SparkEnv.stateSession(s)
+    val qname = "stream_stream_join_wm"
+    val ingestDir = graft.streaming.Ingest.timeChunkedEventDir(s, d)
+    def side(tpe: String, u: String, t: String) =
+      s2.readStream.schema(graft.streaming.Ingest.chunkedEventSchema)
+        .option("maxFilesPerTrigger", "1") // one time-ordered chunk per micro-batch
+        .parquet(ingestDir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(u), col("ts").as(t))
+    val purchases = side("purchase", "p_user", "p_ts")
+      .withWatermark("p_ts", "2 hours")
+    val clicks = side("click", "c_user", "c_ts")
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    val q = joined.writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation",
+        graft.SparkEnv.scratchDir("graft-stream-ssjoinwm-ckpt"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -798,6 +867,6 @@ object StreamingQueries {
       streamCorpusGate, streamCleanPipeline, streamSemanticDedup, streamDsir,
       streamDecontaminate, streamLmScores, streamValuePercentiles,
       streamUniqueUsers, streamTopTypes, streamPsiDrift, stateReader,
-      streamStaticJoin, streamStreamJoin, streamDedupUsers,
-      streamAbandonedSessions)
+      streamStaticJoin, streamStreamJoin, streamStreamJoinWm,
+      streamDedupUsers, streamAbandonedSessions)
 }

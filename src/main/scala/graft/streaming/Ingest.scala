@@ -87,6 +87,74 @@ object Ingest {
     }
   }
 
+  /** Columns the time-chunked ingest twin carries (the stream-stream
+    * join's working set — ts normalized to µs TimestampType at build).
+    */
+  val chunkedEventSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType), StructField("ts", TimestampType),
+    StructField("event_type", StringType)))
+
+  private val chunkedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Time-ordered chunked ingest twin of the events fixture: the
+    * purchase/click working set rewritten as `nChunks` day-range
+    * parquet files with strictly ascending modification times — the
+    * shape a production file-watch ingest actually delivers (files
+    * land in event-time order), which is what lets a watermark-sized
+    * stream-stream join gate run REAL multi-batch state eviction
+    * deterministically (`q_stream_stream_join_wm`). Chunk boundaries
+    * are DAY boundaries (floor over datediff — no global window, no
+    * single-partition sort), so cross-chunk event-time disorder is
+    * exactly zero and any watermark delay ≥ 0 admits every row; the
+    * declared 2 h delay is the production lateness budget, not a
+    * correctness crutch. One corpus scan + one shuffle write per
+    * (fixture, nChunks), memoized for the JVM's lifetime like
+    * Similarity.cachedIvfIndex; mtimes are set EXPLICITLY (1 s apart)
+    * rather than by sleeping between writes — FileStreamSource admits
+    * files in modification-time order, and distinct stamps make that
+    * order total.
+    */
+  def timeChunkedEventDir(spark: SparkSession, sfDir: String,
+      nChunks: Int = 10): String =
+    chunkedDirs.computeIfAbsent(s"$sfDir#$nChunks", _ => {
+      val root = graft.SparkEnv.scratchDir("graft-chunked-ingest")
+      val staged = s"$root/staged"
+      val outDir = new java.io.File(root, "events")
+      val ev = graft.Tables.events(spark, sfDir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val span = ev.agg(
+        min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        .head() // 1 row — corpus time span, metadata-sized
+      outDir.mkdirs()
+      if (!span.isNullAt(0)) { // empty corpus → empty dir, no files
+        val (d0, d1) = (span.getDate(0), span.getDate(1))
+        val nDays = java.time.temporal.ChronoUnit.DAYS.between(
+          d0.toLocalDate, d1.toLocalDate) + 1
+        val withChunk = ev.withColumn("chunk",
+          least(lit(nChunks - 1),
+            floor(datediff(to_date(col("ts")), lit(d0)) * nChunks / nDays))
+            .cast("int"))
+        // repartition ON the chunk key: each chunk lives in exactly one
+        // task, so partitionBy emits exactly one part file per chunk dir
+        withChunk.repartition(col("chunk"))
+          .write.partitionBy("chunk").parquet(staged)
+        val chunkDirs = new java.io.File(staged).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+          .sortBy(f => f.getName.stripPrefix("chunk=").toInt)
+        val base = System.currentTimeMillis() - (nChunks + 2) * 1000L
+        chunkDirs.zipWithIndex.foreach { case (cd, i) =>
+          val part = cd.listFiles().filter(_.getName.endsWith(".parquet")).head
+          val dest = new java.io.File(outDir, f"chunk_$i%03d.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          require(dest.setLastModified(base + i * 1000L),
+            s"cannot stamp mtime on $dest")
+        }
+      }
+      outDir.getPath
+    })
+
   /** Decode a stream of JSON strings (the ZMQ datagram shape) into
     * typed event columns — A5. `payload` column in, event columns out.
     */

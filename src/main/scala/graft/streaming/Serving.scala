@@ -108,8 +108,18 @@ object InMemoryServingStore {
   private val instances =
     new java.util.LinkedHashMap[String, InMemoryServingStore](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, InMemoryServingStore]): Boolean =
-        size() > 256
+          e: java.util.Map.Entry[String, InMemoryServingStore]): Boolean = {
+        val evict = size() > 256
+        // eviction is otherwise silent until an executor-side
+        // instance() lookup throws mid-batch — log the store id so a
+        // capacity-induced failure is diagnosable (round-14 advice)
+        if (evict) org.slf4j.LoggerFactory
+          .getLogger(classOf[InMemoryServingStore])
+          .warn(s"InMemoryServingStore registry at capacity (256): " +
+            s"evicting store '${e.getKey}'; a stream still writing to " +
+            "it will fail its next executor-side instance() lookup")
+        evict
+      }
     }
   private[streaming] def register(id: String, s: InMemoryServingStore): Unit =
     instances.synchronized(instances.put(id, s))

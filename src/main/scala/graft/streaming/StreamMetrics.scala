@@ -24,6 +24,7 @@ object StreamMetrics {
       operatorName: String,
       numRowsTotal: Long,
       numRowsUpdated: Long,
+      numRowsRemoved: Long,
       memoryUsedBytes: Long)
 
   final case class BatchMetrics(
@@ -64,7 +65,8 @@ object StreamMetrics {
       maxEventTime = mx,
       watermarkLagMs = lag,
       stateOperators = p.stateOperators.toSeq.map(so => StateOpMetrics(
-        so.operatorName, so.numRowsTotal, so.numRowsUpdated, so.memoryUsedBytes)))
+        so.operatorName, so.numRowsTotal, so.numRowsUpdated,
+        so.numRowsRemoved, so.memoryUsedBytes)))
   }
 
   /** Per-batch metrics of everything the query's driver still retains

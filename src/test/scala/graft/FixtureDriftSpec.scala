@@ -140,6 +140,24 @@ class FixtureDriftSpec extends SparkSpec {
     }
   }
 
+  test("q_approx_percentiles_prod stays in GK's exact regime at DEFAULT accuracy: " +
+      "every (returnflag, month) group < 5000 rows (eps*n < 0.5 at accuracy=1e4)") {
+    // The round-14 production-accuracy twin keys the gate on the same
+    // eps*n < 0.5 bound as q_approx_percentiles but at the shipped
+    // default accuracy=1e4 — bounded sketch state, exactness carried
+    // by group size instead of a blown-up accuracy knob. Past 5000
+    // rows per (flag, month) the gate re-enters the estimating regime
+    // (correct to spec, hash gate would go red); fail here first.
+    for (dir <- Seq(sf01, sf1)) {
+      val maxGroup = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")))
+        .count().agg(max("count")).head().getLong(0)
+      assert(maxGroup < 5000L, s"$dir: largest (returnflag, month) lineitem group is " +
+        s"$maxGroup >= 5000 — q_approx_percentiles_prod leaves GK's exact " +
+        "regime at accuracy=1e4; re-key or raise accuracy")
+    }
+  }
+
   test("q_upsert_merge insert keys (20000 + s_suppkey) stay outside the customer " +
       "keyspace at every graded sf (round-8 advice: key-unique MERGE precondition)") {
     // The declared delta inserts suppliers at 20000 + s_suppkey; if

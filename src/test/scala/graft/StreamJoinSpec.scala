@@ -182,6 +182,58 @@ class StreamJoinSpec extends SparkSpec {
     assert(spark.table("rate_t").count() > 0)
   }
 
+  test("q_stream_stream_join_wm runs REAL multi-batch eviction with bounded state " +
+      "(peak join state << corpus) and still emits every qualifying pair") {
+    // The scale-honest twin's whole point (round 14): time-ordered
+    // chunked ingest + a 2 h watermark must (a) actually run many
+    // micro-batches, (b) actually EVICT state between them, (c) keep
+    // peak state near one-chunk size rather than corpus size, and
+    // (d) lose no pairs vs the batch join (cross-chunk disorder is
+    // zero by the chunk builder's day-boundary construction).
+    val ingestDir = graft.streaming.Ingest.timeChunkedEventDir(spark, sf)
+    def side(tpe: String, u: String, t: String) =
+      spark.readStream.schema(graft.streaming.Ingest.chunkedEventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(ingestDir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(u), col("ts").as(t))
+    val joined = side("purchase", "p_user", "p_ts").withWatermark("p_ts", "2 hours")
+      .join(side("click", "c_user", "c_ts").withWatermark("c_ts", "2 hours"),
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_wm_t")
+      .outputMode("append")
+      .option("checkpointLocation", SparkEnv.scratchDir("ssjoin-wm-spec-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val metrics = graft.streaming.StreamMetrics.history(q)
+    val dataBatches = metrics.filter(_.numInputRows > 0)
+    assert(dataBatches.size >= 5,
+      s"expected one micro-batch per ingest chunk, got ${dataBatches.size}")
+    val stateOps = metrics.flatMap(_.stateOperators)
+    assert(stateOps.map(_.numRowsRemoved).sum > 0,
+      s"watermark never evicted any join state: $stateOps")
+    val corpus = spark.read
+      .schema(graft.streaming.Ingest.chunkedEventSchema).parquet(ingestDir)
+    val corpusRows = corpus.count()
+    val peak = stateOps.map(_.numRowsTotal).max
+    assert(peak > 0 && peak < corpusRows / 2,
+      s"peak join state $peak not << corpus $corpusRows — eviction broken?")
+    // no pair lost: the emitted set equals the batch interval join
+    val batchPairs = {
+      val p = corpus.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val c = corpus.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      p.join(c, col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts")).count()
+    }
+    assert(spark.table("ssjoin_wm_t").count() == batchPairs,
+      s"streamed pair count != batch join $batchPairs")
+  }
+
   test("GraftExtensions registers vec_dot on a new session") {
     import org.apache.spark.sql.SparkSession
     val base = spark // force shared session init first
