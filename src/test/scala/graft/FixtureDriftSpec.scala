@@ -140,6 +140,30 @@ class FixtureDriftSpec extends SparkSpec {
     }
   }
 
+  test("q_incremental_join_view's dimension delta is non-vacuous and in-domain: " +
+      "changed customers (c_custkey % 97 = 0) have events, segments are the known 5") {
+    // The ΔB leg of the delta rule retracts/inserts the changed keys'
+    // fact history; if no changed customer ever emitted an event the
+    // gate silently stops exercising dimension churn. The rotation map
+    // also assumes the TPC-H segment domain — an unknown segment would
+    // rotate to NULL and poison the old-snapshot groups.
+    val known = Set("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    for (dir <- Seq(sf01, sf1)) {
+      val segs = Tables.customer(spark, dir)
+        .select("c_mktsegment").distinct().collect().map(_.getString(0)).toSet
+      assert(segs.subsetOf(known),
+        s"$dir: unknown customer segments ${segs -- known} — extend the rotation map")
+      val active = Tables.events(spark, dir)
+        .join(Tables.customer(spark, dir)
+          .filter(col("c_custkey") % 97 === 0),
+          col("user_id") === col("c_custkey"), "left_semi")
+        .limit(1).count()
+      assert(active > 0, s"$dir: no changed customer (key % 97 = 0) has any " +
+        "events — q_incremental_join_view's dimension-delta leg is vacuous")
+    }
+  }
+
   test("q_approx_percentiles_prod stays in GK's exact regime at DEFAULT accuracy: " +
       "every (returnflag, month) group < 5000 rows (eps*n < 0.5 at accuracy=1e4)") {
     // The round-14 production-accuracy twin keys the gate on the same
