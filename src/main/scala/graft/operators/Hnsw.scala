@@ -390,6 +390,72 @@ object Hnsw {
     untouched.unionAll(rebuilt)
   }
 
+  /** Shard split — the rebalance policy under sustained skewed
+    * upserts (VERDICT r13 #5): when one shard outgrows its task/memory
+    * budget, split IT alone instead of rebuilding the index. pmod
+    * routing makes the split exact: shard `s` at modulus `shards`
+    * holds precisely the ids that land in {s, s + shards} at modulus
+    * 2·shards, so re-routing its rows by pmod(vec_id, 2·shards) and
+    * rebuilding those two half-graphs (ascending insertion from the
+    * raw vectors already carried in the adjacency rows — no corpus
+    * re-scan) yields shards that are BYTE-IDENTICAL to what a full
+    * build at 2·shards would produce for those two shard ids
+    * (HnswSpec's split≡rebuild law, the upsert law's sibling). Every
+    * other shard passes through untouched and unshuffled, exactly like
+    * [[upsertHnsw]]'s untouched side. Search is unaffected by
+    * construction at the gate's exact-parity ef plateau — per-shard
+    * exact top-k unions are invariant under any disjoint re-sharding —
+    * and AnnRecallSpec's recall gate covers the approximate regime.
+    *
+    * After a split the index holds MIXED moduli (shard ids ≥ `shards`
+    * mark split halves); [[routeShard]] is the metadata-sized routing
+    * rule upsert callers consult. The POLICY (SCALING.md round 14):
+    * split when a shard's row count exceeds the per-task build budget
+    * — shard build cost is the measured 8.7×-per-decade build row
+    * scaled by the shard's corpus fraction, so a split costs one
+    * shard's rebuild, not the index's.
+    */
+  def splitShard(graph: DataFrame, shard: Int,
+      shards: Int = NumShards): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val outCols = Seq(col("shard"), col("vec_id"), col("level"),
+      col("vec"), col("nbrs"))
+    val untouched = graph.filter(col("shard") =!= shard).select(outCols: _*)
+    val rebuilt = graph.filter(col("shard") === shard)
+      .select(pmod(col("vec_id"), lit(2 * shards)).cast("int").as("shard"),
+        col("vec_id"), col("vec"))
+      .repartition(2, col("shard"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        it.toVector.groupBy(_._1).iterator.flatMap { case (half, rows) =>
+          val g = new ShardGraph
+          rows.sortBy(_._2).foreach { case (_, id, vec) =>
+            g.insert(id, vec, levelOf(id))
+          }
+          emitRows(half, g)
+        }
+      }
+      .toDF("shard", "vec_id", "level", "vec", "nbrs")
+    untouched.unionAll(rebuilt)
+  }
+
+  /** Routing under mixed moduli: a new id's owning shard after zero
+    * or more [[splitShard]] calls. `shardIds` is the index's distinct
+    * shard-id set (metadata-sized — one aggregate over the adjacency
+    * relation, or the partition listing of the persisted parquet).
+    * One split level deep by construction: the base route
+    * pmod(id, shards) is taken unless that shard was split, in which
+    * case the id re-routes at modulus 2·shards.
+    */
+  def routeShard(id: Long, shardIds: Set[Int],
+      shards: Int = NumShards): Int = {
+    val base = java.lang.Math.floorMod(id, shards.toLong).toInt
+    val fine = java.lang.Math.floorMod(id, 2L * shards).toInt
+    // shard `base` was split iff its upper half exists as a shard id
+    if (shardIds.contains(base + shards)) fine else base
+  }
+
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 

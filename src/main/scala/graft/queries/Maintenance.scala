@@ -487,7 +487,10 @@ object Maintenance {
     val keys = Seq("seg", "day")
     val untouched = vOld.join(broadcast(dV.select(keys.map(col): _*)),
       keys, "left_anti")
-    val merged = dV.join(vOld, keys, "left")
+    // broadcast the stored-view side: the checkpointed RDD carries no
+    // stats, so the ≤|seg|·|days|-row relation would otherwise plan a
+    // SortMergeJoin (PlanSpec pins the broadcast)
+    val merged = dV.join(broadcast(vOld), keys, "left")
       .select(col("seg"), col("day"),
         (coalesce(col("n"), lit(0L)) + col("dn")).as("n"),
         (coalesce(col("sv"), lit(0).cast("decimal(24,2)")) + col("dsv"))

@@ -144,6 +144,41 @@ class HnswSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("conflicting vectors")))
   }
 
+  test("split law: splitShard(build(4), s) ≡ build(8) on the two halves, " +
+      "pass-through elsewhere, search invariant, routeShard routes the mix") {
+    val base = Hnsw.buildShardGraphs(emb, shards = 4)
+    val split = Hnsw.splitShard(base, shard = 2, shards = 4)
+    // the two halves are byte-identical to a FULL 8-shard build's
+    // shards {2, 6} — pmod nesting makes the split exact
+    val full8 = Hnsw.buildShardGraphs(emb, shards = 8)
+    val halves = Set(2, 6)
+    assert(adjacency(split.filter(col("shard").isin(halves.toSeq: _*)))
+      .sameElements(adjacency(full8.filter(col("shard").isin(halves.toSeq: _*)))),
+      "split halves must equal the 2x-modulus build byte-for-byte")
+    // every other shard passes through the split untouched
+    assert(adjacency(split.filter(!col("shard").isin(halves.toSeq: _*)))
+      .sameElements(adjacency(base.filter(col("shard") =!= 2))),
+      "non-split shards must pass through unchanged")
+    // scatter-gather search is invariant under the re-sharding
+    val qs = emb.filter(col("vec_id") < 5)
+    val a = Hnsw.annHnsw(base, qs).orderBy("q_id", "rn")
+      .collect().map(_.toString)
+    val b = Hnsw.annHnsw(split, qs).orderBy("q_id", "rn")
+      .collect().map(_.toString)
+    assert(a.nonEmpty && a.sameElements(b),
+      "search results must not change across a shard split")
+    // routing under mixed moduli: split shard's ids re-route at 2x
+    val shardIds = split.select("shard").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(shardIds == Set(0, 1, 2, 3, 6) || shardIds.subsetOf(Set(0, 1, 2, 3, 6)),
+      s"unexpected shard-id set $shardIds")
+    for (id <- 0L to 40L) {
+      val expect = if (id % 4 == 2) (id % 8).toInt else (id % 4).toInt
+      assert(Hnsw.routeShard(id, shardIds, 4) == expect,
+        s"id $id routed to ${Hnsw.routeShard(id, shardIds, 4)}, want $expect")
+    }
+  }
+
   test("upsert leaves unowned shards untouched (pass-through, no graph work)") {
     val ids = emb.select(max("vec_id")).head.getLong(0)
     // tail ids all landing in ONE shard: ids > cut with pmod == 2

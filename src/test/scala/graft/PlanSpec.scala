@@ -727,6 +727,20 @@ class PlanSpec extends SparkSpec {
       s"q_t_closeness rescans customer:\n$p")
   }
 
+  test("q_incremental_join_view scans the fact once and broadcasts the dim — " +
+      "every delta-rule term derives from the checkpointed pre-aggregate") {
+    // V_old, the ΔA term, and both signs of the ΔB term all read the
+    // (old_seg, new_seg, day, is_cut) pre-aggregate; a naive per-term
+    // form would re-join events × customer up to 4 times. The final
+    // plan must show ZERO parquet scans (everything downstream of the
+    // localCheckpoint) and no shuffle join anywhere.
+    val p = planOf("q_incremental_join_view")
+    assert("events\\.parquet".r.findAllIn(p).size == 0,
+      s"q_incremental_join_view re-scans the fact past its checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), p)
+  }
+
   test("small final ORDER BY drops its range exchange at runtime " +
       "(SmallSortSinglePartition), keeping the identical total order") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

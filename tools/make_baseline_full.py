@@ -24,7 +24,7 @@ def main():
     d_s, s_s = sum(dq[q] for q in stream), sum(sq[q] for q in stream)
     lines = []
     a = lines.append
-    a("# BASELINE_full — full-suite DuckDB baseline vs Spark bench (round 13)")
+    a("# BASELINE_full — full-suite DuckDB baseline vs Spark bench (round 14)")
     a("")
     a("Round-8 verdict #1: the 2x bench contract was being judged against a")
     a("10-query 0.27 s headline denominator covering ~6% of the suite. This")
@@ -44,6 +44,21 @@ def main():
     a("  measured AQE-off as a net loss across the suite, see Bench.scala).")
     a("- Totals compare the COMMON query set only (both engines ran the")
     a("  identical semantics; `no_oracle` queries are excluded).")
+    a("- Round-14 refresh (2026-08-16): common set 218 → 221 (the new")
+    a("  scale-honest twins q_stream_stream_join_wm — 2 h watermark")
+    a("  through real multi-batch eviction over time-ordered ingest")
+    a("  chunks — and q_approx_percentiles_prod — default-accuracy")
+    a("  bounded-state GK — plus q_incremental_join_view, JOIN-view")
+    a("  maintenance by the signed delta rule gated against the full")
+    a("  recompute). The round-13 streaming-twin drift adjudicated as")
+    a("  host-session noise: a fresh same-code measurement moved the")
+    a("  whole class back down uniformly (26.07 → ~23 s; SCALING.md")
+    a("  round-14). The wm join twin is priced at ~3× the single-batch")
+    a("  twin BY DESIGN (3 micro-batches × the ~1 s/batch floor) — the")
+    a("  cost of gating real eviction; its DuckDB twin is the same")
+    a("  0.02 s batch self-join, so it alone adds ~+0.13 to the")
+    a("  streaming-cut ratio. Both cuts are published: the r13 set")
+    a("  (comparable round-over-round) and the current set.")
     a("- Round-13 refresh (2026-08-16): common set 216 → 218 (the new")
     a("  governance gates q_l_diversity and q_t_closeness). The headline")
     a("  mover is the codegen compile cache (SCALING.md round-13 floor")
@@ -116,6 +131,14 @@ def main():
     if indexed:
         a(f"| batch excl. artifact-backed ({len(indexed)}) | {len(plain)} | {d_p:.2f} | {s_p:.2f} | {s_p/d_p:.2f}x |")
     a(f"| streaming twins | {len(stream)} | {d_s:.2f} | {s_s:.2f} | {s_s/d_s:.2f}x |")
+    # round-over-round comparability: the round-14 wm gate deliberately
+    # pays 3 micro-batch floors against a 0.02 s batch-SQL twin; keep
+    # the r13-set cut visible beside the current-set cut
+    stream13 = [q for q in stream if q != "q_stream_stream_join_wm"]
+    if len(stream13) != len(stream):
+        d_s13 = sum(dq[q] for q in stream13)
+        s_s13 = sum(sq[q] for q in stream13)
+        a(f"| streaming twins, r13 set (excl. wm gate) | {len(stream13)} | {d_s13:.2f} | {s_s13:.2f} | {s_s13/d_s13:.2f}x |")
     a("")
     a("The artifact-backed row: those oracles replay full deterministic")
     a("training — quantizer Lloyd rounds, BPE merge induction, LM model")
