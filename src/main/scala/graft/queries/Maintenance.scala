@@ -503,6 +503,66 @@ object Maintenance {
       .orderBy("seg", "day")
   }
 
+  /** Incremental view maintenance, DELETE leg (round 14): the GDPR
+    * right-to-be-forgotten job — purge selected users' entire fact
+    * history from a stored daily rollup WITHOUT recomputing it, the
+    * deletion-request pipeline every LLM-data deployment runs. With
+    * the insert leg (q_incremental_rollup) and the update leg
+    * (q_incremental_join_view's dimension churn) this completes the
+    * IVM delta algebra: the deletion delta is the purged users' rows
+    * with multiplicity −1, aggregates merge additively
+    * (n += Σm, sv += Σ m·x), and a group retracted to n = 0 leaves
+    * the view — HOT here, not a cold path: every (type, day) group a
+    * purged user solely populated vanishes, the rest shrink in place.
+    *
+    * One-fact-scan discipline: the (type, day, purged) pre-aggregate
+    * is checkpointed once (≤ 2·|types|·|days| rows at any corpus
+    * size); the stored view and the deletion delta both derive from
+    * it, untouched groups pass through a broadcast anti join, touched
+    * groups merge broadcast partials. The oracle is the full recompute
+    * over the surviving rows — incremental ≡ batch, the family gate.
+    * At 100 TB the deletion delta is found by a broadcast semi-join of
+    * the purge list against the facts (or a partition-pruned scan when
+    * facts are user-bucketed); cost ∝ |purged history|, never |V|.
+    */
+  val qIncrementalUserPurge = DeclaredQuery(
+    "q_incremental_user_purge",
+    """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE user_id IS NULL OR user_id % 1009 <> 0
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      col("event_type"),
+      date_trunc("day", col("ts")).as("day"),
+      (col("user_id").isNotNull && col("user_id") % 1009 === 0).as("purged"),
+      col("value").cast("decimal(12,2)").as("x"))
+    val pre = ev.groupBy("event_type", "day", "purged")
+      .agg(count(lit(1)).as("n"), sum(col("x")).cast("decimal(24,2)").as("sv"))
+      .localCheckpoint() // one fact scan feeds the view AND the delta
+    val keys = Seq("event_type", "day")
+    val vOld = pre.groupBy(keys.map(col): _*) // the stored MV: ALL users
+      .agg(sum("n").as("n"), sum("sv").cast("decimal(24,2)").as("sv"))
+    val dV = pre.filter(col("purged")) // deletion delta, multiplicity −1
+      .select(col("event_type"), col("day"),
+        (-col("n")).as("dn"), (-col("sv")).cast("decimal(24,2)").as("dsv"))
+    val untouched = vOld.join(broadcast(dV.select(keys.map(col): _*)),
+      keys, "left_anti")
+    val merged = dV.join(broadcast(vOld), keys, "left")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("n"), lit(0L)) + col("dn")).as("n"),
+        (coalesce(col("sv"), lit(0).cast("decimal(24,2)")) + col("dsv"))
+          .cast("decimal(24,2)").as("sv"))
+      .filter(col("n") > 0) // fully-purged groups leave the view
+    untouched.unionAll(merged)
+      .select(col("event_type"), col("day"),
+        col("n").cast("long").as("n_events"),
+        col("sv").cast("double").as("sum_value"))
+      .orderBy("event_type", "day")
+  }
+
   /** Governance audit (round 12): k-anonymity over a quasi-identifier
     * — the release gate a user-records table (or a training corpus's
     * metadata sidecar) must pass before leaving the boundary: every
@@ -728,6 +788,6 @@ object Maintenance {
 
   val all: Seq[DeclaredQuery] =
     Seq(qUpsertMerge, qScd2History, qRecursiveCte, qDqAudit, qSnapshotDiff,
-      qIncrementalRollup, qIncrementalJoinView, qKAnonymity, qLDiversity,
-      qTCloseness)
+      qIncrementalRollup, qIncrementalJoinView, qIncrementalUserPurge,
+      qKAnonymity, qLDiversity, qTCloseness)
 }

@@ -164,6 +164,17 @@ class FixtureDriftSpec extends SparkSpec {
     }
   }
 
+  test("q_incremental_user_purge's deletion delta is non-vacuous: purged users " +
+      "(user_id % 1009 = 0) have events at both graded sfs") {
+    for (dir <- Seq(sf01, sf1)) {
+      val purged = Tables.events(spark, dir)
+        .filter(col("user_id").isNotNull && col("user_id") % 1009 === 0)
+        .limit(1).count()
+      assert(purged > 0, s"$dir: no purged user has any events — " +
+        "q_incremental_user_purge's delete leg is vacuous; widen the modulus")
+    }
+  }
+
   test("q_approx_percentiles_prod stays in GK's exact regime at DEFAULT accuracy: " +
       "every (returnflag, month) group < 5000 rows (eps*n < 0.5 at accuracy=1e4)") {
     // The round-14 production-accuracy twin keys the gate on the same
