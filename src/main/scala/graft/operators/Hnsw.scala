@@ -214,21 +214,28 @@ object Hnsw {
     emb.select(col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull)
       .withColumn("shard", pmod(col("vec_id"), lit(shards)).cast("int"))
+      .select(col("shard"), col("vec_id"), col("embedding"))
       .repartition(shards, col("shard"))
-      .as[(Long, Array[Float], Int)]
-      .mapPartitions { it =>
-        // a hash partition may carry several shards — group, then one
-        // sequential build per shard, ascending vec_id (determinism)
-        it.toVector.groupBy(_._3).iterator.flatMap { case (shard, rows) =>
-          val g = new ShardGraph
-          rows.sortBy(_._1).foreach { case (id, vec, _) =>
-            g.insert(id, vec, levelOf(id))
-          }
-          emitRows(shard, g)
-        }
-      }
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions(buildGroupGraphs)
       .toDF("shard", "vec_id", "level", "vec", "nbrs")
   }
+
+  /** One sequential ascending-vec_id build per shard carried in the
+    * partition (a hash partition may hold several shards — group
+    * first). Shared by [[buildShardGraphs]] and [[splitShard]] so the
+    * determinism-critical group-sort-insert-emit sequence exists
+    * exactly once (round-14 review).
+    */
+  private def buildGroupGraphs(it: Iterator[(Int, Long, Array[Float])])
+      : Iterator[(Int, Long, Int, Array[Float], Array[Array[Long]])] =
+    it.toVector.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+      val g = new ShardGraph
+      rows.sortBy(_._2).foreach { case (_, id, vec) =>
+        g.insert(id, vec, levelOf(id))
+      }
+      emitRows(shard, g)
+    }
 
   /** Rebuild the in-memory graph from persisted adjacency rows
     * (vec_id, level, vec, nbrs) WITHOUT re-running insertion: nodes in
@@ -308,14 +315,16 @@ object Hnsw {
     * duplicates collapse silently); an id colliding with an EXISTING
     * node is the replace path above.
     *
-    * `touchedShards` (test hook): counts shards that did graph work.
-    * Incremented inside mapPartitions, so task retries / speculative
-    * execution double-count — consumers must treat it as "at least
-    * once per touched shard", never an exact count (round-14 advice).
+    * `touchedShards` (test hook): collects the shard IDS that did
+    * graph work. A set accumulator rather than a counter (round-14
+    * review): task retries / speculative execution re-ADD the same
+    * shard id, which a set dedupes — so the asserted value is
+    * retry-proof AND exact, letting the pass-through spec pin
+    * "exactly {owning shard}" instead of a weakened bound.
     */
   def upsertHnsw(graph: DataFrame, newRows: DataFrame,
       shards: Int = NumShards,
-      touchedShards: Option[org.apache.spark.util.LongAccumulator] = None)
+      touchedShards: Option[org.apache.spark.util.CollectionAccumulator[Int]] = None)
       : DataFrame = {
     val spark = graph.sparkSession
     import spark.implicits._
@@ -360,7 +369,7 @@ object Hnsw {
                 "conflicting vectors in one batch — no well-defined winner")
             vs.head
           }.toVector
-          touchedShards.foreach(_.add(1L))
+          touchedShards.foreach(_.add(shard))
           val maxOld = if (olds.isEmpty) Long.MinValue else olds.map(_._2).max
           val g =
             if (olds.nonEmpty && news.forall(_._2 > maxOld)) {
@@ -417,6 +426,13 @@ object Hnsw {
     */
   def splitShard(graph: DataFrame, shard: Int,
       shards: Int = NumShards): DataFrame = {
+    // one split level by contract: a shard id >= shards is itself a
+    // split half, and "splitting" it at modulus 2*shards would route
+    // every row back to the same id — a silent no-op rebuild, never
+    // what the caller meant
+    require(shard >= 0 && shard < shards,
+      s"splitShard: shard $shard outside the base modulus $shards — " +
+        "split halves (id >= shards) are one level deep by contract")
     val spark = graph.sparkSession
     import spark.implicits._
     val outCols = Seq(col("shard"), col("vec_id"), col("level"),
@@ -427,33 +443,30 @@ object Hnsw {
         col("vec_id"), col("vec"))
       .repartition(2, col("shard"))
       .as[(Int, Long, Array[Float])]
-      .mapPartitions { it =>
-        it.toVector.groupBy(_._1).iterator.flatMap { case (half, rows) =>
-          val g = new ShardGraph
-          rows.sortBy(_._2).foreach { case (_, id, vec) =>
-            g.insert(id, vec, levelOf(id))
-          }
-          emitRows(half, g)
-        }
-      }
+      .mapPartitions(buildGroupGraphs)
       .toDF("shard", "vec_id", "level", "vec", "nbrs")
     untouched.unionAll(rebuilt)
   }
 
   /** Routing under mixed moduli: a new id's owning shard after zero
-    * or more [[splitShard]] calls. `shardIds` is the index's distinct
-    * shard-id set (metadata-sized — one aggregate over the adjacency
-    * relation, or the partition listing of the persisted parquet).
-    * One split level deep by construction: the base route
-    * pmod(id, shards) is taken unless that shard was split, in which
-    * case the id re-routes at modulus 2·shards.
+    * or more [[splitShard]] calls. `splitBases` is the set of BASE
+    * shard ids that have been split — an explicit metadata record the
+    * deployment keeps beside the index (like any partitioning
+    * metadata), NOT derived from the adjacency's observed shard ids:
+    * a split whose upper half happens to hold zero rows would be
+    * indistinguishable from "never split" in the data, and deriving
+    * the route from presence would send that half's future ids back
+    * to the base shard, breaking the split≡rebuild pmod invariant
+    * (round-14 review). One split level deep by construction: the
+    * base route pmod(id, shards) applies unless that base was split,
+    * in which case the id re-routes at modulus 2·shards.
     */
-  def routeShard(id: Long, shardIds: Set[Int],
+  def routeShard(id: Long, splitBases: Set[Int],
       shards: Int = NumShards): Int = {
     val base = java.lang.Math.floorMod(id, shards.toLong).toInt
-    val fine = java.lang.Math.floorMod(id, 2L * shards).toInt
-    // shard `base` was split iff its upper half exists as a shard id
-    if (shardIds.contains(base + shards)) fine else base
+    if (splitBases.contains(base))
+      java.lang.Math.floorMod(id, 2L * shards).toInt
+    else base
   }
 
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[

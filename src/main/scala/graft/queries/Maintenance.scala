@@ -417,7 +417,7 @@ object Maintenance {
     * ONCE, carrying both the old and new segment columns, and every
     * delta-rule term — the stored V_old, the ΔA term, both signs of
     * the ΔB term — derives from one localCheckpointed pre-aggregate
-    * at (old_seg, new_seg, day, is_cutoff) grain (≤ 5·5·31·2 rows at
+    * at (old_seg, new_seg, day) grain (≤ 5·5·31 rows at
     * any corpus size). The DuckDB oracle is the FULL recompute over
     * the current tables, so the gate IS the incremental ≡ batch
     * statement, exactly like q_incremental_rollup's.
@@ -457,21 +457,23 @@ object Maintenance {
       col("user_id"),
       date_trunc("day", col("ts")).as("day"),
       col("value").cast("decimal(12,2)").as("x"))
-    val cut = ev.agg(max("day").as("cutoff")) // 1 row
     // ONE fact scan: join to the broadcast dim, pre-aggregate to the
-    // delta-rule working grain, checkpoint (all four terms read it)
+    // delta-rule working grain, checkpoint (all four terms read it).
+    // The cutoff derives from the PRE-AGGREGATE, not a second corpus
+    // pass — an ev.agg(max(day)) here was a duplicated full fact scan
+    // hidden from the post-checkpoint PlanSpec (round-14 review)
     val pre = ev.join(broadcast(dim), col("user_id") === col("c_custkey"))
-      .crossJoin(broadcast(cut))
-      .groupBy(col("old_seg"), col("new_seg"), col("day"),
-        (col("day") === col("cutoff")).as("is_cut"))
+      .groupBy(col("old_seg"), col("new_seg"), col("day"))
       .agg(count(lit(1)).as("n"), sum(col("x")).cast("decimal(24,2)").as("sv"))
       .localCheckpoint()
+    val cut = pre.agg(max("day").as("cutoff")) // over ≤ |5·5·days| rows
+    val preC = pre.crossJoin(broadcast(cut))
     // stored view V_old: pre-cutoff facts ⋈ OLD dim snapshot
-    val vOld = pre.filter(!col("is_cut"))
+    val vOld = preC.filter(col("day") < col("cutoff"))
       .groupBy(col("old_seg").as("seg"), col("day"))
       .agg(sum("n").as("n"), sum("sv").cast("decimal(24,2)").as("sv"))
     // ΔA ⋈ B_old: the cutoff day against the OLD dim, m = +1
-    val dA = pre.filter(col("is_cut"))
+    val dA = preC.filter(col("day") === col("cutoff"))
       .select(col("old_seg").as("seg"), col("day"), col("n"), col("sv"))
     // A_new ⋈ ΔB: changed keys' whole history, signed ±1
     val changed = pre.filter(col("old_seg") =!= col("new_seg"))

@@ -93,7 +93,7 @@ class HnswSpec extends SparkSpec {
     val old = emb.filter(col("vec_id") <= cut)
     val late = emb.filter(col("vec_id") > cut)
     assert(!late.isEmpty, "fixture must leave a non-empty tail")
-    val touched = spark.sparkContext.longAccumulator("touchedShards")
+    val touched = spark.sparkContext.collectionAccumulator[Int]("touchedShards")
     val upserted = Hnsw.upsertHnsw(
       Hnsw.buildShardGraphs(old), late, touchedShards = Some(touched))
     // every new id exceeds every old id, so each touched shard takes
@@ -101,7 +101,10 @@ class HnswSpec extends SparkSpec {
     // result must equal building the merged corpus from scratch,
     // byte-for-byte — the law that makes incremental ingest safe
     assert(adjacency(upserted).sameElements(adjacency(Hnsw.buildShardGraphs(emb))))
-    assert(touched.value > 0 && touched.value <= Hnsw.NumShards)
+    import scala.jdk.CollectionConverters._
+    val touchedSet = touched.value.asScala.toSet
+    assert(touchedSet.nonEmpty && touchedSet.subsetOf(
+      (0 until Hnsw.NumShards).toSet))
   }
 
   test("upsert law, rebuild regime: out-of-order and replacing ids still " +
@@ -167,16 +170,23 @@ class HnswSpec extends SparkSpec {
       .collect().map(_.toString)
     assert(a.nonEmpty && a.sameElements(b),
       "search results must not change across a shard split")
-    // routing under mixed moduli: split shard's ids re-route at 2x
+    // the realized shard-id set after splitting 2 at base modulus 4
     val shardIds = split.select("shard").distinct()
       .collect().map(_.getInt(0)).toSet
-    assert(shardIds == Set(0, 1, 2, 3, 6) || shardIds.subsetOf(Set(0, 1, 2, 3, 6)),
-      s"unexpected shard-id set $shardIds")
+    assert(shardIds == Set(0, 1, 2, 3, 6), s"unexpected shard-id set $shardIds")
+    // routing under mixed moduli takes the SPLIT REGISTRY (explicit
+    // metadata), not the observed shard ids — a split whose upper half
+    // is empty would otherwise be indistinguishable from "never split"
     for (id <- 0L to 40L) {
       val expect = if (id % 4 == 2) (id % 8).toInt else (id % 4).toInt
-      assert(Hnsw.routeShard(id, shardIds, 4) == expect,
-        s"id $id routed to ${Hnsw.routeShard(id, shardIds, 4)}, want $expect")
+      assert(Hnsw.routeShard(id, splitBases = Set(2), shards = 4) == expect,
+        s"id $id routed to ${Hnsw.routeShard(id, Set(2), 4)}, want $expect")
     }
+    // unsplit registry: everything routes at the base modulus
+    for (id <- 0L to 12L)
+      assert(Hnsw.routeShard(id, Set.empty, 4) == (id % 4).toInt)
+    // splitting a split half is a contract violation, loudly
+    intercept[IllegalArgumentException](Hnsw.splitShard(split, 6, 4))
   }
 
   test("upsert leaves unowned shards untouched (pass-through, no graph work)") {
@@ -186,16 +196,16 @@ class HnswSpec extends SparkSpec {
     val late = emb.filter(col("vec_id") > ids - 40 &&
       pmod(col("vec_id"), lit(Hnsw.NumShards)) === 2)
     assert(!late.isEmpty)
-    val touched = spark.sparkContext.longAccumulator("touchedShards")
+    val touched = spark.sparkContext.collectionAccumulator[Int]("touchedShards")
     val up = Hnsw.upsertHnsw(Hnsw.buildShardGraphs(old), late,
       touchedShards = Some(touched))
     up.queryExecution.toRdd.count() // force execution
-    // >= 1 rather than == 1: accumulators double-count under task retry
-    // or speculative execution, so an exact equality can flake under
-    // recomputation; the real claim is "no shard BEYOND the owning one
-    // did graph work", i.e. the count stays within the single owned
-    // shard's possible retry multiples (round-14 advice)
-    assert(touched.value >= 1L && touched.value <= Hnsw.NumShards.toLong,
-      s"only shard 2 owns new ids, but ${touched.value} shards did graph work")
+    // a SET of shard ids is retry-proof (re-added ids dedupe) AND
+    // exact, so the pass-through claim is pinned precisely: shard 2
+    // and ONLY shard 2 did graph work (round-14 review — the earlier
+    // count-based relaxation could not catch an all-shards regression)
+    import scala.jdk.CollectionConverters._
+    assert(touched.value.asScala.toSet == Set(2),
+      s"only shard 2 owns new ids, but ${touched.value} did graph work")
   }
 }

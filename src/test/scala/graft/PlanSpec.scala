@@ -730,7 +730,7 @@ class PlanSpec extends SparkSpec {
   test("q_incremental_join_view scans the fact once and broadcasts the dim — " +
       "every delta-rule term derives from the checkpointed pre-aggregate") {
     // V_old, the ΔA term, and both signs of the ΔB term all read the
-    // (old_seg, new_seg, day, is_cut) pre-aggregate; a naive per-term
+    // (old_seg, new_seg, day) pre-aggregate; a naive per-term
     // form would re-join events × customer up to 4 times. The final
     // plan must show ZERO parquet scans (everything downstream of the
     // localCheckpoint) and no shuffle join anywhere.
