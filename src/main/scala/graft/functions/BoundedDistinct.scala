@@ -45,35 +45,13 @@ class BoundedDistinctAggregator(cap: Int)
     if (v == null || buf.length >= max) return buf
     val x = v.longValue
     val i = java.util.Arrays.binarySearch(buf, x)
-    if (i >= 0) buf
-    else {
-      val at = -(i + 1)
-      val out = new Array[Long](buf.length + 1)
-      System.arraycopy(buf, 0, out, 0, at)
-      out(at) = x
-      System.arraycopy(buf, at, out, at + 1, buf.length - at)
-      out
-    }
+    if (i >= 0) buf else SortedLongs.insertAt(buf, x, -(i + 1))
   }
 
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    if (a.isEmpty) return b
-    if (b.isEmpty) return a
-    // merge two sorted distinct arrays, stop once the sentinel size is
-    // reached — a hot key's merge cost stays O(cap), not O(group size)
-    val out = new Array[Long](math.min(a.length + b.length, max))
-    var i = 0; var j = 0; var k = 0
-    while (k < max && (i < a.length || j < b.length)) {
-      val take =
-        if (i >= a.length) { val x = b(j); j += 1; x }
-        else if (j >= b.length) { val x = a(i); i += 1; x }
-        else if (a(i) < b(j)) { val x = a(i); i += 1; x }
-        else if (a(i) > b(j)) { val x = b(j); j += 1; x }
-        else { val x = a(i); i += 1; j += 1; x }
-      out(k) = take; k += 1
-    }
-    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
-  }
+  // capped sorted-distinct union (shared algebra, round-14 review) —
+  // a hot key's merge cost stays O(cap), not O(group size)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    SortedLongs.mergeCapped(a, b, max)
 
   override def finish(buf: Array[Long]): Array[Long] = buf
 

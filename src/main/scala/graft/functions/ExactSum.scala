@@ -49,6 +49,12 @@ object ExactSum {
   def moneySum(xSql: String, scale: Long): Column = {
     val s = java.lang.Long.toString(scale).length - 1
     require(scale == math.pow(10, s).toLong, s"scale must be a power of 10: $scale")
+    // s ≤ 6 (round-14 review): the final decimal(38,0)-by-bigint
+    // division resolves to decimal(38,6) under allowPrecisionLoss, so
+    // a 7+-decimal scale would HALF_UP-round the exact total at 6
+    // decimals and silently break the advertised oracle bit-parity
+    require(s <= 6, s"moneySum scale 10^$s exceeds the division's " +
+      "6-decimal result scale — the exact total would round silently")
     // the decimal cast IS the oracle's rounding (shortest-repr
     // HALF_UP); the ×10^s multiply and BIGINT extraction are exact
     val scaled = s"CAST(CAST(($xSql) AS DECIMAL(30,$s)) * $scale AS BIGINT)"

@@ -5,6 +5,18 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
+/** Misra–Gries buffer: ≤ k (item, count) pairs in two fixed-capacity
+  * arrays mutated IN PLACE (round-14 review — the previous immutable
+  * Map buffer path-copied a HAMT on every input row and rebuilt the
+  * whole map on every decrement pass, pure per-row allocation on the
+  * web-scale streams this sketch exists for). `used` marks the live
+  * prefix; dead slots are nulled so stale references never serialize.
+  * Product-encodable, so the buffer still crosses shuffle/state-store
+  * boundaries through the ordinary ExpressionEncoder.
+  */
+final case class MgBuf(items: Array[String], counts: Array[Long],
+    var used: Int)
+
 /** Misra–Gries heavy-hitters sketch (Misra & Gries 1982; the
   * mergeable summary behind every "top pages this hour" dashboard
   * panel): bounded-state frequent-items counting — at most `k`
@@ -23,43 +35,86 @@ import org.apache.spark.sql.functions.udaf
   * aggregates and the state store carry it across micro-batches.
   */
 class MisraGriesAggregator(k: Int, topN: Int)
-    extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+    extends Aggregator[String, MgBuf, Seq[(String, Long)]] {
 
   require(k > 0 && topN > 0 && topN <= k,
     s"misra_gries: need 0 < topN <= k, got k=$k topN=$topN")
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: MgBuf = MgBuf(new Array[String](k), new Array[Long](k), 0)
 
-  override def reduce(m: Map[String, Long], item: String): Map[String, Long] = {
+  override def reduce(m: MgBuf, item: String): MgBuf = {
     if (item == null) return m
-    m.get(item) match {
-      case Some(c) => m.updated(item, c + 1)
-      case None if m.size < k => m.updated(item, 1L)
-      case None => // decrement-all; zeros fall out
-        m.flatMap { case (i, c) => if (c > 1) Some(i -> (c - 1)) else None }
+    // linear probe: k is small by construction (8–64), and the scan is
+    // allocation-free — cheaper than any hash structure at this size
+    var i = 0
+    while (i < m.used) {
+      if (m.items(i) == item) { m.counts(i) += 1; return m }
+      i += 1
+    }
+    if (m.used < k) {
+      m.items(m.used) = item; m.counts(m.used) = 1L; m.used += 1
+      m
+    } else {
+      // decrement-all in place; zeros compact out (the unseen item is
+      // NOT inserted — the classic MG step)
+      var w = 0; i = 0
+      while (i < m.used) {
+        if (m.counts(i) > 1) {
+          m.items(w) = m.items(i); m.counts(w) = m.counts(i) - 1; w += 1
+        }
+        i += 1
+      }
+      var j = w
+      while (j < m.used) { m.items(j) = null; m.counts(j) = 0L; j += 1 }
+      m.used = w
+      m
     }
   }
 
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val summed = b.foldLeft(a) { case (m, (i, c)) =>
-      m.updated(i, m.getOrElse(i, 0L) + c)
+  override def merge(a: MgBuf, b: MgBuf): MgBuf = {
+    if (b.used == 0) return a
+    if (a.used == 0) return b
+    // exact sum over ≤ 2k entries (merges are rare next to rows — a
+    // small transient map here is not the per-row path)
+    val sum = new java.util.LinkedHashMap[String, java.lang.Long](2 * k)
+    def add(item: String, c: Long): Unit = {
+      val prev = sum.get(item)
+      sum.put(item, if (prev == null) c else prev.longValue + c)
     }
-    if (summed.size <= k) summed
-    else {
-      val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
-      summed.flatMap { case (i, c) =>
-        if (c > cut) Some(i -> (c - cut)) else None
-      }
+    var i = 0
+    while (i < a.used) { add(a.items(i), a.counts(i)); i += 1 }
+    i = 0
+    while (i < b.used) { add(b.items(i), b.counts(i)); i += 1 }
+    var cut = 0L
+    if (sum.size > k) {
+      // the (k+1)-th largest count (0-indexed k after desc sort)
+      val vals = new Array[Long](sum.size)
+      val it0 = sum.values().iterator(); var n = 0
+      while (it0.hasNext) { vals(n) = it0.next(); n += 1 }
+      java.util.Arrays.sort(vals)
+      cut = vals(vals.length - 1 - k)
     }
+    var w = 0
+    val it = sum.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue - cut
+      if (c > 0) { a.items(w) = e.getKey; a.counts(w) = c; w += 1 }
+    }
+    var j = w
+    while (j < k) { a.items(j) = null; a.counts(j) = 0L; j += 1 }
+    a.used = w
+    a
   }
 
   /** Top `topN` surviving items, count desc then item asc — a total
     * order, so the exact regime is value-stable.
     */
-  override def finish(m: Map[String, Long]): Seq[(String, Long)] =
-    m.toSeq.sortBy { case (i, c) => (-c, i) }.take(topN)
+  override def finish(m: MgBuf): Seq[(String, Long)] =
+    (0 until m.used).map(i => (m.items(i), m.counts(i)))
+      .sortBy { case (i, c) => (-c, i) }.take(topN)
 
-  override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  override def bufferEncoder: Encoder[MgBuf] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
 }
 

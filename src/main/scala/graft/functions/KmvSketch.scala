@@ -41,33 +41,17 @@ abstract class KmvStateAggregator[OUT](k: Int)
     // duplicate check and the insertion previously each searched)
     if (buf.length < k) {
       val pos = java.util.Arrays.binarySearch(buf, h)
-      if (pos < 0) insertAt(buf, h, -pos - 1) else buf
+      if (pos < 0) SortedLongs.insertAt(buf, h, -pos - 1) else buf
     } else if (h < buf.last) {
       val pos = java.util.Arrays.binarySearch(buf, h)
-      if (pos < 0) insertAt(buf, h, -pos - 1).take(k) else buf
+      if (pos < 0) SortedLongs.insertAt(buf, h, -pos - 1).take(k) else buf
     } else buf
   }
 
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    // k-way merge of two sorted distinct arrays, keep k smallest
-    val out = new Array[Long](math.min(a.length + b.length, k))
-    var i = 0; var j = 0; var n = 0; var last = 0L; var any = false
-    while (n < out.length && (i < a.length || j < b.length)) {
-      val v =
-        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
-        else { val x = b(j); j += 1; x }
-      if (!any || v != last) { out(n) = v; n = n + 1; last = v; any = true }
-    }
-    out.take(n)
-  }
-
-  private def insertAt(buf: Array[Long], v: Long, ins: Int): Array[Long] = {
-    val out = new Array[Long](buf.length + 1)
-    System.arraycopy(buf, 0, out, 0, ins)
-    out(ins) = v
-    System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
-    out
-  }
+  // sorted-distinct union keeping the k smallest (shared algebra,
+  // round-14 review — was a near-verbatim twin of BoundedDistinct's)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    SortedLongs.mergeCapped(a, b, k)
 
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
 }

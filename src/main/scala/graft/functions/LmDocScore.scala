@@ -53,25 +53,27 @@ final case class LmDocScore(child: Expression, model: LmArtifact)
 
   /** Shared by interpreted eval and generated code (addReferenceObj). */
   def score(t: UTF8String): InternalRow = {
-    val toks = new ShingleCursor(t, 1) // k=1 shingles ARE the tokens
-    if (toks.size < 2) return InternalRow(0L, Decimal(0L, 38, 9))
-    val bi = new ShingleCursor(t, 2)
+    // ONE cursor serves both widths (round-14 review: two cursors
+    // scanned the text bytes four times; the space array is shared)
+    val c = new ShingleCursor(t, 2)
+    if (c.sizeWith(1) < 2) return InternalRow(0L, Decimal(0L, 38, 9))
+    val nBi = c.size
     var sum = 0L
     var p = 0
-    while (p < bi.size) {
-      val g = bi.slice(p)
+    while (p < nBi) {
+      val g = c.slice(p)
       val bIdx = java.util.Arrays.binarySearch(
         model.biGrams.asInstanceOf[Array[AnyRef]], g)
       if (bIdx >= 0) sum += model.biLps(bIdx)
       else {
-        val w = toks.slice(p + 1) // the transition's second token
+        val w = c.sliceWith(p + 1, 1) // the transition's second token
         val uIdx = java.util.Arrays.binarySearch(
           model.uniToks.asInstanceOf[Array[AnyRef]], w)
         sum += (if (uIdx >= 0) model.uniLps(uIdx) else model.floorLp)
       }
       p += 1
     }
-    InternalRow(bi.size.toLong, Decimal(sum, 38, 9))
+    InternalRow(nBi.toLong, Decimal(sum, 38, 9))
   }
 
   override def nullSafeEval(t: Any): Any = score(t.asInstanceOf[UTF8String])

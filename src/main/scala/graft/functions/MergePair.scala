@@ -58,8 +58,15 @@ final case class MergePair(child: Expression, left: String, right: String)
     var i = 0
     var k = 0
     while (i < n) {
-      val cur = arr.getUTF8String(i)
-      if (i + 1 < n && l.equals(cur) && r.equals(arr.getUTF8String(i + 1))) {
+      // isNullAt BEFORE getUTF8String (round-14 review): on
+      // UnsafeArrayData the getter returns a zero-length string for a
+      // null slot instead of null, which would silently corrupt a null
+      // element to "" (and could fuse with a neighbor if a pair symbol
+      // were empty) — the containsNull-propagation contract above
+      // promises nulls copy THROUGH
+      val cur = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (cur != null && i + 1 < n && l.equals(cur) &&
+        !arr.isNullAt(i + 1) && r.equals(arr.getUTF8String(i + 1))) {
         out(k) = lr
         i += 2 // consume both: non-overlapping left-to-right
       } else {

@@ -81,9 +81,16 @@ final case class OrderedPairs(ids: Expression) extends Generator {
       while (i < m) {
         if (!arr.isNullAt(i)) {
           val s = arr.getStruct(i, 2)
-          id(k) = s.getLong(0)
-          nf(k) = s.getInt(1)
-          k += 1
+          // null FIELDS are skipped like null elements (round-14
+          // review): getLong/getInt on a null slot silently read 0,
+          // which would fabricate a phantom id-0 pair or a zero pair
+          // floor — a hand-built array<struct> with a null id/n passes
+          // checkInputDataTypes, so guard at read time
+          if (!s.isNullAt(0) && !s.isNullAt(1)) {
+            id(k) = s.getLong(0)
+            nf(k) = s.getInt(1)
+            k += 1
+          }
         }
         i += 1
       }

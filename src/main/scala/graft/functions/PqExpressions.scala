@@ -20,6 +20,18 @@ final case class PqModel(
     cents: Array[Array[Array[Float]]]) // [m][ksub][dsub]
   extends Serializable {
   require(ksub <= 256, "PQ codes are one byte per subspace")
+  // shape consistency at CONSTRUCTION (round-14 review): an
+  // inconsistent model would otherwise wrap byte codes silently
+  // (cents(s).length > 256 → best.toByte aliases a different
+  // centroid) or throw per-row AIOOBE at scoring time
+  require(cents.length == m, s"PQ model: ${cents.length} codebooks != m=$m")
+  // ≤ ksub, not ==: MLlib KMeans legitimately returns fewer centers
+  // than k when the subspace has fewer distinct points; encode loops
+  // over the realized length, which stays byte-safe under ksub ≤ 256
+  require(cents.forall(cb => cb.nonEmpty && cb.length <= ksub),
+    s"PQ model: every codebook must hold 1..$ksub centroids")
+  require(cents.forall(_.forall(_.length == dsub)),
+    s"PQ model: every centroid must have dsub=$dsub dims")
 
   /** Nearest-centroid code per subspace (squared L2). Returns null
     * for a vector of the wrong dimension — at corpus scale malformed

@@ -51,19 +51,28 @@ private[graft] final class ShingleCursor(t: UTF8String, n: Int) {
     a
   }
   private val nSp = sp.length
-  private val whole = nSp + 1 <= n // fewer than n tokens → whole text once
 
-  /** Number of shingles this text emits (≥ 1). */
-  val size: Int = if (whole) 1 else nSp + 2 - n
+  /** Shingle count at an arbitrary gram width over the SAME space
+    * array — lets one byte scan serve several widths (round-14
+    * review: LmDocScore needed tokens AND bigrams and was building
+    * two cursors, scanning the text four times).
+    */
+  def sizeWith(n2: Int): Int = if (nSp + 1 <= n2) 1 else nSp + 2 - n2
 
-  /** The p-th shingle (0-based), as a zero-copy slice. */
-  def slice(p: Int): UTF8String =
-    if (whole) UTF8String.fromBytes(bytes, 0, nb)
+  /** The p-th n2-token shingle (0-based), zero-copy. */
+  def sliceWith(p: Int, n2: Int): UTF8String =
+    if (nSp + 1 <= n2) UTF8String.fromBytes(bytes, 0, nb)
     else {
       val start = if (p == 0) 0 else sp(p - 1) + 1
-      val end = if (p + n - 1 < nSp) sp(p + n - 1) else nb
+      val end = if (p + n2 - 1 < nSp) sp(p + n2 - 1) else nb
       UTF8String.fromBytes(bytes, start, end - start)
     }
+
+  /** Number of shingles this text emits (≥ 1). */
+  val size: Int = sizeWith(n)
+
+  /** The p-th shingle (0-based), as a zero-copy slice. */
+  def slice(p: Int): UTF8String = sliceWith(p, n)
 }
 
 private[graft] object ShingleScan {
@@ -115,6 +124,16 @@ private[graft] object ShingleScan {
     while (r >= MERSENNE61) r -= MERSENNE61
     r
   }
+
+  /** Per-thread MD5 instance for the per-ROW sketch paths:
+    * getInstance is a JCA provider lookup + allocation, pure waste
+    * repeated for every row of a corpus scan (round-14 review —
+    * q_minhash/q_winnow/q_simhash all pay it). [[md5Fp60]] resets the
+    * digest before use, so cross-row reuse is safe; tasks are
+    * single-threaded per row, so thread confinement is sufficient.
+    */
+  val localMd5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /** The published family constants: a_i = fp60(md5("a:i")) | 1 (odd,
     * nonzero), b_i = fp60(md5("b:i")) — derived identically inline in
@@ -178,7 +197,7 @@ final case class MinHashSig(child: Expression, n: Int, k: Int,
   /** Shared by interpreted eval and generated code (addReferenceObj). */
   def sig(t: UTF8String): GenericArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
-    val digest = if (md5) java.security.MessageDigest.getInstance("MD5") else null
+    val digest = if (md5) ShingleScan.localMd5.get() else null
     ShingleScan.foreachShingle(t, n) { sh =>
       if (md5) {
         val base = ShingleScan.md5Fp60(digest, Array.emptyByteArray, sh)
@@ -391,7 +410,7 @@ final case class WinnowFps(child: Expression, n: Int, w: Int,
     val c = new ShingleCursor(t, n)
     val m = c.size
     val hs = new Array[Long](m)
-    val digest = if (md5) java.security.MessageDigest.getInstance("MD5") else null
+    val digest = if (md5) ShingleScan.localMd5.get() else null
     var p = 0
     while (p < m) {
       hs(p) =
@@ -461,7 +480,7 @@ final case class SimHash64(child: Expression, n: Int, md5: Boolean = false)
     val seen = new java.util.HashSet[java.lang.Long]()
     val counts = new Array[Int](64)
     val nBits = if (md5) 60 else 64
-    val digest = if (md5) java.security.MessageDigest.getInstance("MD5") else null
+    val digest = if (md5) ShingleScan.localMd5.get() else null
     ShingleScan.foreachShingle(t, n) { sh =>
       val h =
         if (md5) ShingleScan.md5Fp60(digest, Array.emptyByteArray, sh)

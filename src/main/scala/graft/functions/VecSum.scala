@@ -49,7 +49,11 @@ import org.apache.spark.sql.expressions.Aggregator
 class VecDecimalSumAggregator(dims: Int, scale: Int)
     extends Aggregator[Seq[java.lang.Double], Array[Long], Seq[Double]] {
 
-  require(dims > 0 && scale >= 0, s"vec_decimal_sum: bad dims=$dims scale=$scale")
+  // scale ≤ 18 (round-14 review): DECIMAL(18, scale) is only legal up
+  // to scale 18, and past it maxAbs = 10^(18−scale) < 1 would silently
+  // classify nearly every element as overflow and return near-zero sums
+  require(dims > 0 && scale >= 0 && scale <= 18,
+    s"vec_decimal_sum: bad dims=$dims scale=$scale (need 0 <= scale <= 18)")
 
   // elements a non-ANSI cast-to-decimal(18,scale) would NULL out —
   // and a SUM would then skip — are skipped here too: NULL, NaN,

@@ -32,7 +32,7 @@ class FreqSketchSpec extends SparkSpec {
     assert(hot.isDefined, "frequent item evicted")
     assert(hot.get >= 500L - n / 17,
       s"undercount ${500L - hot.get} exceeds n/(k+1)=${n / 17}")
-    assert(buf.size <= 16)
+    assert(buf.used <= 16)
     // and the distributed path agrees on the survivor
     val viaSpark = items.toDF("v").repartition(13)
       .agg(FreqSketch.top_items(col("v"), topN = 1, k = 16))
@@ -42,13 +42,23 @@ class FreqSketchSpec extends SparkSpec {
 
   test("merge rule keeps state bounded and is count-conservative") {
     val agg = new MisraGriesAggregator(4, 4)
-    val a = Map("x" -> 10L, "y" -> 5L, "z" -> 3L, "w" -> 2L)
-    val b = Map("x" -> 1L, "p" -> 8L, "q" -> 4L, "r" -> 2L)
-    val m = agg.merge(a, b)
+    def buf(pairs: (String, Long)*): graft.functions.MgBuf = {
+      val b = agg.zero
+      pairs.zipWithIndex.foreach { case ((i, c), p) =>
+        b.items(p) = i; b.counts(p) = c
+      }
+      b.used = pairs.length
+      b
+    }
+    val aPairs = Map("x" -> 10L, "y" -> 5L, "z" -> 3L, "w" -> 2L)
+    val bPairs = Map("x" -> 1L, "p" -> 8L, "q" -> 4L, "r" -> 2L)
+    val merged = agg.merge(buf(aPairs.toSeq: _*), buf(bPairs.toSeq: _*))
+    val m = (0 until merged.used)
+      .map(i => merged.items(i) -> merged.counts(i)).toMap
     assert(m.size <= 4)
     // every merged count is <= the true sum and >= sum - cut
     m.foreach { case (i, c) =>
-      val t = a.getOrElse(i, 0L) + b.getOrElse(i, 0L)
+      val t = aPairs.getOrElse(i, 0L) + bPairs.getOrElse(i, 0L)
       assert(c <= t && t - c <= 3, s"$i: merged $c vs true $t")
     }
     assert(m.contains("x") && m.contains("p"))
