@@ -86,6 +86,22 @@ object SparkEnv {
     * /dev/shm for the machine's lifetime. Only THIS process's dirs
     * are registered — concurrent JVMs sharing the root are unaffected.
     */
+  /** Best-effort recursive scratch-dir deletion (the cache losers'
+    * cleanup path). One implementation (round-14 review — Similarity
+    * and Importance each carried a copy, and Importance's weaker one
+    * let an IO exception fail the query over a best-effort cleanup):
+    * Files.walk with the stream CLOSED in finally (it holds open dir
+    * handles) and a catch-all — cleanup never outranks the query.
+    */
+  private[graft] def deleteDir(path: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close() // walk holds open dir handles
+    } catch { case _: Throwable => () }
+
   def scratchDir(prefix: String): String = {
     val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get(scratchRoot), prefix)

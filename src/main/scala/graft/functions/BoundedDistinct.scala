@@ -58,3 +58,84 @@ class BoundedDistinctAggregator(cap: Int)
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
 }
+
+/** Sorted-by-id buffer of the pair collector below: parallel arrays,
+  * distinct on id, saturating at cap+1 entries (the same "exceeded"
+  * sentinel contract as [[BoundedDistinctAggregator]]).
+  */
+final case class PairSetBuf(ids: Array[Long], ns: Array[Int])
+
+/** [[BoundedDistinctAggregator]] for (id: long, n: int) payload pairs
+  * (round-14 review): `containmentPairs` collected struct(doc_id, n)
+  * per gram hash through a plain collect_set and applied its maxDf
+  * ceiling as a post-hoc size() filter — exactly the hot-key blow-up
+  * the long variant exists to prevent (a boilerplate gram shared by
+  * millions of docs materializes a multi-GB aggregation buffer before
+  * the filter can drop it). Distinct on `id`; `n` rides as payload
+  * (functionally dependent on the doc id by contract — on a breach
+  * the SMALLER n wins, a commutative/associative resolution, so
+  * merges stay order-independent). Below the cap the collected set is
+  * exact, so oracle gates are unchanged.
+  */
+class BoundedPairDistinctAggregator(cap: Int)
+    extends Aggregator[(java.lang.Long, java.lang.Integer), PairSetBuf,
+      Seq[(Long, Int)]] {
+
+  require(cap > 0, s"bounded_pair_distinct: cap must be positive, got $cap")
+
+  private val max = cap + 1 // cap+1 length = "exceeded" sentinel
+
+  override def zero: PairSetBuf =
+    PairSetBuf(Array.emptyLongArray, Array.emptyIntArray)
+
+  override def reduce(buf: PairSetBuf,
+      v: (java.lang.Long, java.lang.Integer)): PairSetBuf = {
+    if (v == null || v._1 == null || v._2 == null ||
+      buf.ids.length >= max) return buf
+    val id = v._1.longValue
+    val n = v._2.intValue
+    val i = java.util.Arrays.binarySearch(buf.ids, id)
+    if (i >= 0) {
+      if (n < buf.ns(i)) {
+        val ns2 = buf.ns.clone(); ns2(i) = n
+        PairSetBuf(buf.ids, ns2)
+      } else buf
+    } else {
+      val at = -(i + 1)
+      val ids2 = SortedLongs.insertAt(buf.ids, id, at)
+      val ns2 = new Array[Int](buf.ns.length + 1)
+      System.arraycopy(buf.ns, 0, ns2, 0, at)
+      ns2(at) = n
+      System.arraycopy(buf.ns, at, ns2, at + 1, buf.ns.length - at)
+      PairSetBuf(ids2, ns2)
+    }
+  }
+
+  override def merge(a: PairSetBuf, b: PairSetBuf): PairSetBuf = {
+    if (a.ids.isEmpty) return b
+    if (b.ids.isEmpty) return a
+    val cap2 = math.min(a.ids.length + b.ids.length, max)
+    val ids = new Array[Long](cap2)
+    val ns = new Array[Int](cap2)
+    var i = 0; var j = 0; var k = 0
+    while (k < max && (i < a.ids.length || j < b.ids.length)) {
+      if (i >= a.ids.length) { ids(k) = b.ids(j); ns(k) = b.ns(j); j += 1 }
+      else if (j >= b.ids.length) { ids(k) = a.ids(i); ns(k) = a.ns(i); i += 1 }
+      else if (a.ids(i) < b.ids(j)) { ids(k) = a.ids(i); ns(k) = a.ns(i); i += 1 }
+      else if (a.ids(i) > b.ids(j)) { ids(k) = b.ids(j); ns(k) = b.ns(j); j += 1 }
+      else { // same id: payload contract, smaller n wins
+        ids(k) = a.ids(i); ns(k) = math.min(a.ns(i), b.ns(j)); i += 1; j += 1
+      }
+      k += 1
+    }
+    if (k == cap2) PairSetBuf(ids, ns)
+    else PairSetBuf(java.util.Arrays.copyOf(ids, k),
+      java.util.Arrays.copyOf(ns, k))
+  }
+
+  override def finish(buf: PairSetBuf): Seq[(Long, Int)] =
+    buf.ids.indices.map(i => (buf.ids(i), buf.ns(i)))
+
+  override def bufferEncoder: Encoder[PairSetBuf] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Long, Int)]] = ExpressionEncoder()
+}

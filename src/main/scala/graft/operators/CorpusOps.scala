@@ -91,15 +91,26 @@ object CorpusOps {
       // joined onto the reduced pair table — two extra broadcast-join
       // stages and a second text scan; carrying n through the shuffle
       // costs ~0.5 MB at sf0.1 and wins on wall clock.)
+      // the maxDf ceiling is enforced INSIDE the aggregate (round-14
+      // review — the decontaminateOverlap discipline): a plain
+      // collect_set + post-hoc size() filter would materialize a hot
+      // boilerplate gram's multi-GB (id, n) buffer before dropping it;
+      // the bounded collector saturates at maxDf+1 entries and is
+      // exact below the cap, so the hash gate is unchanged
+      val boundedPairs = org.apache.spark.sql.functions.udaf(
+        new graft.functions.BoundedPairDistinctAggregator(maxDf),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.LONG,
+          org.apache.spark.sql.Encoders.INT))
       docs
         .filter(col("text").isNotNull && size(split(col("text"), " ", -1)) >= L)
         .select(col("doc_id"),
           expr(s"token_ngram_distinct(text, $L)").as("n"),
           expr(s"token_ngrams(text, $L)"))
         .select(xxhash64(col("shingle")).as("gh"),
-          struct(col("doc_id").as("id"), col("n")).as("dn"))
+          col("doc_id").as("id"), col("n"))
         .groupBy("gh")
-        .agg(collect_set(col("dn")).as("ids"))
+        .agg(boundedPairs(col("id"), col("n")).as("ids"))
         .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
         .select(expr("ordered_pairs(ids)"))
         .groupBy("id_a", "id_b")
@@ -149,7 +160,9 @@ object CorpusOps {
         .withColumn("n_chunks",
           expr(s"1L + (greatest(n - $W, 0) + ${S - 1}) div $S"))
         .select(col("doc_id"), col("n"), col("w"),
-          posexplode(sequence(lit(0L), col("n_chunks") - 1)))
+          // explode, not posexplode (round-14 review): the sequence
+          // value IS the position, so the pos column was dead output
+          explode(sequence(lit(0L), col("n_chunks") - 1)))
         .select(col("doc_id"), col("col").as("chunk_id"),
           (col("col") * S).as("tok_start"),
           least(lit(W), col("n") - col("col") * S).cast("long").as("n_chunk_tok"),
@@ -301,14 +314,22 @@ object CorpusOps {
       |k AS (
       |  SELECT doc_id, n_chars,
       |         CAST(round(-ln(uni) / n_chars, 9) AS DECIMAL(18,9)) AS key
-      |  FROM u),
+      |  FROM u WHERE n_chars > 0),
       |r AS (
       |  SELECT doc_id, n_chars,
       |         row_number() OVER (ORDER BY key, doc_id) AS rank
       |  FROM k)
       |SELECT doc_id, n_chars, rank FROM r
       |WHERE rank <= 50 ORDER BY rank""".stripMargin) { (s, d) =>
-    val u = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+    // n_chars > 0 in BOTH engines (round-14 review): a zero weight
+    // makes -ln(u)/0 = +Inf, which ANSI Spark and DuckDB both reject
+    // at the decimal cast, and a NULL weight yields a NULL key that
+    // sorts NULLS FIRST in Spark but NULLS LAST in DuckDB — either way
+    // a zero-weight doc has zero selection probability by the A-ES
+    // definition, so the filter states the semantics, not a dodge
+    val u = Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
       ((expr("conv(substring(md5(concat(cast(doc_id AS string), ':ws')), 1, 13), 16, 10)")
         .cast("long") + 0.5) / lit(4503599627370496.0)).as("uni"))
     val keyed = u.select(col("doc_id"), col("n_chars"),

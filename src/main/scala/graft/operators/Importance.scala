@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * scorer would need a forward pass per doc.
   *
   * Determinism/oracle design (the [[graft.queries.Pipeline]] md5
-  * pattern): the feature hash is `substr(md5(token), 1, 2*hexChars)` —
+  * pattern): the feature hash is `substr(md5(token), 1, hexChars)` —
   * identical hex in Spark and DuckDB — so bucket ids match engines
   * exactly; the per-bucket log-ratio is quantized to DECIMAL(18,9)
   * (one `ln` per BUCKET, never per row, so float noise cannot vary
@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   * end-to-end.
   *
   * Scale shape: pass 1 aggregates gram instances into at most
-  * 16^(2*hexChars) buckets (256 here) with map-side partial counts —
+  * 16^hexChars buckets (256 at hexChars=2 — the same bucket space the
+  * smoothing pseudo-count bSpace uses) with map-side partial counts —
   * the shuffle moves O(buckets × tasks) rows, not O(corpus); the
   * smoothed log-ratio table is a few-KB broadcast; pass 2 re-scans
   * grams, joins the broadcast, and partial-aggregates per doc_id.
@@ -144,15 +145,9 @@ object Importance {
     new java.util.concurrent.ConcurrentHashMap[String, RatioModel]()
 
   def cachedRatioModel(docs: DataFrame, targetPred: Column,
-      cacheKey: String, hexChars: Int = 2): RatioModel = {
-    val cached = modelCache.get(cacheKey)
-    if (cached != null) cached
-    else {
-      val m = trainRatioModel(docs, targetPred, hexChars)
-      val prev = modelCache.putIfAbsent(cacheKey, m)
-      if (prev != null) prev else m
-    }
-  }
+      cacheKey: String, hexChars: Int = 2): RatioModel =
+    graft.Memo.memo(modelCache, cacheKey)(
+      trainRatioModel(docs, targetPred, hexChars))
 
   /** Stateless fused scoring against a trained model: (n_grams,
     * weight) columns over `text`, with the λ table as a constant map
@@ -178,10 +173,15 @@ object Importance {
     // scale-8 sum. (27,9)+(18,9) promotes to (28,9) — still exact —
     // and the re-cast keeps the accumulator type stable; |weight|
     // can't approach 1e18 so the narrower precision never overflows
+    // try_element_at: states the intended missing-key-is-NULL contract
+    // in the operator name. (Map element_at ALSO returns NULL for a
+    // missing key under Spark ≥3.4 ANSI — SPARK-40066; only ARRAY
+    // index access throws — so this is clarity, not a crash fix; the
+    // unseen-bucket spec pins the behavior either way.)
     val weight = aggregate(toks,
         lit(java.math.BigDecimal.ZERO).cast("decimal(27,9)"),
         (acc, w) => (acc + coalesce(
-          element_at(lamMap, substring(md5(w), 1, model.hexChars)),
+          try_element_at(lamMap, substring(md5(w), 1, model.hexChars)),
           defaultLam)).cast("decimal(27,9)"))
       .cast("double")
     (size(toks).cast("long"), weight)
@@ -295,13 +295,8 @@ object Importance {
   private val shardsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def deleteDir(p: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rec)
-      f.delete(); ()
-    }
-    rec(new java.io.File(p))
-  }
+  private def deleteDir(p: String): Unit =
+    graft.SparkEnv.deleteDir(p) // one shared impl (round-14 review)
 
   def cachedDsirShards(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): String = {

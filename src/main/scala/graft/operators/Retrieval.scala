@@ -87,7 +87,11 @@ object Retrieval {
     // this operator promises happens exactly once, here
     val per = tok.groupBy("doc_id")
       .agg(count(lit(1)).as("dl"), perAggs: _*)
-      .localCheckpoint()
+      // lazy (round-14 review — the q_bfs_hops/DomainRank lesson):
+      // eager materialization was one whole extra scheduled corpus-scan
+      // job per invocation; both consumers belong to the same final
+      // action, which materializes the checkpoint once on first use
+      .localCheckpoint(false)
     // corpus constants from the per-doc relation (O(docs) rows, never
     // the corpus): N, avgdl, df per term — one 1-row broadcast
     val constAggs = (sum("dl").cast("double") / count(lit(1))).as("avgdl") +:
