@@ -233,22 +233,20 @@ object BpeTrain {
     */
   val NumMerges = 24
 
-  /** Train-once cache per corpus dir (the cachedRatioModel pattern). */
-  private val mergeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Merge]]()
+  /** Train-once cache per (session, corpus dir, rounds) — the
+    * LanguageModel.artifactCache keying (round-14 review: a dir-only
+    * key would serve a stale merge table to a later session over a
+    * regenerated same-named directory).
+    */
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, Int), Seq[Merge]]()
 
   def cachedMerges(docs: DataFrame, cacheKey: String,
-      numMerges: Int = NumMerges): Seq[Merge] = {
-    val hit = mergeCache.get(cacheKey)
-    if (hit != null) hit
-    else {
-      // batched trainer: provably identical merge list, ~batchSize×
-      // fewer driver round-trips (see trainMergesBatched scaladoc)
-      val m = trainMergesBatched(docs, numMerges)
-      val prev = mergeCache.putIfAbsent(cacheKey, m)
-      if (prev != null) prev else m
-    }
-  }
+      numMerges: Int = NumMerges): Seq[Merge] =
+    // batched trainer: provably identical merge list, ~batchSize×
+    // fewer driver round-trips (see trainMergesBatched scaladoc)
+    graft.Memo.memo(mergeCache, (docs.sparkSession, cacheKey, numMerges))(
+      trainMergesBatched(docs, numMerges))
 
   /** Unrolled chained-CTE DuckDB replay of the sequential trainer —
     * the round-10 ANN conversion pattern (fixed-round iterative

@@ -344,6 +344,15 @@ object LanguageModel {
     * double, then one IEEE divide by the transition count.
     */
   def scoreColumns(model: graft.functions.LmArtifact): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    // EMPTY model (the target slice had no scoreable text): the
+    // relational docScores path and the DuckDB oracle both produce
+    // ZERO rows (their floor/model CTEs are empty cross-join inputs),
+    // but the artifact scorer would floor-score every document —
+    // diverging from both (round-14 review). Scoring 0 transitions
+    // makes every consumer's n_trans > 0 filter drop every row, so
+    // all three paths agree on the empty result.
+    if (model.biGrams.isEmpty && model.uniToks.isEmpty)
+      return (lit(0L), lit(null).cast("double"))
     import org.apache.spark.sql.graftshim.{toColumn, toExpression}
     val sc = toColumn(graft.functions.LmDocScore(toExpression(col("text")), model))
     val n = sc.getField("n_trans")

@@ -54,7 +54,12 @@ object Multimodal {
     */
   def decodeImageStub(spark: SparkSession, withPayload: DataFrame): Dataset[ImageMeta] = {
     import spark.implicits._
-    withPayload.select("doc_id", "payload").as[(Long, Array[Byte])]
+    withPayload.select("doc_id", "payload")
+      // NULL payloads (NULL source text) are skipped like every
+      // sibling operator skips NULL text — the lambdas below would
+      // otherwise NPE on the null byte array (round-14 review);
+      // sampleFrames gets the same behavior free via octet_length
+      .filter(col("payload").isNotNull).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val ok = magicOk(bytes)
@@ -94,7 +99,12 @@ object Multimodal {
     */
   def resizeStub(spark: SparkSession, withPayload: DataFrame, k: Int = 2): DataFrame = {
     import spark.implicits._
-    withPayload.select("doc_id", "payload").as[(Long, Array[Byte])]
+    withPayload.select("doc_id", "payload")
+      // NULL payloads (NULL source text) are skipped like every
+      // sibling operator skips NULL text — the lambdas below would
+      // otherwise NPE on the null byte array (round-14 review);
+      // sampleFrames gets the same behavior free via octet_length
+      .filter(col("payload").isNotNull).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           if (bytes.length < 8) (id, bytes)
@@ -120,7 +130,12 @@ object Multimodal {
     */
   def extractFeaturesStub(spark: SparkSession, withPayload: DataFrame): DataFrame = {
     import spark.implicits._
-    withPayload.select("doc_id", "payload").as[(Long, Array[Byte])]
+    withPayload.select("doc_id", "payload")
+      // NULL payloads (NULL source text) are skipped like every
+      // sibling operator skips NULL text — the lambdas below would
+      // otherwise NPE on the null byte array (round-14 review);
+      // sampleFrames gets the same behavior free via octet_length
+      .filter(col("payload").isNotNull).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val hist = new Array[Float](16)

@@ -77,23 +77,19 @@ object TextAnalysis {
     * model-parameter operators. First call pays the profile-learning
     * aggregation; every later call is scoring only.
     */
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.TrigramProfiles]()
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), graft.functions.TrigramProfiles]()
 
-  def cachedTrigramModel(docs: DataFrame, cacheKey: String): graft.functions.TrigramProfiles = {
-    // compute OUTSIDE the map: computeIfAbsent holds the bin lock for
-    // the mapping function's whole duration — here a multi-second
-    // Spark job — stalling concurrent lookups (and risking the
-    // documented CHM re-entrancy deadlock). Racing computes are
-    // idempotent (deterministic pipeline); first put wins.
-    val cached = modelCache.get(cacheKey)
-    if (cached != null) cached
-    else {
-      val m = trigramModel(langProfilesFromDocs(docs))
-      val prev = modelCache.putIfAbsent(cacheKey, m)
-      if (prev != null) prev else m
-    }
-  }
+  // keyed by (session, dir) like LanguageModel.artifactCache — a
+  // dir-only key would serve a stale model to a later session over a
+  // regenerated same-named directory (round-14 review, advisor r11
+  // invariant). Compute OUTSIDE the map (Memo.memo): computeIfAbsent
+  // holds the bin lock for the mapping function's whole duration —
+  // here a multi-second Spark job. Racing computes are idempotent
+  // (deterministic pipeline); first put wins.
+  def cachedTrigramModel(docs: DataFrame, cacheKey: String): graft.functions.TrigramProfiles =
+    graft.Memo.memo(modelCache, (docs.sparkSession, cacheKey))(
+      trigramModel(langProfilesFromDocs(docs)))
 
   /** Broadcast-scoring language ID — the serving form: profiles are
     * MODEL PARAMETERS (langs × profileSize trigrams ≈ 150 rows, like
@@ -288,16 +284,18 @@ object TextAnalysis {
     feats.withColumn("quality_prob", lit(1.0) / (lit(1.0) + exp(-z)))
   }
 
-  private val qualityCache =
-    new java.util.concurrent.ConcurrentHashMap[String, QualityModel]()
+  private val qualityCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), QualityModel]()
 
+  // (session, dir) keying — see cachedTrigramModel (round-14 review)
   def cachedQualityModel(docs: DataFrame, cacheKey: String): Option[QualityModel] = {
-    val cached = qualityCache.get(cacheKey)
+    val key = (docs.sparkSession, cacheKey)
+    val cached = qualityCache.get(key)
     if (cached != null) Some(cached)
     else trainQualityModel(docs) match {
       case None => None
       case Some(m) =>
-        val prev = qualityCache.putIfAbsent(cacheKey, m)
+        val prev = qualityCache.putIfAbsent(key, m)
         Some(if (prev != null) prev else m)
     }
   }
@@ -358,7 +356,10 @@ object TextAnalysis {
     */
   final case class QcModel(weights: Array[Long], mins: Array[Long], maxs: Array[Long])
 
-  private val qcFeatNames = Seq("f_tokens", "f_ttr", "f_atl", "f_punct", "f_alnum")
+  // the ONE feature-name list (round-14 review: a second verbatim Seq
+  // here meant adding a quality feature could silently train the
+  // quantized-GD and MLlib models on different feature sets)
+  private val qcFeatNames = featureCols
 
   /** Per-doc quantized raw features: `floor(f·1e6 + 0.5)` BIGINT per
     * feature (the q_math_funcs discipline) + the quantized heuristic
@@ -699,7 +700,8 @@ object TextAnalysis {
     */
   val qGopherRepetition = DeclaredQuery(
     "q_gopher_repetition",
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |           WHERE text IS NOT NULL),
       |g AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram
       |      FROM t, LATERAL (
       |        SELECT unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i) s),
@@ -760,8 +762,9 @@ object TextAnalysis {
       |        FROM c GROUP BY 1)
       |SELECT lang, n_tokens, n_types,
       |  round(ln(CAST(n_tokens AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS entropy,
-      |  round((ln(CAST(n_tokens AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-      |        / ln(CAST(n_types AS DOUBLE)), 6) AS evenness
+      |  round(CASE WHEN n_types <= 1 THEN 1.0
+      |             ELSE (ln(CAST(n_tokens AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      |                  / ln(CAST(n_types AS DOUBLE)) END, 6) AS evenness
       |FROM agg ORDER BY lang""".stripMargin) { (s, d) =>
     val h = log(col("n_tokens").cast("double")) -
       col("s").cast("double") / col("n_tokens").cast("double")
@@ -776,7 +779,14 @@ object TextAnalysis {
           * col("c").cast("decimal(12,0)")).as("s"))
       .select(col("lang"), col("n_tokens"), col("n_types"),
         round(h, 6).as("entropy"),
-        round(h / log(col("n_types").cast("double")), 6).as("evenness"))
+        // n_types = 1 degeneracy (round-14 review): H = 0 and
+        // Hmax = ln(1) = 0, and the engines disagree on 0.0/0.0
+        // (Spark IEEE NaN, DuckDB NULL) — a one-type slice is
+        // trivially uniform over its support, so evenness pins to 1.0
+        // identically in both
+        round(when(col("n_types") <= 1, lit(1.0))
+          .otherwise(h / log(col("n_types").cast("double"))), 6)
+          .as("evenness"))
       .orderBy("lang")
   }
 

@@ -140,6 +140,25 @@ class FixtureDriftSpec extends SparkSpec {
     }
   }
 
+  test("q_bpe_segment's oracle CTE chain never empties: some word keeps >= 2 " +
+      "BPE units after all 24 rounds at both graded sfs") {
+    // The segment oracle's w_k chain CROSS JOINs each round's argmax
+    // CTE; a corpus whose every word fully merges before round 24
+    // empties some v_k and the whole chain after it — the oracle would
+    // return one all-NULL row while Spark computes real totals
+    // (round-14 review). Unit counts are monotonically non-increasing
+    // per word, so "n_units_bpe > n_words at the end" certifies every
+    // intermediate round had at least one mergeable pair.
+    for (dir <- Seq(sf01, sf1)) {
+      val row = SparkEntry.queries("q_bpe_segment")(spark, dir).head()
+      val nWords = row.getLong(row.fieldIndex("n_words"))
+      val nUnits = row.getLong(row.fieldIndex("n_units_bpe"))
+      assert(nUnits > nWords, s"$dir: corpus fully merged within 24 BPE " +
+        s"rounds (n_units_bpe=$nUnits == n_words=$nWords) — the segment " +
+        "oracle's CTE chain would empty; reduce rounds or enrich the fixture")
+    }
+  }
+
   test("q_incremental_join_view's dimension delta is non-vacuous and in-domain: " +
       "changed customers (c_custkey % 97 = 0) have events, segments are the known 5") {
     // The ΔB leg of the delta rule retracts/inserts the changed keys'
