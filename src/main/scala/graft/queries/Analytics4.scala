@@ -88,6 +88,10 @@ object Analytics4 {
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     val uc = Tables.events(s, d)
       .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      // lazy lineage cut (round-14 review — the qWelch/qInterpolate
+      // rule): both the quartile aggregate and the join probe consume
+      // uc; without the cut each re-plans the events scan + aggregate
+      .localCheckpoint(false)
     val q = uc.groupBy("event_type").agg(
       expr("percentile(CAST(n AS DOUBLE), 0.25)").as("q1"),
       expr("percentile(CAST(n AS DOUBLE), 0.75)").as("q3"))

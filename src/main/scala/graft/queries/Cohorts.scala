@@ -54,6 +54,11 @@ object Cohorts {
       val e = Tables.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"))
       val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+        // lazy lineage cut (round-14 review — the userRfm multi-
+        // consumer rule in this same file): `first` feeds both the
+        // retention join and cohortSize, and without the cut each
+        // consumer re-plans the full events scan + user aggregate
+        .localCheckpoint(false)
       val cohortSize = first.groupBy("cohort_day")
         .agg(count(lit(1)).as("cohort_size"))
       e.join(first, "user_id")

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,6 +102,10 @@ object WebAnalytics {
       |ORDER BY day""".stripMargin) { (s, d) =>
     val pairs = Tables.events(s, d)
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      // lazy lineage cut (round-14 review): dau and the explode side
+      // both consume pairs; without it each re-plans the events scan
+      // + the distinct exchange
+      .localCheckpoint(false)
     val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = pairs
       .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
@@ -208,31 +213,59 @@ object WebAnalytics {
       |                RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)),
       |zc AS (
       |  SELECT hour, n,
-      |    CASE WHEN cnt_w >= 2 THEN
+      |    CASE WHEN cnt_w >= 2
+      |          AND sumsq_w - sum_w * (sum_w / CAST(cnt_w AS DOUBLE)) > 0 THEN
       |      (n - sum_w / CAST(cnt_w AS DOUBLE)) /
       |      sqrt((sumsq_w - sum_w * (sum_w / CAST(cnt_w AS DOUBLE)))
       |           / (cnt_w - 1))
-      |    END AS z_raw
+      |    END AS z_raw,
+      |    CASE WHEN cnt_w >= 2
+      |          AND sumsq_w - sum_w * (sum_w / CAST(cnt_w AS DOUBLE)) <= 0
+      |          AND CAST(n AS DOUBLE) <> sum_w / CAST(cnt_w AS DOUBLE)
+      |         THEN 1 ELSE 0 END AS flat_spike
       |  FROM w)
       |SELECT hour, n, round(z_raw, 6) AS z,
-      |       CASE WHEN abs(z_raw) > 3 THEN 1 ELSE 0 END AS is_anomaly
+      |       CASE WHEN abs(z_raw) > 3 OR flat_spike = 1 THEN 1 ELSE 0 END AS is_anomaly
       |FROM zc ORDER BY hour""".stripMargin) { (s, d) =>
     val h = Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))
+    zScoresFromHourlyCounts(h)
+  }
+
+  /** The shared z-score tail of q_anomaly_hours and its streaming twin
+    * (round-14 review: the 15-line block existed twice and could
+    * drift one-sided under a shared oracle). Input: (hour, n).
+    *
+    * Zero-variance guard (round-14 review): a FLAT trailing baseline
+    * (all window hours equal) makes the variance numerator 0, and
+    * (n − mean)/0 is NULL in both engines — so an arbitrarily large
+    * spike over a quiet baseline was never flagged. The guard keeps
+    * z NULL (no finite z exists) but flags `flat_spike`: deviation
+    * from a zero-variance baseline is the clearest possible anomaly.
+    * All comparisons run on the SAME double expressions in both
+    * engines (the mean is exact in the flat case: sum_w = v·cnt_w), so
+    * the gate stays bit-parity.
+    */
+  private def zScoresFromHourlyCounts(hourly: DataFrame): DataFrame = {
     val fr = Window.orderBy(unix_timestamp(col("hour")))
       .rangeBetween(-86400, -3600)
     val mean = col("sum_w") / col("cnt_w").cast("double")
-    val zRaw = when(col("cnt_w") >= 2,
-      (col("n") - mean) /
-        sqrt((col("sumsq_w") - col("sum_w") * mean) / (col("cnt_w") - 1)))
-    h.withColumn("cnt_w", count(lit(1)).over(fr))
+    val varNum = col("sumsq_w") - col("sum_w") * mean
+    val zRaw = when(col("cnt_w") >= 2 && varNum > 0,
+      (col("n") - mean) / sqrt(varNum / (col("cnt_w") - 1)))
+    val flatSpike = when(col("cnt_w") >= 2 && varNum <= 0 &&
+      col("n").cast("double") =!= mean, 1).otherwise(0)
+    hourly
+      .withColumn("cnt_w", count(lit(1)).over(fr))
       .withColumn("sum_w", sum("n").over(fr))
       .withColumn("sumsq_w", sum(col("n") * col("n")).over(fr))
       .withColumn("z_raw", zRaw)
+      .withColumn("flat_spike", flatSpike)
       .select(col("hour"), col("n"),
         round(col("z_raw"), 6).as("z"),
-        when(abs(col("z_raw")) > 3, 1).otherwise(0).as("is_anomaly"))
+        when(abs(col("z_raw")) > 3 || col("flat_spike") === 1, 1)
+          .otherwise(0).as("is_anomaly"))
       .orderBy("hour")
   }
 
@@ -385,6 +418,30 @@ object WebAnalytics {
       .orderBy("minute")
   }
 
+  /** The hour-bucketed click→purchase candidate relation shared by
+    * the linear and decay attribution models (round-14 review: the
+    * ~15-line scaffold — distinct clicks, purchase cents, the
+    * two-bucket explode, the equi-join and the inclusive 3600 s
+    * tolerance — existed verbatim in both; a tolerance change in one
+    * model only would silently diverge). Output: one row per
+    * (purchase pid, cents, psec) × qualifying click sec.
+    */
+  private def attributionCandidates(e: DataFrame): DataFrame = {
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec")).distinct()
+      .withColumn("hb", floor(unix_timestamp(col("sec")) / 3600))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("sec").as("psec"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("hb",
+        explode(array(floor(unix_timestamp(col("psec")) / 3600),
+          floor(unix_timestamp(col("psec")) / 3600) - 1)))
+    purchases.join(clicks, Seq("user_id", "hb"))
+      .filter(col("sec") <= col("psec") &&
+        unix_timestamp(col("psec")) - unix_timestamp(col("sec")) <= 3600)
+  }
+
   /** Linear (equal-share) multi-touch attribution: every click within
     * the hour before a purchase shares that purchase's value equally,
     * and credit aggregates to the CLICK's day — where budget
@@ -415,19 +472,7 @@ object WebAnalytics {
       |FROM cand GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
       col("event_type"), col("value"), date_trunc("second", col("ts")).as("sec"))
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("sec")).distinct()
-      .withColumn("hb", floor(unix_timestamp(col("sec")) / 3600))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("pid"), col("user_id"),
-        col("sec").as("psec"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .withColumn("hb",
-        explode(array(floor(unix_timestamp(col("psec")) / 3600),
-          floor(unix_timestamp(col("psec")) / 3600) - 1)))
-    val cand = purchases.join(clicks, Seq("user_id", "hb"))
-      .filter(col("sec") <= col("psec") &&
-        unix_timestamp(col("psec")) - unix_timestamp(col("sec")) <= 3600)
+    val cand = attributionCandidates(e)
       .withColumn("n", count(lit(1)).over(Window.partitionBy("pid")))
     cand.groupBy(col("sec").cast("date").as("day"))
       .agg(count(lit(1)).as("n_credited_clicks"),
@@ -456,21 +501,9 @@ object WebAnalytics {
       .select(to_timestamp(element_at(split(col("key"), "/"), 3),
         "yyyy-MM-dd-HH").as("hour"), col("nEvents"))
       .groupBy("hour").agg(sum("nEvents").as("n"))
-    val fr = Window.orderBy(unix_timestamp(col("hour")))
-      .rangeBetween(-86400, -3600)
-    val mean = col("sum_w") / col("cnt_w").cast("double")
-    val zRaw = when(col("cnt_w") >= 2,
-      (col("n") - mean) /
-        sqrt((col("sumsq_w") - col("sum_w") * mean) / (col("cnt_w") - 1)))
-    hourly
-      .withColumn("cnt_w", count(lit(1)).over(fr))
-      .withColumn("sum_w", sum("n").over(fr))
-      .withColumn("sumsq_w", sum(col("n") * col("n")).over(fr))
-      .withColumn("z_raw", zRaw)
-      .select(col("hour"), col("n"),
-        round(col("z_raw"), 6).as("z"),
-        when(abs(col("z_raw")) > 3, 1).otherwise(0).as("is_anomaly"))
-      .orderBy("hour")
+    // identical z-score tail as the batch query — ONE implementation
+    // under the shared oracle (round-14 review)
+    zScoresFromHourlyCounts(hourly)
   }
 
   /** Time-weighted average value per (day, event type) — the metrics
@@ -701,19 +734,7 @@ object WebAnalytics {
       |FROM wsum GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
       col("event_type"), col("value"), date_trunc("second", col("ts")).as("sec"))
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("sec")).distinct()
-      .withColumn("hb", floor(unix_timestamp(col("sec")) / 3600))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("pid"), col("user_id"),
-        col("sec").as("psec"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .withColumn("hb",
-        explode(array(floor(unix_timestamp(col("psec")) / 3600),
-          floor(unix_timestamp(col("psec")) / 3600) - 1)))
-    val cand = purchases.join(clicks, Seq("user_id", "hb"))
-      .filter(col("sec") <= col("psec") &&
-        unix_timestamp(col("psec")) - unix_timestamp(col("sec")) <= 3600)
+    val cand = attributionCandidates(e)
       .withColumn("w", expr(
         """shiftleft(CAST(1 AS BIGINT),
           |  CAST(4 - (unix_timestamp(psec) - unix_timestamp(sec)) DIV 900 AS INT))""".stripMargin))
