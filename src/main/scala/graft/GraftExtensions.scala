@@ -115,6 +115,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.OrderedPairs(children(0))
       }))
     e.injectFunction((
+      FunctionIdentifier("payload_pairs"),
+      new ExpressionInfo(classOf[graft.functions.PayloadPairs].getName, "payload_pairs"),
+      (children: Seq[Expression]) => {
+        checkArity("payload_pairs", children, 1)
+        graft.functions.PayloadPairs(children(0))
+      }))
+    e.injectFunction((
       FunctionIdentifier("token_ngram_distinct"),
       new ExpressionInfo(classOf[graft.functions.TokenNGramDistinct].getName,
         "token_ngram_distinct"),

@@ -159,3 +159,100 @@ private[functions] final class TriangularPairs(
     r
   }
 }
+
+/** `payload_pairs(array<struct<id: bigint, p: bigint>>)` →
+  * (id_a, id_b, p_a, p_b): [[OrderedPairs]]' sibling for buckets whose
+  * members carry a 64-bit PAYLOAD each side of the pair needs (the
+  * simhash fingerprint — round-14 review: the simhash candidate
+  * expansion was the last interpreted flatten/transform/slice site,
+  * paying per-element lambda eval and materializing the full O(B²)
+  * pair array per bucket where this generator streams pairs in O(B)
+  * peak memory inside whole-stage codegen). Same contracts as
+  * ordered_pairs: sorted ascending by id so id_a < id_b is free, null
+  * elements/fields skipped, duplicate ids collapse (keeping the MIN
+  * payload — id → payload is functional for every intended caller, so
+  * the tie rule only pins determinism against contract breaches).
+  * Registered as SQL `payload_pairs` via [[graft.GraftExtensions]].
+  */
+final case class PayloadPairs(ids: Expression) extends Generator {
+
+  override def children: Seq[Expression] = Seq(ids)
+
+  override def elementSchema: StructType = new StructType()
+    .add("id_a", LongType, nullable = false)
+    .add("id_b", LongType, nullable = false)
+    .add("p_a", LongType, nullable = false)
+    .add("p_b", LongType, nullable = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = ids.dataType match {
+    case ArrayType(s: StructType, _)
+        if s.length == 2 && s(0).dataType == LongType &&
+          s(1).dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"payload_pairs expects array<struct<id: bigint, p: bigint>>, got ${other.sql}")
+  }
+
+  /** Pair iterator, shared by interpreted eval and generated code. */
+  def pairs(arr: ArrayData): Iterator[InternalRow] = {
+    if (arr == null) Iterator.empty
+    else {
+      val m = arr.numElements()
+      val id = new Array[Long](m)
+      val pl = new Array[Long](m)
+      var k = 0
+      var i = 0
+      while (i < m) {
+        if (!arr.isNullAt(i)) {
+          val s = arr.getStruct(i, 2)
+          if (!s.isNullAt(0) && !s.isNullAt(1)) {
+            id(k) = s.getLong(0)
+            pl(k) = s.getLong(1)
+            k += 1
+          }
+        }
+        i += 1
+      }
+      val n = k
+      var p = 1
+      while (p < n) {
+        val idP = id(p); val plP = pl(p)
+        var q = p - 1
+        while (q >= 0 && id(q) > idP) {
+          id(q + 1) = id(q); pl(q + 1) = pl(q); q -= 1
+        }
+        id(q + 1) = idP; pl(q + 1) = plP
+        p += 1
+      }
+      var w = 0
+      var s2 = 0
+      while (s2 < n) {
+        if (w > 0 && id(w - 1) == id(s2)) pl(w - 1) = math.min(pl(w - 1), pl(s2))
+        else { id(w) = id(s2); pl(w) = pl(s2); w += 1 }
+        s2 += 1
+      }
+      val nd = w
+      new TriangularPairs(nd,
+        (a, b) => InternalRow(id(a), id(b), pl(a), pl(b)))
+    }
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] =
+    pairs(ids.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsEv = ids.genCode(ctx)
+    val ref = ctx.addReferenceObj("payloadPairs", this, classOf[PayloadPairs].getName)
+    ev.copy(
+      code = code"""
+        ${idsEv.code}
+        scala.collection.Iterator<InternalRow> ${ev.value} =
+          $ref.pairs(${idsEv.isNull} ? null : ${idsEv.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PayloadPairs =
+    copy(ids = newChildren(0))
+}

@@ -126,13 +126,16 @@ object Dedup {
     // degenerate bucket (mass-identical docs) is the same skew risk the
     // self-join had, handled upstream by exact-dedup first.
     bucketed.groupBy("band", "band_sig")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      // codegen'd generator, not the interpreted flatten/transform/
+      // slice combinator (round-14 review — the measured OrderedPairs
+      // rationale: per-element lambda eval, O(B²) pair array per
+      // bucket, CodegenFallback sort_array breaking the stage; the
+      // generator sorts internally and streams pairs in O(B) memory)
+      .agg(collect_set(struct(col("doc_id").as("id"),
+        lit(0).as("n"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(ids) - 2), " +
-          "i -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "b -> struct(ids[i] AS id_a, b AS id_b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(expr("ordered_pairs(ids)"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
   }
 
@@ -157,13 +160,16 @@ object Dedup {
     }
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .groupBy(col("bb"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      // codegen'd generator, not the interpreted flatten/transform/
+      // slice combinator (round-14 review — the measured OrderedPairs
+      // rationale: per-element lambda eval, O(B²) pair array per
+      // bucket, CodegenFallback sort_array breaking the stage; the
+      // generator sorts internally and streams pairs in O(B) memory)
+      .agg(collect_set(struct(col("doc_id").as("id"),
+        lit(0).as("n"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(ids) - 2), " +
-          "i -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "b -> struct(ids[i] AS id_a, b AS id_b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(expr("ordered_pairs(ids)"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
   }
 
@@ -174,8 +180,16 @@ object Dedup {
     val cnt = elems.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val t1 = elems.select(col("doc_id").as("id_a"), col("elem"))
     val t2 = elems.select(col("doc_id").as("id_b"), col("elem"))
-    pairs.join(t1, Seq("id_a")).join(t2, Seq("id_b", "elem"))
+    val inter = pairs.join(t1, Seq("id_a")).join(t2, Seq("id_b", "elem"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    // LEFT from the pair set (round-14 review): a candidate pair with
+    // an EMPTY intersection must score jaccard = 0.0, not vanish from
+    // the output — callers that reconcile scores against the input
+    // pair set (or report score distributions) need full coverage;
+    // the ≥ τ pipelines filter the zeros away unchanged
+    pairs.select("id_a", "id_b")
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
       .join(cnt.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
       .join(cnt.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -305,20 +319,18 @@ object Dedup {
         "transform(sequence(0, 3), b -> struct(b AS blk, " +
           "CAST(shiftright(simhash, b * 16) & 65535 AS INT) AS blk_val))")).as("bv"))
       .select(col("doc_id"), col("simhash"), col("bv.blk"), col("bv.blk_val"))
-    // Same within-bucket expansion as minhashCandidates (see there):
-    // one scan of the 64-aggregate simhash pipeline instead of the
-    // self-join's two. sort_array orders the structs by doc_id (their
-    // first field), so id_a < id_b holds by construction.
+    // Same within-bucket expansion as minhashCandidates (see there),
+    // through the codegen'd payload_pairs generator — each pair needs
+    // BOTH docs' simhash fingerprints, which ride as the generator's
+    // 64-bit payload (round-14 review: this was the last interpreted
+    // flatten/transform/slice site)
     blocks.groupBy("blk", "blk_val")
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ids"))
+      .agg(collect_set(struct(col("doc_id").as("id"),
+        col("simhash").as("p"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(ids) - 2), " +
-          "i -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "b -> struct(ids[i].doc_id AS id_a, b.doc_id AS id_b, " +
-          "ids[i].simhash AS sh_a, b.simhash AS sh_b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
+      .select(expr("payload_pairs(ids)"))
+      .select(col("id_a"), col("id_b"),
+        col("p_a").as("sh_a"), col("p_b").as("sh_b"))
       .distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= maxDist)
@@ -423,24 +435,30 @@ object Dedup {
     // (N-1 is the recovery point only while N is in flight); the LAST
     // round's files back the returned labels frame, so they stay until
     // the caller is done with it
-    lazy val runDir: java.nio.file.Path = {
-      val root = java.nio.file.Paths.get(checkpointDir.get)
-      java.nio.file.Files.createDirectories(root)
-      java.nio.file.Files.createTempDirectory(root, "cc-run-")
+    // Hadoop FileSystem, NOT java.nio (round-14 review): Spark writes
+    // the round parquet through the checkpoint path's OWN filesystem
+    // (hdfs://, s3a://, file:), and a driver-local nio mkdir/walk
+    // would silently manage a different tree on a cluster — the eager
+    // round-N−1 delete would never fire and rounds would accumulate
+    // unboundedly on the reliable store this path exists for.
+    lazy val fs = new org.apache.hadoop.fs.Path(checkpointDir.get)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    lazy val runDir: org.apache.hadoop.fs.Path = {
+      val root = new org.apache.hadoop.fs.Path(checkpointDir.get)
+      // UUID replaces createTempDirectory's uniqueness — collision-free
+      // across concurrent runs sharing one checkpoint root on ANY fs
+      val p = new org.apache.hadoop.fs.Path(root,
+        s"cc-run-${java.util.UUID.randomUUID()}")
+      fs.mkdirs(p)
+      p
     }
-    var prevCkptPath: Option[java.nio.file.Path] = None
+    var prevCkptPath: Option[org.apache.hadoop.fs.Path] = None
     def dropPrevCkpt(): Unit = prevCkptPath.foreach { p =>
-      try {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(p)
-        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      } catch { case _: Throwable => () }
+      try { fs.delete(p, true); () } catch { case _: Throwable => () }
     }
     def ckpt(df: DataFrame): DataFrame = checkpointDir match {
       case Some(_) =>
-        val path = runDir.resolve(s"cc-round-$round")
+        val path = new org.apache.hadoop.fs.Path(runDir, s"cc-round-$round")
         df.write.mode("overwrite").parquet(path.toString)
         dropPrevCkpt()
         prevCkptPath = Some(path)

@@ -58,9 +58,10 @@ object Pipeline {
     * trigram — high values flag boilerplate/spam. Rides the codegen'd
     * `token_ngrams` generator straight into a two-level aggregate;
     * linear, one scan, shuffles only (doc, trigram) partial counts.
-    * Fixture docs all have ≥ 10 tokens, so the generator's short-text
-    * fallback never fires and the plain SQL trigram form is the exact
-    * oracle.
+    * NULL-text and < 3-token docs are filtered explicitly (round-14
+    * review) — the oracle's trigram CTE simply generates no rows for
+    * them, and the generator's short-text fallback would otherwise
+    * rank such a doc first on a drifted fixture.
     */
   val topNgramFraction = DeclaredQuery(
     "q_top_ngram_fraction",
@@ -84,6 +85,12 @@ object Pipeline {
     // with the relational groupBy form)
     import org.apache.spark.sql.graftshim.{toColumn, toExpression}
     Tables.documents(s, d)
+      // match the oracle's implicit exclusions (round-14 review): its
+      // tri CTE generates NO rows for NULL text or < 3-token docs,
+      // while TokenNGramStats' short-text fallback would score such a
+      // doc top_frac = 1.0 and sort it to rank 1 on a drifted fixture
+      .filter(col("text").isNotNull &&
+        size(split(col("text"), " ", -1)) >= 3)
       .select(col("doc_id"),
         toColumn(graft.functions.TokenNGramStats(toExpression(col("text")), 3))
           .as("st"))
@@ -133,17 +140,25 @@ object Pipeline {
     * function of the data, NOT the 5-value lang domain alone. At 100 TB
     * raise [[packShards]] (or swap in a date/source column): each
     * reducer packs one shard's stream, never a whole language's corpus.
-    * A doc whose tokens straddle a budget boundary opens the next bin
-    * (streaming first-fit; bins may overfill by < 1 doc, never
-    * underfill). The shard expression is mirrored verbatim in the
-    * DuckDB oracle, so the per-shard bin assignment stays hash-gated.
+    * Bin rule — CUMULATIVE-OFFSET bucketing, not first-fit (round-14
+    * review fixed this doc, which over-promised "never underfill"):
+    * bin = floor(start_offset / 512) where start_offset = cum − n_tok,
+    * i.e. a doc belongs to the bin its FIRST token lands in. A doc may
+    * straddle its bin's boundary (the consumer splits or pads at
+    * sequence-build time — the standard offset-indexed packing
+    * layout), and an over-long doc skips bins entirely (bins are token
+    * ADDRESS ranges, not capacity slots). The identical formula runs
+    * in the DuckDB oracle; the shard expression is sign-normalized the
+    * same way in both engines (pmod semantics — Spark pmod, DuckDB
+    * ((x % N) + N) % N), so the per-shard bin assignment stays
+    * hash-gated even for hypothetical negative ids.
     */
   val packShards = 16
 
   val packSequences = DeclaredQuery(
     "q_pack_sequences",
     s"""WITH t AS (
-      |  SELECT lang, doc_id % $packShards AS shard, doc_id,
+      |  SELECT lang, ((doc_id % $packShards) + $packShards) % $packShards AS shard, doc_id,
       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
       |  FROM documents),
       |c AS (

@@ -48,7 +48,7 @@ object StreamPipeline {
     */
   case class DocVerdict(doc_id: Long, lang: String, text: String, dup: Boolean)
 
-  /** Same ListState bucket index as [[StreamDedup.Processor]], but
+  /** Same ListState bucket index as [[StreamDedup]]'s BucketIndexProcessor, but
     * emitting the arriving doc (with its bucket verdict) rather than
     * candidate pairs: ingest wants an admit/reject decision, pair
     * enumeration is the offline-audit shape. Replayed docs (already
@@ -227,7 +227,7 @@ object StreamPipeline {
     * EARLIER-ARRIVED doc shares a bucket" only when arrival order is
     * ascending by doc_id — guaranteed for the driver fixture (a
     * single parquet file → one AvailableNow micro-batch, and
-    * [[PortableVerdictProcessor]] sorts within a batch). A multi-file
+    * [[VerdictProcessor]] sorts within a batch). A multi-file
     * corpus or a maxFilesPerTrigger knob interleaves by admission
     * order; the stream's verdicts stay correct ONLINE-dedup semantics
     * there, but the SQL replay no longer applies
