@@ -343,7 +343,8 @@ object LlmOps {
       |  SELECT label, dim, CAST(sum(v) AS DOUBLE) AS dim_sum, count(*) AS n
       |  FROM dims GROUP BY label, dim)
       |SELECT label, max(n) AS n_vecs,
-      |       round(sqrt(sum((dim_sum / n) * (dim_sum / n))), 6) AS centroid_norm
+      |       round(sqrt(sum((dim_sum / n) * (dim_sum / n) ORDER BY dim)), 6)
+      |         AS centroid_norm
       |FROM sums
       |GROUP BY label
       |ORDER BY label""".stripMargin) { (s, d) =>
@@ -358,6 +359,14 @@ object LlmOps {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[java.lang.Double]]())
     val mean = (x: Column) => x / col("n_vecs")
     Tables.embeddings(s, d)
+      // mirror the oracle's WHERE embedding IS NOT NULL at GROUP
+      // granularity (round-14 review): a label whose every embedding
+      // is NULL has no dims rows in the oracle — no output row — while
+      // an unfiltered groupBy would emit (label, 0, NULL). The
+      // oracle's outer sum is ORDER BY dim, so its 64-term double fold
+      // matches this side's aggregate() over dims 1..64 op for op — no
+      // merge-order ulp can split a round(.,6) half-way boundary.
+      .filter(col("embedding").isNotNull)
       .groupBy("label")
       // float→double widening is exact, and Spark's own float→decimal
       // cast goes through toDouble — so the aggregator's

@@ -39,13 +39,16 @@ object Regression {
       |                  * CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS syy
       |  FROM part GROUP BY 1)
       |SELECT p_brand, CAST(n AS BIGINT) AS n,
-      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-      |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-      |  round(CAST(sy * sxx - sx * sxy AS DOUBLE)
-      |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept,
-      |  round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
-      |        / (CAST(n * sxx - sx * sx AS DOUBLE)
-      |           * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+      |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+      |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |          / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+      |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+      |    round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+      |          / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS intercept,
+      |  CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+      |    round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+      |          / (CAST(n * sxx - sx * sx AS DOUBLE)
+      |             * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r2
       |FROM s ORDER BY p_brand""".stripMargin) { (s, d) =>
     val yDec = col("p_retailprice").cast("decimal(12,2)")
     val stats = Tables.part(s, d).groupBy("p_brand").agg(
@@ -61,14 +64,24 @@ object Regression {
     // rounding; the tight cast keeps every product exact
     val nD = col("n").cast("decimal(10,0)")
     val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
-    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val dyy = (nD * col("syy") - col("sy") * col("sy")).cast("double")
+    // degenerate-group guards (round-14 review, the statsFuncs
+    // discipline): a brand whose parts share ONE p_size makes the
+    // variance denominator exactly 0 — Spark's ANSI double divide
+    // THROWS (measured: DIVIDE_BY_ZERO) while DuckDB yields NULL; the
+    // CASE pins both engines to NULL, tested on the exact integer/
+    // decimal values before any double cast
+    val denExact = col("n") * col("sxx") - col("sx") * col("sx")
+    val dyyExact = nD * col("syy") - col("sy") * col("sy")
+    val den = denExact.cast("double")
+    val dyy = dyyExact.cast("double")
     stats.select(
       col("p_brand"), col("n"),
-      round(num / den, 6).as("slope"),
-      round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / den, 6)
+      when(denExact =!= 0, round(num / den, 6)).as("slope"),
+      when(denExact =!= 0,
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / den, 6))
         .as("intercept"),
-      round((num * num) / (den * dyy), 6).as("r2"))
+      when(denExact =!= 0 && dyyExact =!= 0,
+        round((num * num) / (den * dyy), 6)).as("r2"))
       .orderBy("p_brand")
   }
 

@@ -455,7 +455,10 @@ object TimeSeries {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1
-      |ORDER BY 1""".stripMargin) { (s, d) =>
+      |ORDER BY 1 NULLS FIRST""".stripMargin) { (s, d) =>
+    // NULLS FIRST pinned (round-14 review): a null/malformed props row
+    // groups under a NULL bucket, and the engines' ASC NULL defaults
+    // differ (Spark first, DuckDB last)
     Tables.events(s, d)
       .groupBy((get_json_object(col("props"), "$.k").cast("int") % 10).as("k_bucket"))
       .agg(
@@ -476,7 +479,7 @@ object TimeSeries {
       |  FROM (SELECT user_id, event_type, count(*) AS n
       |        FROM events GROUP BY 1, 2) c) r
       |WHERE rn <= 3
-      |ORDER BY user_id, rn""".stripMargin) { (s, d) =>
+      |ORDER BY user_id NULLS FIRST, rn""".stripMargin) { (s, d) =>
     val counts = Tables.events(s, d)
       .groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n"))
@@ -511,14 +514,19 @@ object TimeSeries {
       |GROUP BY 1, 2
       |ORDER BY 1, 3 DESC, 2""".stripMargin) { (s, d) =>
     // DuckDB's date_trunc('day') yields DATE; Spark's yields TIMESTAMP
-    // — cast the sketch key to DATE so the gate compares like for like
-    Tables.events(s, d).createOrReplaceTempView("events_hh")
-    s.sql("""
+    // — cast the sketch key to DATE so the gate compares like for like.
+    // View name suffixed with the fixture dir (round-14 review — the
+    // Analytics3 discipline): an unscoped "events_hh" is session-global
+    // state, and interleaved invocations over different dirs would
+    // silently bind each other's data.
+    val suf = d.replaceAll("[^A-Za-z0-9]", "_")
+    Tables.events(s, d).createOrReplaceTempView(s"events_hh_$suf")
+    s.sql(s"""
       SELECT CAST(day AS DATE) AS day, t.item AS event_type,
              CAST(t.count AS BIGINT) AS est_count
       FROM (SELECT date_trunc('day', ts) AS day,
                    approx_top_k(event_type, 10) AS tops
-            FROM events_hh GROUP BY 1) x
+            FROM events_hh_$suf GROUP BY 1) x
       LATERAL VIEW explode(tops) t_view AS t
       ORDER BY day, est_count DESC, event_type""")
   }
