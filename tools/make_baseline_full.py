@@ -44,6 +44,17 @@ def main():
     a("  measured AQE-off as a net loss across the suite, see Bench.scala).")
     a("- Totals compare the COMMON query set only (both engines ran the")
     a("  identical semantics; `no_oracle` queries are excluded).")
+    a("- Round-14 FINAL refresh (2026-08-16, post review sweeps): common")
+    a("  set 221 → 222 (q_incremental_user_purge, the IVM delete leg).")
+    a("  Six targeted high-effort review sweeps (round diff, sketch")
+    a("  functions, pipeline operators, text stack, analytics, dedup +")
+    a("  core queries) fixed ~30 findings — engine-parity guards (flat-")
+    a("  baseline anomaly, ANSI divide-by-zero, NULL ordering, NULL")
+    a("  payloads/elements), Hadoop-FS checkpoints, codegen'd pair")
+    a("  generators replacing the last interpreted expansions, bounded")
+    a("  pair collection, per-row MD5 reuse, session-keyed caches. Ten")
+    a("  oracle texts changed in the sweeps; their DuckDB minima are")
+    a("  fresh-run only (no min-merge across differing SQL).")
     a("- Round-14 refresh (2026-08-16): common set 218 → 221 (the new")
     a("  scale-honest twins q_stream_stream_join_wm — 2 h watermark")
     a("  through real multi-batch eviction over time-ordered ingest")
