@@ -109,6 +109,17 @@ object SparkEnv {
     dir.toString
   }
 
+  /** The session's configured shuffle parallelism, as an Int — what a
+    * declared query derives explicit partition counts / block factors
+    * from instead of baking in a bench-host literal (round-14 verdict:
+    * `repartition(32, …)` and `blocks = 8` were local[32]-tuned
+    * constants; a cluster deployment wants them to track the session's
+    * own sizing knob, which [[builder]] sets to the core count here
+    * and AQE + initialPartitionNum govern at 100 TB).
+    */
+  def shuffleParts(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
   /** Common config for every session this library creates: local-mode
     * parallelism from SPARK_GRAFT_CPUS (default = all cores), shuffle
     * partitions matched to cores (not 200 — right-sized for the data

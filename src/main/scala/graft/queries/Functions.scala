@@ -402,9 +402,12 @@ object Functions {
       "\nFROM lineitem\nGROUP BY 1, 2\nORDER BY 1, 2")) { (s, d) =>
     // pre-partition on the group keys for the same single-complete-
     // aggregate plan q_sketch_percentiles measured (state outweighs
-    // rows); group on the truncated timestamp, format once per group
+    // rows); group on the truncated timestamp, format once per group.
+    // Count = the session's shuffle parallelism (round-15: was a bare
+    // 32 — local[32] behavior unchanged, clusters track their knob)
     Tables.lineitem(s, d)
-      .repartition(32, col("l_returnflag"), date_trunc("month", col("l_shipdate")))
+      .repartition(graft.SparkEnv.shuffleParts(s),
+        col("l_returnflag"), date_trunc("month", col("l_shipdate")))
       .groupBy(col("l_returnflag"),
         date_trunc("month", col("l_shipdate")).as("ship_m"))
       .agg(
@@ -464,7 +467,8 @@ object Functions {
     // aggregation STATE outweighs the rows (0.89 → 0.64 s warm at
     // sf0.1; the residual is the lineitem scan + the exchange).
     Tables.lineitem(s, d)
-      .repartition(32, col("l_returnflag"), date_trunc("month", col("l_shipdate")))
+      .repartition(graft.SparkEnv.shuffleParts(s),
+        col("l_returnflag"), date_trunc("month", col("l_shipdate")))
       .groupBy(col("l_returnflag"),
         date_trunc("month", col("l_shipdate")).as("ship_m"))
       .agg(

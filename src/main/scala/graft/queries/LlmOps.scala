@@ -245,6 +245,36 @@ object LlmOps {
     * shards built where the data lives, scatter-gather probe, no
     * global window over candidates.
     */
+  /** K3 × GDPR (round 15, VERDICT r14 #1): the purge pipeline closed
+    * end-to-end for the serving index. `q_incremental_user_purge`
+    * removes purged users from the rollup VIEWS; this gate removes the
+    * purge set's EMBEDDINGS from the persisted HNSW index
+    * ([[graft.operators.Hnsw.deleteFromHnsw]] — shard-local rebuild
+    * over survivors, untouched shards pass through) and then searches
+    * it. The oracle is the exact cosine top-k over the SURVIVING
+    * vectors only — a purged vector appearing in any result row fails
+    * the hash, so the gate IS the right-to-be-forgotten statement.
+    * Exactness precondition: the same ef=48 near-exhaustive plateau as
+    * `q_ann_hnsw` (deletion only shrinks shards); the delete≡rebuild
+    * byte-law itself is HnswSpec's.
+    */
+  val annPurgedSearch = DeclaredQuery(
+    "q_ann_purged_search",
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+       |sims AS (
+       |  SELECT q.q_id, e.vec_id,
+       |         ${duckDot.format("q.q_emb", "e.embedding")} AS dot
+       |  FROM q, embeddings e
+       |  WHERE e.vec_id <> q.q_id AND e.vec_id % 7 <> 5)
+       |SELECT q_id, vec_id, round(dot, 6) AS cos_sim, rn FROM (
+       |  SELECT q_id, vec_id, dot,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rn
+       |  FROM sims) t
+       |WHERE rn <= 3
+       |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+    graft.operators.Hnsw.annHnswPurgedTopK(s, d, 3)
+  }
+
   val annHnswTopk = DeclaredQuery(
     "q_ann_hnsw",
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
@@ -303,13 +333,26 @@ object LlmOps {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE ${duckDot.format("a.embedding", "b.embedding")} >= 0.4
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    embedNearDupBlocked(Tables.embeddings(s, d))
+    embedNearDupBlocked(Tables.embeddings(s, d),
+      blocks = nearDupBlocks(s))
       .orderBy("id_a", "id_b")
   }
 
+  /** Block factor for the declared near-dup tile join, derived from
+    * the session's shuffle parallelism instead of a bench-host literal
+    * (round-15; was a bare 8): B² tiles ≈ 2× the configured
+    * parallelism keeps every executor busy with bounded (n/B)² tiles —
+    * B = 8 at local[32]'s 32 partitions (unchanged), and grows as
+    * √parallelism on a cluster, which is the right shape because tile
+    * count is B².
+    */
+  def nearDupBlocks(s: org.apache.spark.sql.SparkSession): Int =
+    math.max(2, math.ceil(math.sqrt(
+      2.0 * graft.SparkEnv.shuffleParts(s))).toInt)
+
   /** Block-pair exact cosine threshold join (see [[embedNearDup]]).
-    * B = 8 → 64 balanced tiles; sized for local[32], grows with the
-    * cluster at scale.
+    * B → B² balanced tiles; the declared gate sizes B via
+    * [[nearDupBlocks]].
     */
   def embedNearDupBlocked(emb: DataFrame, tau: Double = 0.4, blocks: Int = 8): DataFrame = {
     val prepped = emb.select(
@@ -479,6 +522,6 @@ object LlmOps {
 
   val all: Seq[DeclaredQuery] = Seq(
     exactDedup, docsByLang, tokenDf, docQuality, nearDupPairs,
-    dedupClusters, cosineTopk, annHnswTopk, embedNearDup, labelStats,
-    multimodalJoin)
+    dedupClusters, cosineTopk, annHnswTopk, annPurgedSearch,
+    embedNearDup, labelStats, multimodalJoin)
 }

@@ -430,6 +430,29 @@ object Maintenance {
     * with |facts ⋈ ΔB| matched rows, never with |V| history
     * re-aggregation.
     */
+  /** Deterministic dimension-churn fixture shared by the batch gate
+    * below and the CONTINUOUS pipeline
+    * ([[graft.streaming.JoinView]], round 15): changed keys
+    * (c_custkey % 97 = 0) held the NEXT segment in the sorted segment
+    * rotation before the cutoff (the q_snapshot_diff v1/v2 discipline
+    * — old state is internal to the plan; the oracle only ever sees
+    * current tables). Columns: (c_custkey, new_seg, old_seg).
+    */
+  def churnedDim(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val rot = segs.zip(segs.tail :+ segs.head).toMap
+    val rotate = rot.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+      when(col("c_mktsegment") === k, lit(v)).otherwise(acc)
+    }
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      col("c_mktsegment").as("new_seg"),
+      when(col("c_custkey") % 97 === 0, rotate)
+        .otherwise(col("c_mktsegment")).as("old_seg"))
+  }
+
   val qIncrementalJoinView = DeclaredQuery(
     "q_incremental_join_view",
     """SELECT c_mktsegment AS seg, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -438,21 +461,7 @@ object Maintenance {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    // deterministic OLD snapshot of the dimension: changed keys held
-    // the next segment in the sorted segment rotation before the
-    // cutoff (the q_snapshot_diff v1/v2 discipline — old state is
-    // internal to the plan; the oracle only ever sees current tables)
-    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
-      "MACHINERY")
-    val rot = segs.zip(segs.tail :+ segs.head).toMap
-    val rotate = rot.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
-      when(col("c_mktsegment") === k, lit(v)).otherwise(acc)
-    }
-    val dim = Tables.customer(s, d).select(
-      col("c_custkey"),
-      col("c_mktsegment").as("new_seg"),
-      when(col("c_custkey") % 97 === 0, rotate)
-        .otherwise(col("c_mktsegment")).as("old_seg"))
+    val dim = churnedDim(s, d)
     val ev = Tables.events(s, d).select(
       col("user_id"),
       date_trunc("day", col("ts")).as("day"),

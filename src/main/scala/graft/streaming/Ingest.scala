@@ -94,8 +94,20 @@ object Ingest {
     StructField("user_id", LongType), StructField("ts", TimestampType),
     StructField("event_type", StringType)))
 
-  private val chunkedDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Columns [[timeChunkedFullEventDir]]'s chunks carry — the
+    * join-view pipeline's working set (all event types, plus the
+    * aggregated `value`).
+    */
+  val chunkedFullEventSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType), StructField("ts", TimestampType),
+    StructField("event_type", StringType), StructField("value", DoubleType)))
+
+  // keyed (session, dir, chunks, variant) like every other derivation
+  // cache (round-14 advice): a dir-only key would serve a stale chunk
+  // set over a regenerated fixture directory in a long-lived JVM — the
+  // same class the BpeTrain/TextAnalysis caches were session-keyed for
+  private val chunkedDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, String), String]()
 
   /** Time-ordered chunked ingest twin of the events fixture: the
     * purchase/click working set rewritten as `nChunks` day-range
@@ -117,13 +129,33 @@ object Ingest {
     */
   def timeChunkedEventDir(spark: SparkSession, sfDir: String,
       nChunks: Int = 10): String =
-    chunkedDirs.computeIfAbsent(s"$sfDir#$nChunks", _ => {
+    chunkedVariantDir(spark, sfDir, nChunks, "pc",
+      graft.Tables.events(spark, sfDir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), col("ts"), col("event_type")))
+
+  /** [[timeChunkedEventDir]]'s full-corpus sibling: ALL event types,
+    * carrying `value` — the continuous join-view pipeline's ingest
+    * ([[JoinView]]), which maintains counters over every type. Same
+    * day-boundary chunking and ascending-mtime total order; a separate
+    * variant rather than widening the pc chunks because chunk
+    * BOUNDARIES derive from the carried set's time span — sharing
+    * files would silently shift the wm gate's batch structure.
+    */
+  def timeChunkedFullEventDir(spark: SparkSession, sfDir: String,
+      nChunks: Int = 10): String =
+    chunkedVariantDir(spark, sfDir, nChunks, "full",
+      graft.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value")))
+
+  private def chunkedVariantDir(spark: SparkSession, sfDir: String,
+      nChunks: Int, variant: String, ev: => DataFrame): String =
+    // graft.Memo, not computeIfAbsent (round-14 advice): the build is
+    // a multi-job Spark write and must not run under the CHM bin lock
+    graft.Memo.memo(chunkedDirs, (spark, sfDir, nChunks, variant)) {
       val root = graft.SparkEnv.scratchDir("graft-chunked-ingest")
       val staged = s"$root/staged"
       val outDir = new java.io.File(root, "events")
-      val ev = graft.Tables.events(spark, sfDir)
-        .filter(col("event_type").isin("purchase", "click"))
-        .select(col("user_id"), col("ts"), col("event_type"))
       val span = ev.agg(
         min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
         .head() // 1 row — corpus time span, metadata-sized
@@ -153,7 +185,7 @@ object Ingest {
         }
       }
       outDir.getPath
-    })
+    }
 
   /** Decode a stream of JSON strings (the ZMQ datagram shape) into
     * typed event columns — A5. `payload` column in, event columns out.

