@@ -66,6 +66,14 @@ class JoinViewSpec extends SparkSpec {
     // not a growing replay of the stream so far
     assert(dataBatches.map(_.numInputRows).max <= corpus / 2,
       "a single micro-batch admitted most of the corpus")
+    // the long-run composition: compacting the accumulated batch dirs
+    // (stream batches + the churn's maintenance batch) preserves the
+    // resolved view — the maintenance pass a deployment runs nightly
+    val dirsBefore = store.batchDirCount
+    store.compact(retainBatches = 1)
+    assert(store.batchDirCount < dirsBefore)
+    assert(viewOf(store).sameElements(batchTruth),
+      "compaction changed the resolved join view")
   }
 
   test("crash drill: stop the view pipeline mid-stream, restart over the " +
