@@ -24,7 +24,7 @@ def main():
     d_s, s_s = sum(dq[q] for q in stream), sum(sq[q] for q in stream)
     lines = []
     a = lines.append
-    a("# BASELINE_full — full-suite DuckDB baseline vs Spark bench (round 14)")
+    a("# BASELINE_full — full-suite DuckDB baseline vs Spark bench (round 15)")
     a("")
     a("Round-8 verdict #1: the 2x bench contract was being judged against a")
     a("10-query 0.27 s headline denominator covering ~6% of the suite. This")
@@ -44,6 +44,16 @@ def main():
     a("  measured AQE-off as a net loss across the suite, see Bench.scala).")
     a("- Totals compare the COMMON query set only (both engines ran the")
     a("  identical semantics; `no_oracle` queries are excluded).")
+    a("- Round-15 refresh (2026-08-16): common set 222 → 224 (the new")
+    a("  gates q_ann_purged_search — HNSW GDPR delete leg, exact")
+    a("  top-k-over-survivors oracle — and q_stream_join_view —")
+    a("  continuous join-view maintenance, full-recompute oracle). The")
+    a("  join-view twin carries the documented streaming micro-batch")
+    a("  floor (3 ingest chunks + the churn maintenance batch) against")
+    a("  a millisecond SQL recompute, the q_stream_stream_join_wm")
+    a("  pricing class. Spark-side round-15 changes are scale hygiene")
+    a("  (session-derived parallelism constants, group-streamed HNSW")
+    a("  shard builds) — carried-over per-query minima comparable.")
     a("- Round-14 FINAL refresh (2026-08-16, post review sweeps): common")
     a("  set 221 → 222 (q_incremental_user_purge, the IVM delete leg).")
     a("  Six targeted high-effort review sweeps (round diff, sketch")
