@@ -294,7 +294,12 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
           base && col("pday").startsWith(bucketPrefix.take(7))
         else base && col("pday") === "ALL"
     }
+    // n=0 TOMBSTONES (a maintenance retraction, see JoinView) read as
+    // deleted on the SERVING path — a dashboard must not render a
+    // retracted group as a zero-count row. latest() stays raw
+    // (maintenance callers and compaction need to see tombstones).
     latestWhere(pred).filter(col("key").startsWith(keyPrefix))
+      .filter(col("nEvents") =!= 0)
   }
 
   /** Serving-path rows for one prefix (the [[HttpServing]] contract):
@@ -363,10 +368,20 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
       .repartition(col("gran"), col("pday"))
       .write.partitionBy("gran", "pday")
       .mode("overwrite").parquet(staging)
-    toCompact.foreach(graft.SparkEnv.deleteDir)
+    // swap ordering minimizes the crash exposure (round-15 review):
+    // (1) remove ONLY the base-id dir, (2) rename the staged base in,
+    // (3) remove the remaining compacted deltas. A crash after (1)
+    // leaves keys resolving to older batches (stale, never empty); a
+    // crash after (2) leaves dominated old deltas whose only artifact
+    // is a temporarily resurrected tombstoned key — and re-running
+    // compact() converges. The naive delete-all-then-rename order had
+    // a window where the whole compacted history was GONE.
+    val baseDir = toCompact.last
+    graft.SparkEnv.deleteDir(baseDir)
     val ok = new java.io.File(staging)
       .renameTo(new java.io.File(s"$path/batch_id=$baseId"))
     require(ok, s"compaction rename failed: $staging")
+    toCompact.dropRight(1).foreach(graft.SparkEnv.deleteDir)
   }
 
   /** Accumulated committed-batch count — the compaction trigger a

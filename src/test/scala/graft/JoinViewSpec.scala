@@ -74,6 +74,40 @@ class JoinViewSpec extends SparkSpec {
     assert(store.batchDirCount < dirsBefore)
     assert(viewOf(store).sameElements(batchTruth),
       "compaction changed the resolved join view")
+    // the reference's dashboard read path serves the maintained view:
+    // GET /stats/<seg>/day/<month> prunes to the month partition and
+    // aggregates; tombstoned (retracted) groups are invisible
+    // probe prefix = the first live key's (segment, month) — fixture-
+    // robust (the month and populated segments are driver-controlled)
+    val firstKey = store.latest().filter(col("nEvents") > 0)
+      .orderBy("key").select("key").head.getString(0)
+    val probe = firstKey.take(firstKey.lastIndexOf('-'))
+    val expectKeys = store.latest().filter(col("nEvents") > 0)
+      .filter(col("key").startsWith(probe)).count()
+    assert(expectKeys > 0, "fixture must populate the probed month")
+    val (server, port) = graft.streaming.HttpServing.start(store)
+    try {
+      val body = scala.io.Source.fromURL(
+        s"http://127.0.0.1:$port/stats/$probe?agg=sum").mkString
+      assert(body.contains(s""""n_keys": $expectKeys"""),
+        s"HTTP aggregate over the view prefix: $body")
+    } finally server.stop(0)
+  }
+
+  test("serving path hides tombstones: a retracted group neither lists nor " +
+      "aggregates, while latest() keeps it visible for maintenance") {
+    val store = new ParquetServingStore(spark, SparkEnv.scratchDir("jv-tomb"))
+    store.merge(0, Seq(
+      graft.streaming.ServingStore.CounterRow("FURNITURE/day/2024-01-05", 7, 3.5),
+      graft.streaming.ServingStore.CounterRow("FURNITURE/day/2024-01-06", 2, 1.0)))
+    // maintenance retracts the first group to zero
+    store.merge(1, Seq(
+      graft.streaming.ServingStore.CounterRow("FURNITURE/day/2024-01-05", 0, 0.0)))
+    assert(store.lookupRows("FURNITURE/day/2024-01").map(_.key)
+      == Seq("FURNITURE/day/2024-01-06"),
+      "serving read must not surface the tombstoned group")
+    assert(store.latest().filter(col("key") === "FURNITURE/day/2024-01-05")
+      .count() == 1, "latest() must keep the tombstone for maintenance")
   }
 
   test("crash drill: stop the view pipeline mid-stream, restart over the " +
