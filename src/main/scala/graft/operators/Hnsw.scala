@@ -348,6 +348,20 @@ object Hnsw {
       splitBases: Set[Int] = Set.empty,
       touchedShards: Option[org.apache.spark.util.CollectionAccumulator[Int]] = None)
       : DataFrame = {
+    val (touched, untouched, rebuilt) =
+      upsertParts(graph, newRows, shards, splitBases, touchedShards)
+    if (touched.isEmpty) untouched else untouched.unionAll(rebuilt)
+  }
+
+  /** The (touched shards, untouched side, rebuilt side) decomposition
+    * [[upsertHnsw]] unions and [[upsertPersistedHnsw]] writes
+    * selectively. rebuilt is empty iff touched is.
+    */
+  private def upsertParts(graph: DataFrame, newRows: DataFrame,
+      shards: Int,
+      splitBases: Set[Int],
+      touchedShards: Option[org.apache.spark.util.CollectionAccumulator[Int]])
+      : (Seq[Int], DataFrame, DataFrame) = {
     val spark = graph.sparkSession
     import spark.implicits._
     val impliedSplits = graph.select("shard").distinct()
@@ -376,7 +390,8 @@ object Hnsw {
       .collect().map(_.getInt(0)).toSeq // ≤ shard count — metadata-sized
     val outCols = Seq(col("shard"), col("vec_id"), col("level"),
       col("vec"), col("nbrs"))
-    if (touched.isEmpty) return graph.select(outCols: _*)
+    if (touched.isEmpty)
+      return (touched, graph.select(outCols: _*), graph.limit(0).select(outCols: _*))
     val untouched = graph
       .filter(!col("shard").isin(touched: _*)).select(outCols: _*)
     val rebuilt = graph.filter(col("shard").isin(touched: _*))
@@ -426,7 +441,7 @@ object Hnsw {
         }
       }
       .toDF("shard", "vec_id", "level", "vec", "nbrs")
-    untouched.unionAll(rebuilt)
+    (touched, untouched, rebuilt)
   }
 
   /** Index deletion — the GDPR right-to-be-forgotten leg (round 15,
@@ -463,6 +478,14 @@ object Hnsw {
   def deleteFromHnsw(graph: DataFrame, deleteIds: DataFrame,
       touchedShards: Option[org.apache.spark.util.CollectionAccumulator[Int]] = None)
       : DataFrame = {
+    val (touched, untouched, rebuilt) =
+      deleteParts(graph, deleteIds, touchedShards)
+    if (touched.isEmpty) untouched else untouched.unionAll(rebuilt)
+  }
+
+  private def deleteParts(graph: DataFrame, deleteIds: DataFrame,
+      touchedShards: Option[org.apache.spark.util.CollectionAccumulator[Int]])
+      : (Seq[Int], DataFrame, DataFrame) = {
     val spark = graph.sparkSession
     import spark.implicits._
     val ids = deleteIds.select(col("vec_id")).distinct()
@@ -471,7 +494,8 @@ object Hnsw {
     val touched = graph.join(broadcast(ids), Seq("vec_id"), "left_semi")
       .select("shard").distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ shard count — metadata-sized
-    if (touched.isEmpty) return graph.select(outCols: _*)
+    if (touched.isEmpty)
+      return (touched, graph.select(outCols: _*), graph.limit(0).select(outCols: _*))
     val untouched = graph
       .filter(!col("shard").isin(touched: _*)).select(outCols: _*)
     val rebuilt = graph.filter(col("shard").isin(touched: _*))
@@ -484,7 +508,63 @@ object Hnsw {
         buildOneShard(shard, it)
       }
       .toDF("shard", "vec_id", "level", "vec", "nbrs")
-    untouched.unionAll(rebuilt)
+    (touched, untouched, rebuilt)
+  }
+
+  /** In-place maintenance of the PERSISTED shard-partitioned index —
+    * the write path the [[upsertHnsw]] scaladoc promises (round 15,
+    * previously prose): apply one incremental batch and rewrite ONLY
+    * the touched `shard=` partitions via dynamic partition overwrite;
+    * untouched partitions are never listed, read, or rewritten. The
+    * rebuilt side is localCheckpointed before the write both because
+    * it is incremental-sized and because Spark (correctly) refuses a
+    * write whose plan still reads from the path being overwritten.
+    * Returns the touched shard ids (maintenance-log material).
+    *
+    * The byte laws carry over verbatim: after this call the persisted
+    * index equals `buildShardGraphs` over the merged corpus
+    * (HnswPersistSpec re-asserts the law ON DISK and pins that
+    * untouched partitions' files are bit-for-bit untouched).
+    */
+  def upsertPersistedHnsw(spark: SparkSession, indexPath: String,
+      newRows: DataFrame, shards: Int = NumShards,
+      splitBases: Set[Int] = Set.empty): Seq[Int] = {
+    val graph = spark.read.schema(indexSchema).parquet(indexPath)
+    val (touched, _, rebuilt) =
+      upsertParts(graph, newRows, shards, splitBases, None)
+    if (touched.nonEmpty)
+      rebuilt.localCheckpoint(true)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard").parquet(indexPath)
+    touched
+  }
+
+  /** [[deleteFromHnsw]] applied in place to the persisted index (the
+    * GDPR purge against the serving artifact). Dynamic partition
+    * overwrite cannot DROP a partition that ends up with zero rows —
+    * it only replaces partitions present in the written data — so a
+    * fully-purged shard's directory is removed explicitly after the
+    * write; a crash between the two leaves that shard stale (purge
+    * re-run converges, the idempotence every purge pipeline needs
+    * anyway).
+    */
+  def deletePersistedHnsw(spark: SparkSession, indexPath: String,
+      deleteIds: DataFrame): Seq[Int] = {
+    val graph = spark.read.schema(indexSchema).parquet(indexPath)
+    val (touched, _, rebuilt) = deleteParts(graph, deleteIds, None)
+    if (touched.nonEmpty) {
+      val mat = rebuilt.localCheckpoint(true)
+      val surviving = mat.select("shard").distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (surviving.nonEmpty)
+        mat.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard").parquet(indexPath)
+      (touched.toSet -- surviving).foreach(s =>
+        graft.SparkEnv.deleteDir(s"$indexPath/shard=$s"))
+    }
+    touched
   }
 
   /** Shard split — the rebalance policy under sustained skewed
