@@ -360,12 +360,19 @@ object Hnsw {
   private def upsertParts(graph: DataFrame, newRows: DataFrame,
       shards: Int,
       splitBases: Set[Int],
-      touchedShards: Option[org.apache.spark.util.CollectionAccumulator[Int]])
+      touchedShards: Option[org.apache.spark.util.CollectionAccumulator[Int]],
+      knownDomain: Option[Set[Int]] = None)
       : (Seq[Int], DataFrame, DataFrame) = {
     val spark = graph.sparkSession
     import spark.implicits._
-    val impliedSplits = graph.select("shard").distinct()
-      .collect().map(_.getInt(0)).toSet.filter(_ >= shards).map(_ - shards)
+    // realized shard-id domain: the persisted path hands it in from
+    // the partition DIRECTORY LISTING (metadata, no scan — the
+    // serving loop must not pay an index column scan per batch); the
+    // relational path derives it with one narrow distinct
+    val impliedSplits = knownDomain
+      .getOrElse(graph.select("shard").distinct()
+        .collect().map(_.getInt(0)).toSet)
+      .filter(_ >= shards).map(_ - shards)
     require(impliedSplits.subsetOf(splitBases),
       s"upsertHnsw: graph holds split-half shard ids for bases " +
         s"${impliedSplits.diff(splitBases).toSeq.sorted.mkString(",")} " +
@@ -531,7 +538,8 @@ object Hnsw {
       splitBases: Set[Int] = Set.empty): Seq[Int] = {
     val graph = spark.read.schema(indexSchema).parquet(indexPath)
     val (touched, _, rebuilt) =
-      upsertParts(graph, newRows, shards, splitBases, None)
+      upsertParts(graph, newRows, shards, splitBases, None,
+        knownDomain = Some(listShardIds(indexPath)))
     if (touched.nonEmpty)
       rebuilt.localCheckpoint(true)
         .write.mode("overwrite")
@@ -549,6 +557,17 @@ object Hnsw {
     * re-run converges, the idempotence every purge pipeline needs
     * anyway).
     */
+  /** Realized shard ids of a persisted index, from the partition
+    * directory listing — metadata-sized and scan-free.
+    */
+  private def listShardIds(indexPath: String): Set[Int] = {
+    val fs = new java.io.File(indexPath).listFiles()
+    if (fs == null) Set.empty
+    else fs.iterator.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard="))
+      .map(_.stripPrefix("shard=").toInt).toSet
+  }
+
   def deletePersistedHnsw(spark: SparkSession, indexPath: String,
       deleteIds: DataFrame): Seq[Int] = {
     val graph = spark.read.schema(indexSchema).parquet(indexPath)
