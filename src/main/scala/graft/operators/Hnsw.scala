@@ -495,7 +495,13 @@ object Hnsw {
       : (Seq[Int], DataFrame, DataFrame) = {
     val spark = graph.sparkSession
     import spark.implicits._
-    val ids = deleteIds.select(col("vec_id")).distinct()
+    // pin ONE evaluation of the purge set (round-15 review — the
+    // upsertParts `incoming` rationale): `ids` feeds both the
+    // touched-shard semi-join and the survivor anti-join below, and a
+    // nondeterministic source re-evaluated between the two could hold
+    // an id whose owning shard is absent from `touched` — a SILENT
+    // purge miss. The purge batch is broadcast-small by definition.
+    val ids = deleteIds.select(col("vec_id")).distinct().localCheckpoint()
     val outCols = Seq(col("shard"), col("vec_id"), col("level"),
       col("vec"), col("nbrs"))
     val touched = graph.join(broadcast(ids), Seq("vec_id"), "left_semi")
@@ -539,7 +545,7 @@ object Hnsw {
     val graph = spark.read.schema(indexSchema).parquet(indexPath)
     val (touched, _, rebuilt) =
       upsertParts(graph, newRows, shards, splitBases, None,
-        knownDomain = Some(listShardIds(indexPath)))
+        knownDomain = Some(listShardIds(spark, indexPath)))
     if (touched.nonEmpty)
       rebuilt.localCheckpoint(true)
         .write.mode("overwrite")
@@ -558,13 +564,19 @@ object Hnsw {
     * anyway).
     */
   /** Realized shard ids of a persisted index, from the partition
-    * directory listing — metadata-sized and scan-free.
+    * directory listing — metadata-sized and scan-free. Through the
+    * Hadoop FileSystem API (round-15 review): the index path can live
+    * on any Spark-readable filesystem, and a java.io.File listing
+    * would return null there, silently voiding the stale-registry
+    * guard this feeds.
     */
-  private def listShardIds(indexPath: String): Set[Int] = {
-    val fs = new java.io.File(indexPath).listFiles()
-    if (fs == null) Set.empty
-    else fs.iterator.filter(_.isDirectory)
-      .map(_.getName).filter(_.startsWith("shard="))
+  private def listShardIds(spark: SparkSession, indexPath: String): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("shard="))
       .map(_.stripPrefix("shard=").toInt).toSet
   }
 
@@ -580,8 +592,17 @@ object Hnsw {
         mat.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("shard").parquet(indexPath)
-      (touched.toSet -- surviving).foreach(s =>
-        graft.SparkEnv.deleteDir(s"$indexPath/shard=$s"))
+      // Hadoop FS, loud on failure (round-15 review): a silent
+      // java.io no-op on a remote filesystem would leave the purged
+      // shard's data serving — the one failure a GDPR delete must
+      // never swallow
+      val root = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (touched.toSet -- surviving).foreach { s =>
+        val dir = new org.apache.hadoop.fs.Path(root, s"shard=$s")
+        require(!fs.exists(dir) || fs.delete(dir, true),
+          s"deletePersistedHnsw: cannot remove fully-purged $dir")
+      }
     }
     touched
   }

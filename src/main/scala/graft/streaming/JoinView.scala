@@ -99,8 +99,10 @@ object JoinView {
   /** The ΔB leg (see class doc): apply the dimension churn's signed
     * deltas against the maintained store. `batchId` must exceed every
     * stream batch id (latest-batch-wins resolves the maintenance
-    * write as authoritative); the gate passes a fixed sentinel far
-    * above any chunk count.
+    * write as authoritative); the default sits at 2⁶² — the
+    * MAINTENANCE id space, unreachable by a stream incrementing one
+    * id per micro-batch (round-15 review: the earlier 10⁶ sentinel
+    * was ~11 days of 1 s triggers away from a collision).
     *
     * Decimal discipline: stored sum_value doubles are exact casts of
     * 2-decimal totals, so casting BACK to decimal(24,2) recovers the
@@ -109,7 +111,7 @@ object JoinView {
     * exactness contract every counter pipeline here follows.
     */
   def applyDimChurn(spark: SparkSession, sfDir: String,
-      store: ParquetServingStore, batchId: Long = 1000000L): ServingStore = {
+      store: ParquetServingStore, batchId: Long = 1L << 62): ServingStore = {
     val changed = graft.queries.Maintenance.churnedDim(spark, sfDir)
       .filter(col("old_seg") =!= col("new_seg"))
     // A_full ⋈ ΔB: changed keys' whole history, one fact scan against
@@ -130,8 +132,14 @@ object JoinView {
     // merge ONLY the touched keys with their stored totals (left join:
     // a group the churn creates from nothing starts at 0); untouched
     // keys are never rewritten — their older batch rows stay
-    // authoritative under latest-batch-wins
-    val stored = store.latest()
+    // authoritative under latest-batch-wins. Read the PRE-maintenance
+    // snapshot (batches strictly below this batch's id — round-15
+    // review): a read-modify-write that read latest() would see its
+    // own committed output on a post-crash re-run and double-apply
+    // the delta; latestBefore makes the write a pure function of the
+    // pre-churn state, so replays recompute byte-identical output and
+    // the per-batchId idempotence contract holds.
+    val stored = store.latestBefore(batchId)
       .select(col("key"), col("nEvents"),
         col("sumValue").cast("decimal(24,2)").as("sv_old"))
     val mergedRows = dV.join(stored, Seq("key"), "left")

@@ -210,47 +210,73 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
 
   /** Latest-batch-wins view of the store (optionally pre-filtered with
     * partition predicates BEFORE the aggregate, so pruning happens at
-    * the scan).
+    * the scan). The resolved relation is
+    * `resolve(compacted base ∪ batch dirs)` with the base ranked
+    * OLDER than every batch (batch_id = −1): the base holds each
+    * key's value as of the batches folded into it, so any live batch
+    * dir — including a recovery REPLAY of a batch that compaction
+    * already folded — wins with content that is by construction at
+    * least as new (the replayed batch rewrites exactly its original
+    * rows). `beforeBatchId` restricts the BATCH side to ids strictly
+    * below the bound — the pre-maintenance snapshot a read-modify-
+    * write maintenance batch must derive from to stay replay-
+    * idempotent ([[JoinView.applyDimChurn]]).
     */
-  private def latestWhere(pred: Option[org.apache.spark.sql.Column]): DataFrame = {
-    // an empty store (no batch ever committed — e.g. empty source) has
+  private def latestWhere(pred: Option[org.apache.spark.sql.Column],
+      beforeBatchId: Option[Long] = None): DataFrame = {
+    // read ONLY committed dirs (_SUCCESS present — round-13 review):
+    // a reader racing a REPLAYED batch's delete-then-rewrite
+    // previously saw a partially-renamed directory and resolved some
+    // keys to half a batch; gating on the commit marker makes the
+    // consistency unit a whole committed batch/base, with racing reads
+    // falling back to the key's previous state (stale, never partial).
+    val dirs = beforeBatchId.fold(committedBatchDirs)(bound =>
+      committedBatchDirs.filter(d => batchIdOf(d) < bound))
+    val baseDir = committedBaseDir.filter(hasParquet)
+    // an empty store (nothing ever committed — e.g. empty source) has
     // no parquet footers to infer from; answer with the empty counter
     // relation instead of UNABLE_TO_INFER_SCHEMA
-    val dirs = committedBatchDirs
-    if (dirs.isEmpty) {
+    if (dirs.isEmpty && baseDir.isEmpty) {
       import spark.implicits._
       return Seq.empty[ServingStore.CounterRow].toDF()
     }
-    // read ONLY committed batch dirs (_SUCCESS present — round-13
-    // review): a reader racing a REPLAYED batch's delete-then-rewrite
-    // previously saw a partially-renamed directory and resolved some
-    // keys to half a batch; gating on the commit marker makes the
-    // consistency unit a whole committed batch, with racing reads
-    // falling back to the key's previous batch (stale, never partial).
-    // basePath keeps batch_id/gran/pday partition discovery intact.
-    val base = spark.read.option("basePath", path).parquet(dirs: _*)
-    val filtered = pred.fold(base)(base.filter)
-    // single-snapshot fast path (round 12): within one batch directory
-    // keys are unique by the sink contract (update-mode aggregation
-    // output emits each updated key once per micro-batch; writeBatch
-    // overwrites exactly that batch's dir), so the latest-batch-wins
-    // merge has nothing to merge until a SECOND batch commits — skip
-    // the groupBy/max_by shuffle entirely. An AvailableNow replay
-    // (the declared q_stream_account_daily) is exactly this case.
-    if (dirs.length <= 1)
-      filtered.select(col("key"), col("nEvents"), col("sumValue"))
-    else filtered
-      .groupBy("key")
-      .agg(max_by(struct(col("nEvents"), col("sumValue")), col("batch_id")).as("v"))
-      .select(col("key"), col("v.nEvents").as("nEvents"), col("v.sumValue").as("sumValue"))
+    def prune(df: DataFrame) = pred.fold(df)(df.filter)
+    val batchSide = if (dirs.isEmpty) None else Some(
+      prune(spark.read.option("basePath", path).parquet(dirs: _*))
+        .select(col("key"), col("nEvents"), col("sumValue"),
+          col("batch_id").cast("long").as("batch_id")))
+    val baseSide = baseDir.map(b =>
+      prune(spark.read.option("basePath", b).parquet(b))
+        .select(col("key"), col("nEvents"), col("sumValue"),
+          lit(-1L).as("batch_id")))
+    // single-snapshot fast paths (round 12): within one batch dir (or
+    // the base alone) keys are unique by the sink/compaction contract,
+    // so there is nothing to merge — skip the groupBy/max_by shuffle.
+    // An AvailableNow replay (the declared q_stream_account_daily) is
+    // exactly the one-batch case.
+    (baseSide, batchSide) match {
+      case (None, Some(b)) if dirs.length <= 1 =>
+        b.select(col("key"), col("nEvents"), col("sumValue"))
+      case (Some(b), None) =>
+        b.select(col("key"), col("nEvents"), col("sumValue"))
+      case _ =>
+        (baseSide.toSeq ++ batchSide.toSeq).reduce(_ unionAll _)
+          .groupBy("key")
+          .agg(max_by(struct(col("nEvents"), col("sumValue")), col("batch_id")).as("v"))
+          .select(col("key"), col("v.nEvents").as("nEvents"), col("v.sumValue").as("sumValue"))
+    }
   }
 
-  /** Batch dirs that are both COMMITTED (_SUCCESS marker — Spark's
-    * job-commit protocol writes it last) and non-empty (a zero-row
-    * micro-batch commits a dir with a marker but no parquet footers,
-    * which an explicit-dirs read cannot infer a schema from).
-    */
-  private def committedBatchDirs: Seq[String] = {
+  private def batchIdOf(dir: String): Long =
+    dir.substring(dir.lastIndexOf("batch_id=") + "batch_id=".length).toLong
+
+  private def hasParquet(dir: String): Boolean = {
+    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try w.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+    finally w.close()
+  }
+
+  private def listRoot(prefix: String): Seq[String] = {
     val root = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(root)) Seq.empty
     else {
@@ -258,19 +284,42 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala
-          .filter(p => p.getFileName.toString.startsWith("batch_id="))
+          .filter(_.getFileName.toString.startsWith(prefix))
           .filter(p => java.nio.file.Files.exists(p.resolve("_SUCCESS")))
-          .filter { p =>
-            val w = java.nio.file.Files.walk(p)
-            try w.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
-            finally w.close()
-          }
           .map(_.toString).toSeq.sorted
       } finally s.close()
     }
   }
 
+  /** Batch dirs that are both COMMITTED (_SUCCESS marker — Spark's
+    * job-commit protocol writes it last) and non-empty (a zero-row
+    * micro-batch commits a dir with a marker but no parquet footers,
+    * which an explicit-dirs read cannot infer a schema from).
+    */
+  private def committedBatchDirs: Seq[String] =
+    listRoot("batch_id=").filter(hasParquet)
+
+  /** The highest committed `base_v<k>` dir — compaction's output
+    * namespace, deliberately OUTSIDE the batch-id space so no stream
+    * batch id (or its recovery replay) can ever collide with the
+    * base (round-15 review). A base with a marker but no parquet is a
+    * legitimately EMPTY committed base (everything tombstoned away).
+    */
+  private def committedBaseDir: Option[String] =
+    listRoot("base_v").sortBy(baseVersionOf).lastOption
+
+  private def baseVersionOf(dir: String): Int =
+    dir.substring(dir.lastIndexOf("base_v") + "base_v".length).toInt
+
   def latest(): DataFrame = latestWhere(None)
+
+  /** The resolved store as of batches strictly BEFORE `batchId` (the
+    * base always included) — what a read-modify-write maintenance
+    * batch reads so its own replay recomputes identical output
+    * ([[JoinView.applyDimChurn]]'s idempotence).
+    */
+  def latestBefore(batchId: Long): DataFrame =
+    latestWhere(None, beforeBatchId = Some(batchId))
 
   /** The reference's HTTP read path (`GET /:account/:type/:year...`)
     * as partition pruning: the prefix's granularity segment pins
@@ -311,7 +360,8 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
     else lookup(keyPrefix).as[ServingStore.CounterRow].collect().toSeq
   }
 
-  private def hasData: Boolean = committedBatchDirs.nonEmpty
+  private def hasData: Boolean =
+    committedBatchDirs.nonEmpty || committedBaseDir.exists(hasParquet)
 
   override def snapshot(): Seq[ServingStore.CounterRow] = {
     import spark.implicits._
@@ -324,64 +374,68 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
     * forever — the store grows without bound and every read's
     * latest-batch-wins merge pays the accumulated dir count
     * (tools/ServeCompactProf: lookup 0.16 s at 10 batches → 1.6 s at
-    * 200). This rewrites all but the newest `retainBatches` deltas
-    * into ONE base batch holding each key's resolved latest value:
+    * 200). This folds all but the newest `retainBatches` deltas (plus
+    * the current base) into the next VERSIONED BASE `base_v<k+1>`,
+    * holding each key's resolved value:
     *
-    *  - the base keeps the max compacted batch id, so latest-batch-
-    *    wins ordering against the retained deltas (all newer) is
-    *    unchanged — reads are EQUIVALENT before/after (spec'd);
+    *  - the base lives OUTSIDE the batch-id namespace and reads as
+    *    batch_id = −1 (round-15 review — writing the base AS a batch
+    *    dir reused a live stream id, so a post-recovery replay of
+    *    that batch could truncate the whole compacted history; now a
+    *    replay only ever rewrites its own batch dir, whose replayed
+    *    content wins over the base with values at least as new —
+    *    replays stay idempotent even for already-folded batches);
     *  - keys whose resolved value is an n=0 TOMBSTONE (see
     *    [[JoinView.applyDimChurn]]) are dropped from the base
-    *    entirely — absence and tombstone read identically through the
-    *    n > 0 filter, and the dead key stops costing storage;
-    *  - `retainBatches` is the retention policy: keep the most recent
-    *    K deltas un-compacted so an in-flight replay of the LAST
-    *    committed batch (the only batch Structured Streaming ever
-    *    replays after recovery) still overwrites exactly its own
-    *    subtree. K ≥ 1 for a live stream; 0 for a decommissioned one.
+    *    entirely — safe because every surviving delta dir is NEWER
+    *    than everything folded, so nothing older remains to resurrect
+    *    the key (the pre-redesign swap could);
+    *  - crash-safe by commit ordering, not atomicity: the new base
+    *    commits first (_SUCCESS last, the discovery gate), and only
+    *    then are the folded deltas and the old base removed. A crash
+    *    between leaves DUPLICATE info — base_v<k+1> plus dominated
+    *    dirs — which reads resolve identically (the dominated dirs'
+    *    content is exactly what was folded) and a re-run converges;
+    *    no window loses data or resurrects a retraction;
+    *  - `retainBatches` keeps the most recent K deltas un-folded —
+    *    sized to taste now that replay safety no longer depends on it
+    *    (0 is always safe; K > 0 trades read-side merge width for
+    *    cheaper incremental compactions).
     *
-    * Single-writer discipline (documented, not enforced): this is an
-    * offline maintenance pass — the swap (delete compacted dirs, then
-    * rename the staged base in) is not atomic, and a reader racing the
-    * swap can see a partially-removed history. Production analogs
-    * (Delta/Iceberg compaction) solve this with a metadata commit log;
-    * this environment ships no table format (BASELINE.md), so the
-    * store documents stop-the-world compaction the way the reference's
-    * Redis analog would BGREWRITEAOF.
+    * Single-writer discipline (documented, not enforced): one
+    * maintenance writer at a time, like every base+delta store
+    * without a table-format commit log (none ships in this
+    * environment — BASELINE.md).
     */
   def compact(retainBatches: Int = 1): Unit = {
-    val dirs = committedBatchDirs
-    def idOf(d: String): Long =
-      d.substring(d.lastIndexOf("batch_id=") + "batch_id=".length).toLong
-    val sorted = dirs.sortBy(idOf)
-    val toCompact = sorted.dropRight(retainBatches)
-    if (toCompact.size <= 1) return // nothing to merge
-    val baseId = idOf(toCompact.last)
-    val resolved = spark.read.option("basePath", path).parquet(toCompact: _*)
+    val sorted = committedBatchDirs.sortBy(batchIdOf)
+    val toCompact = sorted.dropRight(math.max(0, retainBatches))
+    val oldBase = committedBaseDir
+    if (toCompact.isEmpty) return // nothing to fold
+    val nextV = oldBase.map(baseVersionOf).getOrElse(0) + 1
+    val deltas = spark.read.option("basePath", path).parquet(toCompact: _*)
+      .select(col("key"), col("nEvents"), col("sumValue"),
+        col("batch_id").cast("long").as("batch_id"))
+    val withOld = oldBase.filter(hasParquet).map(b =>
+      spark.read.option("basePath", b).parquet(b)
+        .select(col("key"), col("nEvents"), col("sumValue"),
+          lit(-1L).as("batch_id"))
+        .unionAll(deltas)).getOrElse(deltas)
+    val resolved = withOld
       .groupBy("key")
       .agg(max_by(struct(col("nEvents"), col("sumValue")), col("batch_id")).as("v"))
       .select(col("key"), col("v.nEvents").as("nEvents"),
         col("v.sumValue").as("sumValue"))
       .filter(col("nEvents") =!= 0) // resolved tombstones leave the store
-    val staging = s"$path/.compact-staging"
+    // commit the new base (write protocol puts _SUCCESS last — readers
+    // ignore it until committed), THEN drop what it superseded
     withPartitionCols(resolved)
       .repartition(col("gran"), col("pday"))
       .write.partitionBy("gran", "pday")
-      .mode("overwrite").parquet(staging)
-    // swap ordering minimizes the crash exposure (round-15 review):
-    // (1) remove ONLY the base-id dir, (2) rename the staged base in,
-    // (3) remove the remaining compacted deltas. A crash after (1)
-    // leaves keys resolving to older batches (stale, never empty); a
-    // crash after (2) leaves dominated old deltas whose only artifact
-    // is a temporarily resurrected tombstoned key — and re-running
-    // compact() converges. The naive delete-all-then-rename order had
-    // a window where the whole compacted history was GONE.
-    val baseDir = toCompact.last
-    graft.SparkEnv.deleteDir(baseDir)
-    val ok = new java.io.File(staging)
-      .renameTo(new java.io.File(s"$path/batch_id=$baseId"))
-    require(ok, s"compaction rename failed: $staging")
-    toCompact.dropRight(1).foreach(graft.SparkEnv.deleteDir)
+      .mode("overwrite").parquet(s"$path/base_v$nextV")
+    toCompact.foreach(graft.SparkEnv.deleteDir)
+    listRoot("base_v").filter(baseVersionOf(_) < nextV)
+      .foreach(graft.SparkEnv.deleteDir)
   }
 
   /** Accumulated committed-batch count — the compaction trigger a

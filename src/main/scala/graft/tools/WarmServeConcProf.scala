@@ -62,10 +62,15 @@ object WarmServeConcProf {
       val wall = (System.nanoTime() - wall0) / 1e9
       import scala.jdk.CollectionConverters._
       val xs = lats.asScala.toSeq.sorted
+      if (xs.isEmpty) {
+        println(f"N=$n%-3d  ALL ${served.size} queries FAILED  wall=$wall%.1f s")
+        // report the level as failed, keep the other levels' results
+      } else {
       def pct(q: Double): Double = xs((q * (xs.size - 1)).round.toInt)
       println(f"N=$n%-3d  ${xs.size} queries  wall=$wall%.1f s  " +
         f"throughput=${xs.size / wall}%.1f q/s  " +
         f"p50=${pct(0.50)}%.3f  p90=${pct(0.90)}%.3f  p95=${pct(0.95)}%.3f  max=${xs.last}%.3f s")
+      }
     }
     spark.stop()
   }

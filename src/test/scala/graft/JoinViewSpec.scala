@@ -94,6 +94,25 @@ class JoinViewSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("dimension-churn maintenance is replay-idempotent: a post-crash " +
+      "re-run of the same batch recomputes identical output") {
+    val store = new ParquetServingStore(spark, SparkEnv.scratchDir("jv-idem"))
+    JoinView.runPipeline(spark, sf, store,
+      SparkEnv.scratchDir("jv-idem-ckpt"), nChunks = 3)
+    JoinView.applyDimChurn(spark, sf, store)
+    val v1 = viewOf(store)
+    assert(v1.sameElements(batchTruth))
+    // the crash-recovery shape: the churn batch committed but the
+    // caller never recorded it — the natural recovery re-runs the
+    // SAME maintenance batch. latestBefore makes the write a pure
+    // function of the pre-churn state, so the replay is a byte-level
+    // no-op (round-15 review: reading latest() here double-applied
+    // the delta)
+    JoinView.applyDimChurn(spark, sf, store)
+    assert(viewOf(store).sameElements(v1),
+      "replaying the churn batch must not change the view")
+  }
+
   test("serving path hides tombstones: a retracted group neither lists nor " +
       "aggregates, while latest() keeps it visible for maintenance") {
     val store = new ParquetServingStore(spark, SparkEnv.scratchDir("jv-tomb"))

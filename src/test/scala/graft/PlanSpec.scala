@@ -826,13 +826,19 @@ class PlanSpec extends SparkSpec {
     // Similarity codebook init, q_bm25_topk (TakeOrdered, no window) —
     // each windows a dictionary/codebook/limit-sized relation per the
     // same rule, enforced at their own specs' collect sites
-    def bounded(p: LogicalPlan): Boolean = p.collectFirst {
-      case _: Aggregate => ()
-      case _: GlobalLimit => ()
-      case _: LocalLimit => ()
-      case _: LocalRelation => ()
-      case _: OneRowRelation => ()
-    }.isDefined
+    // STRUCTURAL boundedness, not mere subtree presence (round-15
+    // review): a window over corpus ⋈ small-dict would pass a naive
+    // collectFirst because the dict side contains an Aggregate. Here a
+    // node is bounded iff it IS a cardinality bound (aggregate, limit,
+    // driver-materialized relation) or EVERY child is bounded — so a
+    // join/union is bounded only when all inputs are, and any path
+    // reaching a raw scan unbounded fails.
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit |
+           _: LocalRelation | _: OneRowRelation => true
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(bounded)
+    }
     val offenders = sanctioned.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.optimizedPlan

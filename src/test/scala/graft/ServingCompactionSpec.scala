@@ -3,21 +3,28 @@ package graft
 import graft.streaming.{ParquetServingStore, ServingStore}
 import org.apache.spark.sql.functions._
 
-/** Serving-store compaction + retention (round 15, VERDICT r14 #3):
-  * read-equivalence across a compaction pass, the dir-count bound,
-  * physical tombstone drop, retained-batch replay idempotence, and
-  * partition pruning surviving the rewrite. The latency side
-  * (lookup flat after compaction vs creeping with accumulated batch
-  * dirs) is measured by tools/ServeCompactProf → SCALING.md.
+/** Serving-store compaction + retention (round 15, VERDICT r14 #3;
+  * redesigned after the round-15 review to a VERSIONED BASE outside
+  * the batch-id namespace): read-equivalence across a compaction
+  * pass, the dir-count bound, physical tombstone drop, replay
+  * idempotence — including a replay of a batch compaction already
+  * FOLDED — and crash-window convergence (dominated dirs left behind
+  * by an interrupted pass read identically and a re-run removes
+  * them). The latency side is measured by tools/ServeCompactProf →
+  * SCALING.md.
   */
 class ServingCompactionSpec extends SparkSpec {
 
   private def row(k: String, n: Long, v: Double) =
     ServingStore.CounterRow(k, n, v)
 
+  private def serve(s: ParquetServingStore): Array[String] = s.latest()
+    .filter(col("nEvents") > 0).orderBy("key").collect().map(_.toString)
+
   test("compaction: read-equivalent, dir-bounded, tombstones dropped, " +
       "retained replay still idempotent, pruning intact") {
-    val store = new ParquetServingStore(spark, SparkEnv.scratchDir("compact-store"))
+    val dir = SparkEnv.scratchDir("compact-store")
+    val store = new ParquetServingStore(spark, dir)
     // 11 batches over overlapping keys — several re-emissions per key,
     // so latest-batch-wins has real work to resolve
     (0 until 10).foreach { b =>
@@ -27,45 +34,105 @@ class ServingCompactionSpec extends SparkSpec {
         row("view/month/2024-01", 7 + b, 0.25 * b)))
     }
     // batch 10: an n=0 tombstone (the JoinView churn shape) — resolved
-    // INSIDE the compacted set, so compaction must drop the key
+    // INSIDE the folded set, so compaction must drop the key
     store.merge(10, Seq(row("click/day/2024-01-05", 0, 0.0)))
     // batches 11-12 stay retained
     store.merge(11, Seq(row("view/month/2024-01", 40, 4.0)))
     store.merge(12, Seq(row("click/hour/2024-01-03-12", 5, 2.0)))
-    val serve = (s: ParquetServingStore) => s.latest()
-      .filter(col("nEvents") > 0).orderBy("key").collect().map(_.toString)
     val before = serve(store)
     assert(store.batchDirCount == 13)
     store.compact(retainBatches = 2)
-    assert(store.batchDirCount == 3,
-      s"expected base + 2 retained dirs, got ${store.batchDirCount}")
+    assert(store.batchDirCount == 2,
+      s"expected 2 retained delta dirs, got ${store.batchDirCount}")
+    assert(new java.io.File(dir, "base_v1/_SUCCESS").exists(),
+      "compaction must commit a versioned base")
     assert(serve(store).sameElements(before),
       "resolved store contents changed across compaction")
     // the tombstoned key is PHYSICALLY gone, not just filtered
     assert(store.latest()
       .filter(col("key") === "click/day/2024-01-05").count() == 0,
       "compaction must drop a key whose resolved value is a tombstone")
-    // replaying a retained batch (recovery's only replay) still
-    // overwrites exactly its own subtree — contents unchanged
+    // replaying a retained batch still overwrites exactly its own
+    // subtree — contents unchanged
     store.merge(12, Seq(row("click/hour/2024-01-03-12", 5, 2.0)))
     assert(serve(store).sameElements(before))
-    assert(store.batchDirCount == 3)
+    assert(store.batchDirCount == 2)
     // the read path still prunes partitions in the compacted base
     val plan = store.lookup("view/month/2024-01")
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("month"), plan)
     assert(store.lookupRows("view/month/2024-01").map(_.nEvents) == Seq(40L))
-    // a second compaction with nothing new to merge is a no-op
+    // a second compaction with nothing new to fold is a no-op
     store.compact(retainBatches = 2)
-    assert(store.batchDirCount == 3 && serve(store).sameElements(before))
+    assert(store.batchDirCount == 2 && serve(store).sameElements(before))
+    // incremental re-compaction folds the retained deltas into base_v2
+    store.compact(retainBatches = 0)
+    assert(store.batchDirCount == 0)
+    assert(new java.io.File(dir, "base_v2/_SUCCESS").exists() &&
+      !new java.io.File(dir, "base_v1").exists(),
+      "re-compaction must supersede and remove the old base")
+    assert(serve(store).sameElements(before))
   }
 
-  test("compaction of a decommissioned stream (retain 0) leaves one base dir") {
+  test("replay of a batch compaction already FOLDED is idempotent: the " +
+      "replayed dir wins over the base with its original content") {
+    val store = new ParquetServingStore(spark, SparkEnv.scratchDir("compact-replay"))
+    (0 until 5).foreach(b => store.merge(b,
+      Seq(row("click/year/2024", b + 1, b.toDouble))))
+    store.compact(retainBatches = 0)
+    assert(store.batchDirCount == 0)
+    val resolved = serve(store)
+    // recovery replays batch 4 — already folded into the base; the
+    // replayed dir re-emits its ORIGINAL rows (same input, same state)
+    // and must not change the resolved view (this is the case the
+    // pre-redesign base-as-batch-dir layout got catastrophically
+    // wrong: the replay overwrote the base itself)
+    store.merge(4, Seq(row("click/year/2024", 5, 4.0)))
+    assert(serve(store).sameElements(resolved))
+    assert(store.lookupRows("click/year/2024").map(_.nEvents) == Seq(5L))
+  }
+
+  test("interrupted compaction (dominated dirs left behind) reads " +
+      "identically and a re-run converges") {
+    val dir = SparkEnv.scratchDir("compact-crash")
+    val store = new ParquetServingStore(spark, dir)
+    (0 until 6).foreach(b => store.merge(b, Seq(
+      row("view/day/2024-02-0" + (b % 3 + 1), 10L + b, b * 1.0),
+      row("view/month/2024-02", 50L + b, 2.0 * b))))
+    // snapshot the delta dirs, compact, then RESTORE them — emulating
+    // a crash after the base committed but before the folded deltas
+    // were removed
+    val stash = new java.io.File(SparkEnv.scratchDir("compact-stash"))
+    val batchDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).toSeq
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs(); src.listFiles().foreach(f =>
+          copyTree(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    batchDirs.foreach(d => copyTree(d, new java.io.File(stash, d.getName)))
+    store.compact(retainBatches = 0)
+    val resolved = serve(store)
+    assert(store.batchDirCount == 0)
+    stash.listFiles().foreach(d => copyTree(d, new java.io.File(dir, d.getName)))
+    assert(store.batchDirCount == 6, "crash emulation must restore deltas")
+    // dominated dirs hold exactly what was folded — reads identical
+    assert(serve(store).sameElements(resolved),
+      "dominated leftover deltas must not change the resolved view")
+    // re-running the maintenance pass converges to the clean state
+    store.compact(retainBatches = 0)
+    assert(store.batchDirCount == 0)
+    assert(serve(store).sameElements(resolved))
+  }
+
+  test("compaction of a decommissioned stream (retain 0) folds everything " +
+      "into the base") {
     val store = new ParquetServingStore(spark, SparkEnv.scratchDir("compact-all"))
     (0 until 5).foreach(b => store.merge(b,
       Seq(row("click/year/2024", b + 1, b.toDouble))))
     store.compact(retainBatches = 0)
-    assert(store.batchDirCount == 1)
+    assert(store.batchDirCount == 0)
     assert(store.lookupRows("click/year/2024").map(_.nEvents) == Seq(5L))
   }
 }
