@@ -67,9 +67,21 @@ object JoinView {
   /** [[runPipeline]] without the terminal await — the handle the
     * crash-recovery spec needs (stop mid-stream, restart over the
     * same checkpoint + store, assert exactly-once convergence).
+    *
+    * `compactEvery` > 0 wires the serving-store compaction as an
+    * IN-STREAM maintenance cadence: every N-th micro-batch, after its
+    * own write commits, the accumulated deltas fold into the
+    * versioned base with `retainBatches = 1` — the just-committed
+    * batch (recovery's only replay candidate) stays an un-folded
+    * delta, though the versioned-base design no longer depends on
+    * that for replay safety. Safe inside foreachBatch because the
+    * hook runs serialized with the stream's own writes (the store's
+    * single-writer discipline holds by construction); the store's
+    * dir count — and with it every read's merge width — is then
+    * BOUNDED by the cadence instead of growing with stream length.
     */
   def startPipeline(spark: SparkSession, sfDir: String, store: ServingStore,
-      checkpoint: String, nChunks: Int = 3)
+      checkpoint: String, nChunks: Int = 3, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val s2 = graft.SparkEnv.stateSession(spark)
     val ingestDir = graft.streaming.Ingest
@@ -91,6 +103,11 @@ object JoinView {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         store.sinkBatch(
           batch.select(keyCol, col("n_events"), col("sum_value")), batchId)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          store match {
+            case p: ParquetServingStore => p.compact(retainBatches = 1)
+            case _ => ()
+          }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

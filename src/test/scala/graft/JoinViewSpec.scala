@@ -94,6 +94,21 @@ class JoinViewSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("in-stream compaction cadence keeps the store dir count bounded " +
+      "in stream length while the maintained view stays exact") {
+    val store = new ParquetServingStore(spark, SparkEnv.scratchDir("jv-cadence"))
+    val q = JoinView.startPipeline(spark, sf, store,
+      SparkEnv.scratchDir("jv-cadence-ckpt"), nChunks = 10, compactEvery = 3)
+    q.awaitTermination()
+    // 10 stream batches, compaction every 3rd: the dir count is
+    // cadence-bounded, not stream-length-bounded
+    assert(store.batchDirCount <= 4,
+      s"cadence must bound the delta dirs, got ${store.batchDirCount}")
+    JoinView.applyDimChurn(spark, sf, store)
+    assert(viewOf(store).sameElements(batchTruth),
+      "in-stream compaction changed the maintained view")
+  }
+
   test("dimension-churn maintenance is replay-idempotent: a post-crash " +
       "re-run of the same batch recomputes identical output") {
     val store = new ParquetServingStore(spark, SparkEnv.scratchDir("jv-idem"))
