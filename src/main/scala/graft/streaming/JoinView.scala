@@ -128,7 +128,8 @@ object JoinView {
     * exactness contract every counter pipeline here follows.
     */
   def applyDimChurn(spark: SparkSession, sfDir: String,
-      store: ParquetServingStore, batchId: Long = 1L << 62): ServingStore = {
+      store: ParquetServingStore,
+      batchId: Long = ParquetServingStore.MaintenanceIdBase): ServingStore = {
     val changed = graft.queries.Maintenance.churnedDim(spark, sfDir)
       .filter(col("old_seg") =!= col("new_seg"))
     // A_full ⋈ ΔB: changed keys' whole history, one fact scan against

@@ -291,13 +291,21 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
     }
   }
 
-  /** Batch dirs that are both COMMITTED (_SUCCESS marker — Spark's
-    * job-commit protocol writes it last) and non-empty (a zero-row
+  /** Batch dirs that are COMMITTED (_SUCCESS marker — Spark's
+    * job-commit protocol writes it last), non-empty (a zero-row
     * micro-batch commits a dir with a marker but no parquet footers,
-    * which an explicit-dirs read cannot infer a schema from).
+    * which an explicit-dirs read cannot infer a schema from), and not
+    * yet FOLDED into a base (a `.folded` marker is compaction's
+    * deferred-deletion grace: the dir's content is already in the
+    * base, so new reads skip it, while a reader holding an older
+    * listing still finds its files on disk — see [[compact]]).
     */
   private def committedBatchDirs: Seq[String] =
-    listRoot("batch_id=").filter(hasParquet)
+    listRoot("batch_id=").filter(hasParquet).filterNot(isFolded)
+
+  private def isFolded(dir: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir).resolve(ParquetServingStore.FoldedMarker))
 
   /** The highest committed `base_v<k>` dir — compaction's output
     * namespace, deliberately OUTSIDE the batch-id space so no stream
@@ -397,21 +405,43 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
     *    dirs — which reads resolve identically (the dominated dirs'
     *    content is exactly what was folded) and a re-run converges;
     *    no window loses data or resurrects a retraction;
-    *  - `retainBatches` keeps the most recent K deltas un-folded —
-    *    sized to taste now that replay safety no longer depends on it
-    *    (0 is always safe; K > 0 trades read-side merge width for
-    *    cheaper incremental compactions).
+    *  - `retainBatches` keeps the most recent K STREAM deltas
+    *    un-folded — sized to taste now that replay safety no longer
+    *    depends on it (K > 0 trades read-side merge width for cheaper
+    *    incremental compactions);
+    *  - MAINTENANCE-space batches (id ≥ [[ParquetServingStore
+    *    .MaintenanceIdBase]], e.g. [[JoinView.applyDimChurn]]) are
+    *    NEVER folded unless `foldMaintenance = true` (round-15
+    *    review): folding one breaks the invariant that everything in
+    *    the base is older than any replay candidate — a stream-batch
+    *    replay would resurrect tombstoned keys and revert churn, and
+    *    the churn's own post-crash re-run would read its folded
+    *    effects through `latestBefore` and double-apply. Pass true
+    *    only once the maintenance epoch is FENCED: its completion
+    *    durably recorded and the stream checkpoint committed past
+    *    every older batch (or the stream decommissioned);
+    *  - deletion is DEFERRED one cycle (round-15 review): folding
+    *    stamps a `.folded` marker (new reads skip the dir; its files
+    *    stay for readers holding an older listing), and the NEXT
+    *    compact() sweeps previously-marked dirs, superseded bases,
+    *    and dominated empty batch dirs — so a read racing the
+    *    maintenance pass never hits a vanished file unless it spans
+    *    a full compaction cycle.
     *
     * Single-writer discipline (documented, not enforced): one
     * maintenance writer at a time, like every base+delta store
     * without a table-format commit log (none ships in this
     * environment — BASELINE.md).
     */
-  def compact(retainBatches: Int = 1): Unit = {
-    val sorted = committedBatchDirs.sortBy(batchIdOf)
-    val toCompact = sorted.dropRight(math.max(0, retainBatches))
+  def compact(retainBatches: Int = 1, foldMaintenance: Boolean = false): Unit = {
+    sweepSuperseded()
+    val foldable = committedBatchDirs
+      .filter(d => foldMaintenance ||
+        batchIdOf(d) < ParquetServingStore.MaintenanceIdBase)
+      .sortBy(batchIdOf)
+    val toCompact = foldable.dropRight(math.max(0, retainBatches))
     val oldBase = committedBaseDir
-    if (toCompact.isEmpty) return // nothing to fold
+    if (toCompact.isEmpty) return // nothing to fold (garbage swept above)
     val nextV = oldBase.map(baseVersionOf).getOrElse(0) + 1
     val deltas = spark.read.option("basePath", path).parquet(toCompact: _*)
       .select(col("key"), col("nEvents"), col("sumValue"),
@@ -428,14 +458,36 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
         col("v.sumValue").as("sumValue"))
       .filter(col("nEvents") =!= 0) // resolved tombstones leave the store
     // commit the new base (write protocol puts _SUCCESS last — readers
-    // ignore it until committed), THEN drop what it superseded
+    // ignore it until committed), THEN mark what it superseded; the
+    // physical deletes happen on the next cycle's sweep
     withPartitionCols(resolved)
       .repartition(col("gran"), col("pday"))
       .write.partitionBy("gran", "pday")
       .mode("overwrite").parquet(s"$path/base_v$nextV")
-    toCompact.foreach(graft.SparkEnv.deleteDir)
-    listRoot("base_v").filter(baseVersionOf(_) < nextV)
-      .foreach(graft.SparkEnv.deleteDir)
+    toCompact.foreach(d => java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(d).resolve(ParquetServingStore.FoldedMarker)))
+  }
+
+  /** The deferred-deletion sweep (see [[compact]]): remove batch dirs
+    * folded in a PREVIOUS cycle, base versions superseded before this
+    * cycle's fold, and committed-empty batch dirs dominated by a
+    * newer batch (idle triggers write _SUCCESS-only dirs that are
+    * never foldable and would otherwise accumulate forever —
+    * round-15 review). Runs first in every compact() call, so a
+    * crash between fold and sweep converges on the next maintenance
+    * pass even if nothing new is foldable.
+    */
+  private def sweepSuperseded(): Unit = {
+    listRoot("batch_id=").filter(isFolded).foreach(graft.SparkEnv.deleteDir)
+    committedBaseDir.map(baseVersionOf).foreach(cur =>
+      listRoot("base_v").filter(baseVersionOf(_) < cur)
+        .foreach(graft.SparkEnv.deleteDir))
+    val all = listRoot("batch_id=")
+    if (all.nonEmpty) {
+      val maxId = all.map(batchIdOf).max
+      all.filterNot(hasParquet).filter(batchIdOf(_) < maxId)
+        .foreach(graft.SparkEnv.deleteDir)
+    }
   }
 
   /** Accumulated committed-batch count — the compaction trigger a
@@ -446,6 +498,16 @@ final class ParquetServingStore(spark: SparkSession, path: String) extends Servi
 
 object ParquetServingStore {
   private[streaming] val GRANS = Seq("hour", "day", "month", "year")
+
+  /** Batch ids at or above this are MAINTENANCE-space (read-modify-
+    * write batches like [[JoinView.applyDimChurn]]) — above any id a
+    * stream incrementing one per micro-batch can reach, and excluded
+    * from [[ParquetServingStore.compact]]'s fold unless explicitly
+    * fenced (see its scaladoc).
+    */
+  val MaintenanceIdBase: Long = 1L << 62
+
+  private[streaming] val FoldedMarker = "_FOLDED"
 }
 
 object Serving {

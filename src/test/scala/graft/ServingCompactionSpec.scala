@@ -62,15 +62,28 @@ class ServingCompactionSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("month"), plan)
     assert(store.lookupRows("view/month/2024-01").map(_.nEvents) == Seq(40L))
-    // a second compaction with nothing new to fold is a no-op
+    // deferred deletion: the folded dirs are still on disk (marked)
+    // for readers holding an older listing; a second compaction cycle
+    // sweeps them physically and folds nothing new
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("batch_id=")) == 13,
+      "folded dirs must persist one grace cycle")
     store.compact(retainBatches = 2)
     assert(store.batchDirCount == 2 && serve(store).sameElements(before))
-    // incremental re-compaction folds the retained deltas into base_v2
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("batch_id=")) == 2,
+      "the next cycle must sweep previously-folded dirs")
+    // incremental re-compaction folds the retained deltas into base_v2;
+    // the superseded base survives one grace cycle, then sweeps
     store.compact(retainBatches = 0)
     assert(store.batchDirCount == 0)
     assert(new java.io.File(dir, "base_v2/_SUCCESS").exists() &&
-      !new java.io.File(dir, "base_v1").exists(),
-      "re-compaction must supersede and remove the old base")
+      new java.io.File(dir, "base_v1").exists(),
+      "superseded base must persist one grace cycle")
+    assert(serve(store).sameElements(before))
+    store.compact(retainBatches = 0)
+    assert(!new java.io.File(dir, "base_v1").exists(),
+      "the next cycle must sweep the superseded base")
     assert(serve(store).sameElements(before))
   }
 
@@ -92,38 +105,62 @@ class ServingCompactionSpec extends SparkSpec {
     assert(store.lookupRows("click/year/2024").map(_.nEvents) == Seq(5L))
   }
 
-  test("interrupted compaction (dominated dirs left behind) reads " +
-      "identically and a re-run converges") {
+  test("interrupted compaction (base committed, folded markers lost) " +
+      "reads identically and a re-run converges") {
     val dir = SparkEnv.scratchDir("compact-crash")
     val store = new ParquetServingStore(spark, dir)
     (0 until 6).foreach(b => store.merge(b, Seq(
       row("view/day/2024-02-0" + (b % 3 + 1), 10L + b, b * 1.0),
       row("view/month/2024-02", 50L + b, 2.0 * b))))
-    // snapshot the delta dirs, compact, then RESTORE them — emulating
-    // a crash after the base committed but before the folded deltas
-    // were removed
-    val stash = new java.io.File(SparkEnv.scratchDir("compact-stash"))
-    val batchDirs = new java.io.File(dir).listFiles()
-      .filter(_.getName.startsWith("batch_id=")).toSeq
-    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
-      if (src.isDirectory) {
-        dst.mkdirs(); src.listFiles().foreach(f =>
-          copyTree(f, new java.io.File(dst, f.getName)))
-      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
-    }
-    batchDirs.foreach(d => copyTree(d, new java.io.File(stash, d.getName)))
     store.compact(retainBatches = 0)
     val resolved = serve(store)
     assert(store.batchDirCount == 0)
-    stash.listFiles().foreach(d => copyTree(d, new java.io.File(dir, d.getName)))
-    assert(store.batchDirCount == 6, "crash emulation must restore deltas")
+    // crash emulation: the base committed but the fold markers were
+    // never stamped — every delta dir is live again and DOMINATED by
+    // the base's content (the worst surviving window of the commit
+    // ordering)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).foreach { d =>
+        val m = new java.io.File(d, "_FOLDED")
+        if (m.exists()) assert(m.delete())
+      }
+    assert(store.batchDirCount == 6, "unmarked deltas must be live again")
     // dominated dirs hold exactly what was folded — reads identical
     assert(serve(store).sameElements(resolved),
       "dominated leftover deltas must not change the resolved view")
-    // re-running the maintenance pass converges to the clean state
+    // re-running the maintenance pass converges (re-fold, then sweep)
     store.compact(retainBatches = 0)
     assert(store.batchDirCount == 0)
+    store.compact(retainBatches = 0)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("batch_id=")) == 0,
+      "the sweep cycle must remove the re-folded deltas")
     assert(serve(store).sameElements(resolved))
+  }
+
+  test("maintenance-space batches are never folded by default; churn " +
+      "idempotence survives compaction; fencing folds them explicitly") {
+    val store = new ParquetServingStore(spark, SparkEnv.scratchDir("compact-maint"))
+    (0 until 4).foreach(b => store.merge(b,
+      Seq(row("click/year/2024", b + 1, b.toDouble))))
+    // a maintenance batch in the reserved id space (the churn shape)
+    store.merge(ParquetServingStore.MaintenanceIdBase,
+      Seq(row("click/year/2024", 100, 9.0)))
+    store.compact(retainBatches = 0)
+    // the stream deltas folded; the maintenance delta is still a live
+    // dir, so latestBefore(MaintenanceIdBase) — the churn's replay
+    // read — still sees the PRE-maintenance state
+    assert(store.batchDirCount == 1,
+      "maintenance batch must survive the fold")
+    assert(store.latestBefore(ParquetServingStore.MaintenanceIdBase)
+      .filter(col("key") === "click/year/2024")
+      .head.getAs[Long]("nEvents") == 4L,
+      "pre-maintenance snapshot must not include maintenance effects")
+    assert(store.lookupRows("click/year/2024").map(_.nEvents) == Seq(100L))
+    // fencing: the operator recorded the epoch — now it may fold
+    store.compact(retainBatches = 0, foldMaintenance = true)
+    assert(store.batchDirCount == 0)
+    assert(store.lookupRows("click/year/2024").map(_.nEvents) == Seq(100L))
   }
 
   test("compaction of a decommissioned stream (retain 0) folds everything " +
