@@ -66,6 +66,10 @@ final case class AsOfJoinPlan(
 
   require(Seq("backward", "forward", "nearest").contains(direction),
     s"as-of direction must be backward/forward/nearest, got $direction")
+  // fail at CONSTRUCTION, not mid-task (round-15 review): nearest
+  // needs the distance expression the moment both candidates exist
+  require(direction != "nearest" || orderExpr.isDefined,
+    "as-of direction 'nearest' requires orderExpr (the |l.time - r.time| distance)")
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -94,6 +98,9 @@ final case class AsOfJoinExec(
     direction: String = "backward", allowExact: Boolean = true,
     asOfCond: Option[Expression] = None,
     orderExpr: Option[Expression] = None) extends BinaryExecNode {
+
+  require(direction != "nearest" || orderExpr.isDefined,
+    "as-of direction 'nearest' requires orderExpr (see AsOfJoinPlan)")
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -174,6 +181,14 @@ final case class AsOfJoinExec(
         val rBuf = rIter.buffered
         val joined = new JoinedRow
         val distRow = new JoinedRow
+        // final projection to UnsafeRow (round-15 review): every
+        // downstream consumer that serializes, sorts, or collects casts
+        // rows to UnsafeRow (getByteArrayRdd, UnsafeRowSerializer,
+        // UnsafeExternalRowSorter) — SortMergeJoinExec applies exactly
+        // this projection for the same reason; emitting raw JoinedRows
+        // worked only when a ProjectExec happened to sit above the join
+        val toUnsafe = UnsafeProjection.create(
+          (lOut ++ rOut).map(a => a: Expression), lOut ++ rOut)
 
         def accepts(lRow: InternalRow, rRow: InternalRow): Boolean =
           emitPred.forall(_.eval(distRow(lRow, rRow)))
@@ -217,7 +232,7 @@ final case class AsOfJoinExec(
             rBuf.head
           else null
 
-        lIter.flatMap { lRow =>
+        lIter.flatMap[InternalRow] { lRow =>
           val lKey = lKeyProj(lRow)
           val lTimeRow = lTimeProj(lRow)
           if (lKey.anyNull || lTimeRow.isNullAt(0)) Iterator.empty
@@ -274,7 +289,7 @@ final case class AsOfJoinExec(
                 else emit(lRow, second)
             }
           }
-        }
+        }.map(toUnsafe)
       }
     }
   }

@@ -43,12 +43,45 @@ class KvSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     KvSourceProvider.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new KvTable(properties.get("store"))
+      properties: util.Map[String, String]): Table = {
+    // DSv2 options are contractually case-insensitive, and a missing
+    // store name should fail HERE with a clear message, not at scan
+    // time as "no registered kv store 'null'" (round-15 review)
+    val store = new CaseInsensitiveStringMap(properties).get("store")
+    require(store != null && store.nonEmpty,
+      "kv source requires .option(\"store\", <registered name>)")
+    new KvTable(store)
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 
 object KvSourceProvider {
+
+  /** THE ONE pushed-filter evaluator (round-15 review): the accept
+    * list in `pushFilters`, the planning-time key matcher, and the
+    * executor-side re-filter previously each pattern-matched the
+    * filter types independently with a silently-accepting `case _ =>
+    * true` fallback — extending one site without the others would
+    * return UNFILTERED rows with no error, because Spark never
+    * re-evaluates a filter the source accepted. Now `pushFilters`
+    * accepts exactly the filters this function understands, and both
+    * evaluation sites call it; an unknown filter reaching it is a
+    * loud bug, not a silent no-op.
+    */
+  private[sources] def evalKeyFilter(key: String, f: Filter): Boolean = f match {
+    case StringStartsWith("key", p) => key.startsWith(p)
+    case EqualTo("key", v: String) => key == v
+    case other => throw new IllegalStateException(
+      s"KvSource: filter $other was pushed but has no evaluator — " +
+        "pushFilters and evalKeyFilter must stay in lockstep")
+  }
+
+  private[sources] def understands(f: Filter): Boolean = f match {
+    case StringStartsWith("key", _) => true
+    case EqualTo("key", _: String) => true
+    case _ => false
+  }
+
   val schema: StructType = new StructType()
     .add("key", StringType, nullable = false)
     .add("n_events", LongType, nullable = false)
@@ -130,11 +163,8 @@ final class KvScanBuilder(storeName: String)
     * stays with Spark as a post-scan filter.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition {
-      case StringStartsWith("key", _) => true
-      case EqualTo("key", _: String) => true
-      case _ => false
-    }
+    val (accepted, rejected) =
+      filters.partition(KvSourceProvider.understands)
     pushed = accepted
     rejected
   }
@@ -191,11 +221,8 @@ final class KvScan(storeName: String, filters: Array[Filter],
     * registry is the server stand-in) and the scan emits one row.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    def matches(key: String): Boolean = filters.forall {
-      case StringStartsWith("key", p) => key.startsWith(p)
-      case EqualTo("key", v: String) => key == v
-      case _ => true
-    }
+    def matches(key: String): Boolean =
+      filters.forall(KvSourceProvider.evalKeyFilter(key, _))
     agg match {
       case Some(a) =>
         val rows = KvSourceProvider.lookup(storeName).filter(r => matches(r.key))
@@ -217,7 +244,12 @@ final class KvScan(storeName: String, filters: Array[Filter],
     }
     val keys = KvSourceProvider.lookup(storeName).iterator
       .map(_.key).filter(matches).toIndexedSeq.sorted
-    if (keys.isEmpty) Array.empty
+    // zero matching keys at PLANNING time still yields one unbounded
+    // partition (round-15 review): the live-store contract says rows
+    // merged between planning and execution land in exactly one
+    // partition, and an empty partition ARRAY would silently change
+    // the read's snapshot semantics depending on planning-time state
+    if (keys.isEmpty) Array(KvInputPartition(storeName, None, None))
     else {
       // index-balanced contiguous ranges over the sorted key space;
       // the FIRST range is unbounded below and the LAST unbounded
@@ -270,11 +302,7 @@ final class KvReaderFactory(required: StructType, filters: Array[Filter])
     val rows = KvSourceProvider.lookup(partition.storeName).iterator
       .filter { r =>
         partition.lo.forall(r.key >= _) && partition.hi.forall(r.key < _) &&
-          filters.forall {
-            case StringStartsWith("key", p) => r.key.startsWith(p)
-            case EqualTo("key", v: String) => r.key == v
-            case _ => true
-          }
+          filters.forall(KvSourceProvider.evalKeyFilter(r.key, _))
       }
       .toIndexedSeq.sortBy(_.key).iterator
     val fields = required.fieldNames

@@ -86,6 +86,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(outer.count() == 3, "left outer keeps all left rows")
   }
 
+  test("direct collect/sort/distinct over the join emit UnsafeRows " +
+      "(no ProjectExec shielding the exec's output)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (2L, 7L, "b")).toDF("lk", "lt", "ltag")
+    val right = Seq((1L, 9L, "x"), (2L, 5L, "y")).toDF("rk", "rt", "rtag")
+    def joined() = org.apache.spark.sql.GraftSqlBridge.joinAsOf(
+      left, right, left("lt"), right("rt"), left("lk") === right("rk"), "inner")
+    // round-15 review: the exec emitted raw JoinedRows, and every
+    // consumer that serializes/sorts/collects casts to UnsafeRow —
+    // every prior spec happened to .select(...) first, inserting the
+    // ProjectExec that masked it. These three shapes consume the
+    // exec's rows DIRECTLY.
+    assert(joined().collect().length == 2)
+    assert(joined().orderBy(col("lt")).collect().length == 2)
+    assert(joined().distinct().count() == 2)
+  }
+
+  test("nearest without a distance expression fails at construction, " +
+      "not mid-task") {
+    import spark.implicits._
+    val df = Seq((1L, 1L)).toDF("k", "t")
+    intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinPlan(
+        df.queryExecution.analyzed, df.queryExecution.analyzed,
+        Seq.empty, Seq.empty,
+        df.queryExecution.analyzed.output(1),
+        df.queryExecution.analyzed.output(1),
+        direction = "nearest")
+    }
+  }
+
   test("joinAsOf full matrix: every direction x exact x tolerance routes native and matches") {
     import spark.implicits._
     // hand-built fixture: multi-key, boundary ties, keys missing on

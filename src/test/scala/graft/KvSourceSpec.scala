@@ -149,6 +149,35 @@ class KvSourceSpec extends SparkSpec {
     }
   }
 
+  test("empty-at-planning store still honors the live-store contract: " +
+      "the same frame sees rows published before the next action") {
+    KvSourceProvider.register("live1", Seq.empty)
+    val df = readStore("live1")
+    // one unbounded partition even with zero planning-time keys
+    // (round-15 review: an empty partition ARRAY silently changed the
+    // snapshot semantics depending on planning-time state)
+    assert(df.count() == 0)
+    assert(df.rdd.getNumPartitions >= 1,
+      "an empty store must still plan a readable partition")
+    KvSourceProvider.register("live1", Seq(
+      ServingStore.CounterRow("click/day/2024-01-05", 3L, 1.0)))
+    assert(df.count() == 1,
+      "rows published after planning must be visible to the next action")
+  }
+
+  test("store option is case-insensitive; a missing option fails loudly " +
+      "at table resolution") {
+    KvSourceProvider.register("ci1", Seq(
+      ServingStore.CounterRow("k", 1L, 1.0)))
+    val df = spark.read.format("graft.sources.KvSourceProvider")
+      .option("Store", "ci1").load() // DSv2 options are case-insensitive
+    assert(df.count() == 1)
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.KvSourceProvider").load().count()
+    }
+    assert(err.getMessage.contains("store"), err.getMessage)
+  }
+
   test("streaming pipeline -> registered snapshot -> SQL over the store") {
     val store = new graft.streaming.InMemoryServingStore
     graft.streaming.Serving.runPipeline(spark, sf, store,
