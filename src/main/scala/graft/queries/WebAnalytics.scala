@@ -32,7 +32,8 @@ object WebAnalytics {
     */
   private val attributionOracleSql =
     """WITH e AS (SELECT user_id, event_type, value,
-      |            CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec FROM events),
+      |            CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec
+      |          FROM events WHERE user_id IS NOT NULL),
       |clicks AS (SELECT DISTINCT user_id, sec FROM e WHERE event_type = 'click'),
       |purchases AS (SELECT user_id, sec, value FROM e WHERE event_type = 'purchase'),
       |a AS (SELECT p.user_id, p.sec, p.value, c.sec AS c_sec
@@ -52,8 +53,13 @@ object WebAnalytics {
 
   val attribution = DeclaredQuery(
     "q_attribution", attributionOracleSql) { (s, d) =>
-    val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
-      col("value"), date_trunc("second", col("ts")).as("sec"))
+    // NULL-user guard on BOTH engines at the same grain (round-15
+    // review, the q_stream_dedup_users discipline): the streaming twin
+    // decodes user_id into a primitive Long, so an unguarded null row
+    // would CRASH the stream while the oracle counted it as organic
+    val e = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        col("value"), date_trunc("second", col("ts")).as("sec"))
     val clicks = e.filter(col("event_type") === "click")
       .select("user_id", "sec").distinct()
     val purchases = e.filter(col("event_type") === "purchase")
@@ -529,7 +535,7 @@ object WebAnalytics {
       |  SELECT user_id, event_type, event_id,
       |         CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec,
       |         CAST(round(value * 100) AS BIGINT) AS cents
-      |  FROM events),
+      |  FROM events WHERE user_id IS NOT NULL),
       |iv AS (
       |  SELECT event_type, sec, cents,
       |         epoch(lead(sec) OVER (PARTITION BY user_id
@@ -550,7 +556,8 @@ object WebAnalytics {
     "q_time_weighted_avg", twaOracleSql) { (s, d) =>
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("sec"), col("event_id"))
-    val e = Tables.events(s, d).select(
+    // NULL-user guard, both engines (see q_attribution's note)
+    val e = Tables.events(s, d).filter(col("user_id").isNotNull).select(
       col("user_id"), col("event_type"), col("event_id"),
       date_trunc("second", col("ts")).as("sec"),
       round(col("value") * 100, 0).cast("long").as("cents"))

@@ -73,6 +73,11 @@ object Attribution {
     val s2 = Serving.stateSession(spark, rocksdb = true)
     import s2.implicits._
     val tagged = Ingest.eventStream(s2, sfDir)
+      // NULL-user guard (round-15 review): In.user is a primitive
+      // Long, so an unguarded null row would abort the stream with
+      // "Null value appeared in non-nullable field"; the shared
+      // oracle filters the same rows (WHERE user_id IS NOT NULL)
+      .filter(col("user_id").isNotNull)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id").as("user"),
         (col("event_type") === "click").as("isClick"),

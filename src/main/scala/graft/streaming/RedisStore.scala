@@ -46,18 +46,39 @@ final class RedisServingStore(host: String, port: Int) extends ServingStore {
     }
   }
 
-  /** Full-store read via cursor SCAN + HGETALL per key (the bounded-
+  /** Full-store read via cursor SCAN + pipelined HGETALL (the bounded-
     * batch iteration a production reader uses — never KEYS *).
     */
-  override def snapshot(): Seq[ServingStore.CounterRow] = {
+  override def snapshot(): Seq[ServingStore.CounterRow] = scanRows(None)
+
+  /** The pruned serving read the [[ServingStore]] trait contract asks
+    * durable stores for (round-15 review — the trait default filtered
+    * a FULL snapshot, so every HTTP point lookup paid a whole-keyspace
+    * SCAN + per-key HGETALL): the prefix is pushed server-side as a
+    * `SCAN MATCH <prefix>*` glob (special glob characters escaped) and
+    * re-checked client-side — MATCH is a server-side pruning hint, the
+    * client-side filter is the authoritative predicate.
+    */
+  override def lookupRows(keyPrefix: String): Seq[ServingStore.CounterRow] =
+    scanRows(Some(keyPrefix))
+
+  private def globEscape(p: String): String =
+    p.flatMap {
+      case c @ ('*' | '?' | '[' | ']' | '\\') => "\\" + c
+      case c => c.toString
+    }
+
+  private def scanRows(prefix: Option[String]): Seq[ServingStore.CounterRow] = {
     val c = new RespClient(host, port)
     try {
       val keys = scala.collection.mutable.ArrayBuffer.empty[String]
       var cursor = "0"
       var first = true
+      val matchArgs = prefix.toSeq.flatMap(p => Seq("MATCH", globEscape(p) + "*"))
       while (first || cursor != "0") {
         first = false
-        val reply = c.command("SCAN", cursor, "COUNT", "512")
+        val reply = c.command(Seq("SCAN", cursor) ++ matchArgs ++
+          Seq("COUNT", "512"): _*)
         reply match {
           case Seq(next: String, batch: Seq[_]) =>
             cursor = next
@@ -66,21 +87,27 @@ final class RedisServingStore(host: String, port: Int) extends ServingStore {
         }
       }
       // SCAN is at-least-once: a rehash mid-iteration may return the
-      // same key in two cursor batches — dedupe before fetching
-      keys.distinct.sorted.flatMap { k =>
-        val fields = c.command("HGETALL", k) match {
-          case pairs: Seq[_] =>
-            pairs.collect { case s: String => s }.grouped(2)
-              .collect { case Seq(f, v) => f -> v }.toMap
-          case other => throw new java.io.IOException(s"bad HGETALL reply: $other")
-        }
-        // a key deleted/expired between SCAN and HGETALL answers with
-        // an empty hash — skip it rather than fabricate a zero row
-        if (fields.isEmpty) None
-        else Some(ServingStore.CounterRow(k,
-          fields.getOrElse("n_events", "0").toLong,
-          fields.getOrElse("sum_value", "0").toDouble))
-      }.toSeq
+      // same key in two cursor batches — dedupe before fetching; and
+      // re-apply the prefix client-side (authoritative)
+      val uniq: Seq[String] = keys.distinct.sorted
+        .filter(k => prefix.forall(k.startsWith)).toSeq
+      // ONE windowed pipeline for all the HGETALLs (round-15 review:
+      // a per-key blocking round trip made snapshot O(keys * RTT))
+      uniq.zip(c.pipeline(uniq.map(k => Seq("HGETALL", k)))).flatMap {
+        case (k, reply) =>
+          val fields = reply match {
+            case pairs: Seq[_] =>
+              pairs.collect { case s: String => s }.grouped(2)
+                .collect { case Seq(f, v) => f -> v }.toMap
+            case other => throw new java.io.IOException(s"bad HGETALL reply: $other")
+          }
+          // a key deleted/expired between SCAN and HGETALL answers with
+          // an empty hash — skip it rather than fabricate a zero row
+          if (fields.isEmpty) None
+          else Some(ServingStore.CounterRow(k,
+            fields.getOrElse("n_events", "0").toLong,
+            fields.getOrElse("sum_value", "0").toDouble))
+      }
     } finally c.close()
   }
 }
@@ -92,17 +119,21 @@ final class RedisServingStore(host: String, port: Int) extends ServingStore {
   */
 final class RespClient(host: String, port: Int, timeoutMs: Int = 10000) {
   private val socket = new Socket()
-  try {
-    socket.connect(new InetSocketAddress(host, port), timeoutMs)
-    socket.setSoTimeout(timeoutMs)
-  } catch {
-    // the caller can never reach close() if the constructor throws —
-    // release the descriptor here (task retries against a flapping
-    // endpoint would otherwise strand one fd per attempt)
-    case t: Throwable => socket.close(); throw t
-  }
-  private val in = new BufferedInputStream(socket.getInputStream)
-  private val out = new BufferedOutputStream(socket.getOutputStream)
+  // the caller can never reach close() if the constructor throws —
+  // release the descriptor here (task retries against a flapping
+  // endpoint would otherwise strand one fd per attempt). The guard
+  // covers STREAM acquisition too (round-15 review): getInputStream /
+  // getOutputStream throw on a peer reset after connect, which the
+  // previous connect-only try let escape with the fd stranded.
+  private val (in, out) =
+    try {
+      socket.connect(new InetSocketAddress(host, port), timeoutMs)
+      socket.setSoTimeout(timeoutMs)
+      (new BufferedInputStream(socket.getInputStream),
+        new BufferedOutputStream(socket.getOutputStream))
+    } catch {
+      case t: Throwable => socket.close(); throw t
+    }
 
   def close(): Unit = socket.close()
 
@@ -119,6 +150,21 @@ final class RespClient(host: String, port: Int, timeoutMs: Int = 10000) {
     * bulk), Long (integer), null (null bulk), Seq[Any] (array);
     * `-ERR` raises.
     */
+  /** Windowed pipeline: write every command, flush per window, read
+    * the replies in order — the same machinery [[pipelineHsets]] uses,
+    * exposed for bulk reads (round-15 review: snapshot paid one
+    * blocking round trip PER KEY).
+    */
+  def pipeline(cmds: Seq[Seq[String]], window: Int = 4096): Seq[Any] = {
+    val replies = scala.collection.mutable.ArrayBuffer.empty[Any]
+    cmds.grouped(window).foreach { g =>
+      g.foreach(writeCommand)
+      out.flush()
+      g.foreach(_ => replies += readReply(in))
+    }
+    replies.toSeq
+  }
+
   def command(args: String*): Any = {
     writeCommand(args); out.flush(); readReply(in)
   }

@@ -43,9 +43,11 @@ object StreamMetrics {
   private def parseTime(s: String): Option[java.time.Instant] =
     // eventTime entries are ISO-8601 UTC; a batch with no event-time
     // column (or watermark 1970 epoch before any data) parses but is
-    // kept — interpretation is the caller's
+    // kept — interpretation is the caller's. Catch ONLY the parse
+    // failure (round-15 review): a Throwable net here swallowed fatal
+    // VM errors and interrupts into a silent watermark=None
     try Option(s).map(java.time.Instant.parse)
-    catch { case _: Throwable => None }
+    catch { case _: java.time.format.DateTimeParseException => None }
 
   def summarize(p: StreamingQueryProgress): BatchMetrics = {
     val et = p.eventTime

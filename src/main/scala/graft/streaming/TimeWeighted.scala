@@ -78,6 +78,9 @@ object TimeWeighted {
     val s2 = Serving.stateSession(spark, rocksdb = true)
     import s2.implicits._
     val evs = Ingest.eventStream(s2, sfDir)
+      // NULL-user guard (round-15 review): Ev.user is a primitive
+      // Long — see Attribution; the shared oracle filters identically
+      .filter(col("user_id").isNotNull)
       .select(col("user_id").as("user"),
         unix_timestamp(date_trunc("second", col("ts"))).as("t"),
         col("event_id").as("eventId"),

@@ -55,7 +55,13 @@ class RedisStoreSpec extends SparkSpec {
               }
               out.write(s":$added\r\n".getBytes(UTF_8))
             case "SCAN" =>
-              val keys = data.keySet().asScala.toSeq.sorted
+              // honor MATCH <glob> like the real server (prefix globs
+              // only — what the adapter's pruned lookupRows pushes)
+              val pat = cmd.sliding(2).collectFirst {
+                case Seq(m, p) if m.toUpperCase == "MATCH" => p }
+              val keys = data.keySet().asScala.toSeq.sorted.filter(k =>
+                pat.forall(p => k.startsWith(
+                  p.stripSuffix("*").replace("\\", ""))))
               out.write("*2\r\n".getBytes(UTF_8))
               bulk(out, "0") // single full batch, cursor exhausted
               out.write(s"*${keys.length}\r\n".getBytes(UTF_8))
@@ -118,6 +124,24 @@ class RedisStoreSpec extends SparkSpec {
       assert(got == Set(
         ("click/hour/2024-01-01-00", 5L, 1.5),
         ("view/hour/2024-01-01-00", 9L, 4.0)), got)
+    } finally fake.close()
+  }
+
+  test("lookupRows prunes server-side (SCAN MATCH) and pipelines the " +
+      "hash reads — the reference's point-read path") {
+    val fake = new FakeRedis
+    try {
+      val store = new RedisServingStore("localhost", fake.port)
+      store.merge(0L, Seq(
+        ServingStore.CounterRow("click/hour/2024-01-01-00", 5L, 1.5),
+        ServingStore.CounterRow("click/hour/2024-01-01-01", 7L, 2.5),
+        ServingStore.CounterRow("view/hour/2024-01-01-00", 9L, 4.0)))
+      val got = store.lookupRows("click/hour/2024-01-01")
+        .map(r => (r.key, r.nEvents)).toSet
+      assert(got == Set(
+        ("click/hour/2024-01-01-00", 5L),
+        ("click/hour/2024-01-01-01", 7L)), got)
+      assert(store.lookupRows("nope/").isEmpty)
     } finally fake.close()
   }
 
