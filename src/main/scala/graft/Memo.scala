@@ -21,4 +21,38 @@ object Memo {
       if (prior != null) prior else built
     }
   }
+
+  private val latchLocks =
+    new java.util.concurrent.ConcurrentHashMap[(AnyRef, Any), AnyRef]()
+
+  /** The SIDE-EFFECTFUL sibling of [[memo]] (round-15 review — the
+    * latch-after-write-under-monitor idiom had been hand-expanded at
+    * three export sites with drifting copies, the exact class
+    * [[memo]] was created to stop): for builds whose side effects
+    * must run EXACTLY once per key (a filesystem export, a catalog
+    * registration — racing idempotent losers would orphan scratch
+    * copies or half-written tables).
+    *
+    *  - latch AFTER the build succeeds: a throwing build leaves the
+    *    key unlatched, so the next caller retries and fails at the
+    *    cause instead of on the missing artifact downstream;
+    *  - serialize concurrent builders PER KEY (round-15 review: one
+    *    global monitor queued Verify's 4-way-concurrent first-time
+    *    exports behind each other even though their keys were
+    *    disjoint); the lock map is bounded by the live key count.
+    */
+  def latched[K, V](cache: java.util.concurrent.ConcurrentHashMap[K, V], key: K)(
+      build: => V): V = {
+    val cached = cache.get(key)
+    if (cached != null) cached
+    else {
+      val lock = latchLocks.computeIfAbsent(
+        (cache.asInstanceOf[AnyRef], key), _ => new Object)
+      lock.synchronized {
+        val again = cache.get(key)
+        if (again != null) again
+        else { val built = build; cache.put(key, built); built }
+      }
+    }
+  }
 }

@@ -154,6 +154,9 @@ object Multimodal {
     * oracle that recomputes them in SQL — proving the binary plumbing
     * end-to-end.
     */
+  // both oracles filter NULL text like the Spark side's payload
+  // isNotNull (round-15 review — the q_binary_source discipline): a
+  // regenerated fixture with a NULL-text doc must not split the engines
   val qImageMeta = DeclaredQuery(
     "q_multimodal_decode",
     """SELECT format, count(*) AS n,
@@ -164,7 +167,7 @@ object Multimodal {
       |         (n_chars % 1024) + 16 AS width,
       |         (doc_id % 1024) + 16 AS height,
       |         8 + octet_length(encode(text)) AS n_bytes
-      |  FROM documents) t
+      |  FROM documents WHERE text IS NOT NULL) t
       |GROUP BY format
       |ORDER BY format""".stripMargin) { (s, d) =>
     decodeImageStub(s, asFakeImage(Tables.documents(s, d)))
@@ -209,7 +212,7 @@ object Multimodal {
       |         ((n_chars % 1024) + 16) // 2 AS width,
       |         ((doc_id % 1024) + 16) // 2 AS height,
       |         8 + (octet_length(encode(text)) + 1) // 2 AS n_bytes
-      |  FROM documents) t
+      |  FROM documents WHERE text IS NOT NULL) t
       |GROUP BY format
       |ORDER BY format""".stripMargin) { (s, d) =>
     decodeImageStub(s, resizeStub(s, asFakeImage(Tables.documents(s, d))))

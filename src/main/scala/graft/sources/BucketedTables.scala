@@ -43,35 +43,36 @@ object BucketedTables {
     })
 
   private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Write the fixture table bucketed+sorted on `key` as an external
     * catalog table (tmpfs path); idempotent per (context, sf).
+    * Latch-after-write under a per-key lock via [[graft.Memo.latched]]
+    * (round-15 review — was a hand-expanded copy of the idiom): the
+    * bucketed write is the likeliest step here to throw (disk/tmpfs
+    * full), and a latch-first memo would make every later call skip
+    * registration and fail on a missing table far from the cause.
     */
   def bucketedTable(s: SparkSession, d: String, name: String,
       key: String, cols: Seq[String]): String = {
-    val t = s"bkt_${name}_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    // the raw dir's hash rides the table name (round-15 review: the
+    // lossy punctuation sanitization alone could collide two distinct
+    // fixture dirs onto one table, silently serving the first dir's
+    // data for the second)
+    val t = s"bkt_${name}_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + java.lang.Integer.toHexString(d.hashCode)
     val k = System.identityHashCode(s.sharedState) + "/" + t
-    // latch AFTER the write succeeds (round-10, ADVICE r9): the
-    // bucketed write is the likeliest step here to throw (disk/tmpfs
-    // full), and a latch-first memo would make every later call skip
-    // registration and fail on a missing table far from the cause.
-    // Synchronized so Verify's 4-way-concurrent queries can't race a
-    // half-written table.
-    if (!registered.contains(k)) registered.synchronized {
-      if (!registered.contains(k)) {
-        if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t")
-        s.read.parquet(s"$d/$name.parquet")
-          .select(cols.head, cols.tail: _*)
-          .write
-          .bucketBy(buckets, key)
-          .sortBy(key)
-          .option("path", SparkEnv.scratchDir(s"graft-bkt-$name"))
-          .saveAsTable(t)
-        registered.add(k)
-      }
+    graft.Memo.latched(registered, k) {
+      if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t")
+      s.read.parquet(s"$d/$name.parquet")
+        .select(cols.head, cols.tail: _*)
+        .write
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", SparkEnv.scratchDir(s"graft-bkt-$name"))
+        .saveAsTable(t)
+      t
     }
-    t
   }
 
   /** The join text over the bucketed tables — exposed so

@@ -70,22 +70,18 @@ object ClusteredLayout {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def cachedZorderedEvents(spark: SparkSession, sfDir: String): String =
-    // latch-after-write-under-monitor (the exportedDir discipline —
-    // round-13 review: the earlier unsynchronized check-then-act let
-    // concurrent first callers each run the full rewrite, orphaning
-    // the loser's 32-file copy on RAM-backed scratch until JVM exit)
-    layoutCache.synchronized {
-      val cached = layoutCache.get(sfDir)
-      if (cached != null) cached
-      else {
-        val path = graft.SparkEnv.scratchDir(
-          s"zorder-events-${java.lang.Integer.toHexString(sfDir.hashCode)}")
-        val ev = Tables.events(spark, sfDir)
-        val (a, b) = eventDims
-        zorderWrite(ev, scaledZKey(ev, a, b), path, nFiles = 32)
-        layoutCache.put(sfDir, path)
-        path
-      }
+    // latch-after-write under a per-key lock (graft.Memo.latched,
+    // round-15 review — was a hand-expanded copy under one global
+    // monitor; round-13: the earlier unsynchronized check-then-act
+    // let concurrent first callers each run the full rewrite,
+    // orphaning the loser's 32-file copy on RAM-backed scratch)
+    graft.Memo.latched(layoutCache, sfDir) {
+      val path = graft.SparkEnv.scratchDir(
+        s"zorder-events-${java.lang.Integer.toHexString(sfDir.hashCode)}")
+      val ev = Tables.events(spark, sfDir)
+      val (a, b) = eventDims
+      zorderWrite(ev, scaledZKey(ev, a, b), path, nFiles = 32)
+      path
     }
 
   /** Hash-gated: a two-dimension selective scan over the z-ordered

@@ -40,41 +40,46 @@ object ExternalFormats {
   private val exported =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // graft.Memo.latched (round-15 review): latch-after-write under a
+  // PER-KEY lock — distinct formats' first-time exports no longer
+  // queue behind one global monitor in Verify's concurrent run
   private def exportedDir(key: String, prefix: String)(
-      write: String => Unit): String = {
-    val cached = exported.get(key)
-    if (cached != null) cached
-    else exported.synchronized {
-      val again = exported.get(key)
-      if (again != null) again
-      else {
-        val dir = SparkEnv.scratchDir(prefix)
-        write(dir)
-        exported.put(key, dir)
-        dir
-      }
+      write: String => Unit): String =
+    graft.Memo.latched(exported, key) {
+      val dir = SparkEnv.scratchDir(prefix)
+      write(dir)
+      dir
     }
-  }
 
-  /** CSV ingest: the full customer table (its comment/address strings
-    * exercise quoting) through a header CSV round trip, then the
-    * segment rollup. Explicit schema from the parquet footer.
+  /** CSV ingest through a header round trip, then the segment rollup.
+    * Explicit schema from the parquet footer. The fixture's own
+    * strings never need quoting (round-15 review — the earlier
+    * coverage claim was vacuous), so the export adds a DERIVED
+    * `c_quoted` column that embeds a comma and double quotes; the
+    * writer must quote+escape it and the reader must undo both, and
+    * the gate aggregates its round-tripped lengths against the oracle
+    * recomputing them from the parquet originals — a quoting
+    * regression shifts n or quoted_len and fails the hash.
     */
   val qCsvSource = DeclaredQuery(
     "q_csv_source",
     """SELECT c_mktsegment, count(*) AS n,
-      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+      |  CAST(sum(length(c_name || ', "' || c_mktsegment || '"')) AS BIGINT)
+      |    AS quoted_len
       |FROM customer
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>
-    val src = Tables.customer(s, d)
+    val src = Tables.customer(s, d).withColumn("c_quoted",
+      concat(col("c_name"), lit(", \""), col("c_mktsegment"), lit("\"")))
     val dir = exportedDir(s"csv:$d", "graft-csv-src") { out =>
       src.write.mode("overwrite").option("header", "true").csv(out)
     }
     s.read.schema(src.schema).option("header", "true").csv(dir)
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"),
-        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"),
+        sum(length(col("c_quoted"))).as("quoted_len"))
       .orderBy("c_mktsegment")
   }
 
@@ -181,13 +186,17 @@ object ExternalFormats {
       |ORDER BY 1""".stripMargin) { (s, d) =>
     val dir = exportedDir(s"bin:$d", "graft-bin-src") { outDir =>
       // ship the SESSION'S Hadoop configuration to the executors
-      // (round-13 review): a bare `new Configuration()` in the closure
-      // ignored spark.hadoop.* (default FS, credentials), resolving an
-      // unqualified outDir to the executor-LOCAL filesystem on exactly
-      // the cluster this code path exists for — blobs would scatter
-      // across executor disks and the read-back silently under-count
+      // (round-13 review; round-15: session-LEVEL newHadoopConf, not
+      // the bare context conf — runtime spark.conf.set credentials /
+      // default-FS overrides ride the session overlay, exactly what
+      // the built-in datasource writers resolve with): a bare
+      // `new Configuration()` in the closure ignored spark.hadoop.*
+      // entirely, resolving an unqualified outDir to the
+      // executor-LOCAL filesystem on exactly the cluster this code
+      // path exists for — blobs would scatter across executor disks
+      // and the read-back silently under-count
       val hconf = org.apache.spark.GraftHadoopConfBridge
-        .broadcastConf(s.sparkContext)
+        .broadcastSessionConf(s)
       graft.operators.Multimodal
         .asFakeImage(Tables.documents(s, d).filter(col("doc_id") < 1000))
         // defend against a null-text doc like q_text_source does: a

@@ -26,4 +26,16 @@ object GraftHadoopConfBridge {
   def broadcastConf(sc: SparkContext)
       : org.apache.spark.broadcast.Broadcast[util.SerializableConfiguration] =
     util.SerializableConfiguration.broadcast(sc, sc.hadoopConfiguration)
+
+  /** The SESSION-level Hadoop conf — `sessionState.newHadoopConf()`
+    * overlays the runtime session confs (fs credentials, default-FS
+    * overrides set via spark.conf.set) on the context conf, which is
+    * what every built-in datasource write resolves with; a
+    * context-only conf silently drops per-session settings
+    * (round-15 review).
+    */
+  def broadcastSessionConf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.broadcast.Broadcast[util.SerializableConfiguration] =
+    util.SerializableConfiguration.broadcast(spark.sparkContext,
+      spark.sessionState.newHadoopConf())
 }
