@@ -55,4 +55,31 @@ object Memo {
       }
     }
   }
+
+  /** Bounded access-order LRU map for caches whose VALUES pin
+    * executor storage (eagerly-materialized localCheckpoint blocks —
+    * round-15 review: an unbounded (session, dir)-keyed map holds a
+    * strong reference forever, so ContextCleaner can never free the
+    * blocks and block-manager usage grows monotonically in a
+    * long-lived JVM). Dropping the eldest entry releases the only
+    * strong reference; the blocks follow at the next GC+cleaner pass.
+    * All operations are synchronized (access-order LinkedHashMap
+    * mutates on get).
+    */
+  def lruCache[K, V](max: Int): java.util.Map[K, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+          size() > max
+      })
+
+  /** [[memo]] over an [[lruCache]]: compute outside the lock, racing
+    * idempotent builders tolerated, first-put-wins not guaranteed
+    * (last put wins — fine for deterministic derivations).
+    */
+  def lruMemo[K, V](cache: java.util.Map[K, V], key: K)(build: => V): V = {
+    val cached = cache.get(key)
+    if (cached != null) cached
+    else { val built = build; cache.put(key, built); built }
+  }
 }

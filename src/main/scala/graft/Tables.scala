@@ -96,13 +96,17 @@ object Tables {
       } catch { case scala.util.control.NonFatal(_) => 0L }
     if (bytes < CompactBytes && !(force && bytes >= CompactBytes / 8)) df
     else {
-      // per-path memo: racing loads of the same path write once (CHM
-      // computeIfAbsent), loads of DIFFERENT paths compact in parallel
-      val dir = compacted.computeIfAbsent(path, _ => {
+      // per-path memo via Memo.latched (round-15 review: the
+      // computeIfAbsent form ran the multi-second rewrite UNDER the
+      // CHM bin lock — distinct paths sharing a bin serialized, and
+      // the comment's "different paths compact in parallel" claim was
+      // false; latched holds a per-key lock with the build outside
+      // the map, the discipline Memo.scala documents)
+      val dir = graft.Memo.latched(compacted, path) {
         val d = SparkEnv.scratchDir("graft-compact")
         df.repartition(CompactSlices).write.mode("overwrite").parquet(d)
         d
-      })
+      }
       spark.read.parquet(dir)
     }
   }

@@ -24,12 +24,19 @@ object Verify {
     // fast path for re-checking one query; the driver passes none.
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val futures = selected.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed.add(name)
+          // remove any STALE output from a previous run of a reused
+          // out dir (round-15 review): leaving it in place would let
+          // the DuckDB compare gate this round's broken query against
+          // last round's parquet and report green
+          SparkEnv.deleteDir(s"$outDir/$name")
         }
       }
     }
@@ -37,6 +44,10 @@ object Verify {
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
+    if (!failed.isEmpty)
+      System.err.println(s"[verify] ${failed.size} quer(ies) FAILED — " +
+        "no output written (the oracle compare will report them missing): " +
+        String.join(", ", failed))
     // NB: no clearCache during the run — queries execute concurrently,
     // and clearing would thrash a sibling's in-flight persisted
     // relation. The persisted intermediates (candidate-pair scale) are

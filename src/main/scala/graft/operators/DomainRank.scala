@@ -63,12 +63,15 @@ object DomainRank {
     * corpus is a deterministic derived relation built by one corpus
     * scan; the PageRank ITERATIONS stay live per query.
     */
-  private val graphCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame, Long)]()
+  // LRU-bounded like GraphOps.edgeCache (round-15 review): the
+  // values hold checkpointed relations whose blocks the strong
+  // reference would otherwise pin for the JVM lifetime
+  private val graphCache = graft.Memo.lruCache[
+    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame, Long)](32)
 
   def cachedSourceGraph(s: org.apache.spark.sql.SparkSession,
       d: String): (DataFrame, DataFrame, Long) =
-    graft.Memo.memo(graphCache, (s, d))(sourceGraph(Tables.documents(s, d)))
+    graft.Memo.lruMemo(graphCache, (s, d))(sourceGraph(Tables.documents(s, d)))
 
   /** (src, dst, w, outw) weighted domain edges + (source, idx)
     * dictionary + |V|. One corpus scan; everything else is

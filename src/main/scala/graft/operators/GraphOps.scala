@@ -60,14 +60,19 @@ object GraphOps {
     * hits; the ITERATIVE work (wedges, frontiers) stays live per
     * query — only the input graph is build-once.
     */
-  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  // LRU-bounded (round-15 review): the values pin eagerly-
+  // materialized localCheckpoint BLOCKS, so an unbounded
+  // session-keyed map grows block-manager usage monotonically in a
+  // long-lived JVM; dropping the eldest strong reference lets
+  // ContextCleaner reclaim its blocks
+  private val edgeCache =
+    graft.Memo.lruCache[(SparkSession, String), DataFrame](32)
 
   /** Undirected support-filtered edges (a < b) of the supplier
     * co-occurrence graph.
     */
   def supplierEdges(s: SparkSession, d: String): DataFrame =
-    graft.Memo.memo(edgeCache, (s, d))(buildSupplierEdges(s, d))
+    graft.Memo.lruMemo(edgeCache, (s, d))(buildSupplierEdges(s, d))
 
   private def buildSupplierEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))

@@ -51,7 +51,10 @@ object StateReader {
     val key = (d, SparkEnv.stateParts,
       sys.props.get("graft.test.stateProvider")
         .orElse(sys.env.get("SPARK_GRAFT_STATE_PROVIDER")).getOrElse("default"))
-    graft.Memo.memo(ckptCache, key)(buildCheckpoint(s, d))
+    // latched, not memo (round-15 review): the build MINTS a scratch
+    // dir and runs a full streaming job — racing losers would orphan
+    // tmpfs checkpoints and duplicate the multi-second aggregation
+    graft.Memo.latched(ckptCache, key)(buildCheckpoint(s, d))
   }
 
   private def buildCheckpoint(s: SparkSession, d: String): String = {

@@ -50,10 +50,6 @@ object Windows {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** I6: arbitrary stateful processing — per-user funnel state machine
-    * (click → purchase conversion): emits one row per completed
-    * conversion with the click→purchase latency.
-    */
   /** I6 via the Spark 4 transformWithState API: per-key running count
     * with typed ValueState (requires the RocksDB state store
     * provider). The modern successor to flatMapGroupsWithState —
@@ -78,6 +74,10 @@ object Windows {
   case class Conversion(user_id: Long, click_ts_us: Long, purchase_ts_us: Long,
       latency_us: Long)
 
+  /** I6: arbitrary stateful processing — per-user funnel state machine
+    * (click → purchase conversion): emits one row per completed
+    * conversion with the click→purchase latency.
+    */
   def conversions(spark: SparkSession, events: Dataset[FunnelEvent]): Dataset[Conversion] = {
     import spark.implicits._
     events.groupByKey(_.user_id)
