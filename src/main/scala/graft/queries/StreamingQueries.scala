@@ -652,6 +652,13 @@ object StreamingQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>
     val s2 = graft.SparkEnv.stateSession(s)
+    // same no-data-batch skip as the wm twin below (round-15
+    // optimization): an append-mode INNER stream-stream join emits
+    // pairs the moment they match, never on watermark advance — and
+    // with the 35-day watermark past the fixture horizon the trailing
+    // no-data micro-batch cannot even evict state; it is pure fixed
+    // machinery (~0.4 s: state-store open/commit + two WAL fsyncs)
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val qname = "stream_stream_join"
     val purchases = graft.streaming.Ingest.eventStream(s2, d)
       .filter(col("event_type") === "purchase")

@@ -579,7 +579,21 @@ object Serving {
     */
   def runPipelineMetered(spark: SparkSession, sfDir: String, store: ServingStore,
       checkpoint: String): (ServingStore, Seq[StreamMetrics.BatchMetrics]) = {
-    val agg = hourlyCounters(Ingest.eventStream(stateSession(spark), sfDir))
+    val s2 = stateSession(spark)
+    // Skip the trailing watermark-advance no-data micro-batch
+    // (round-15 optimization, the q_stream_stream_join_wm discipline):
+    // in UPDATE mode every state change is emitted by the data batch
+    // that caused it, and watermark eviction emits nothing — the
+    // no-data batch's only work here is evicting state the
+    // run-to-completion stream discards at stop anyway, at the full
+    // per-batch fixed cost (state-store open/commit + two WAL fsyncs,
+    // ~0.4 s measured — tools/NoDataBatchProbe). Store contents are
+    // identical by construction; a CONTINUOUS deployment that wants
+    // prompt eviction between sparse data batches re-enables it.
+    // Dev hook: the probe forces it back on for the same-JVM A/B.
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      sys.props.get("graft.test.noDataBatches").contains("true").toString)
+    val agg = hourlyCounters(Ingest.eventStream(s2, sfDir))
     val q = agg.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
