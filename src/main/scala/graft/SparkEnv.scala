@@ -60,6 +60,16 @@ object SparkEnv {
       .orElse(sys.env.get("SPARK_GRAFT_STATE_PROVIDER")).contains("rocksdb")
     if (wantRocks) s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // dev A/B hook (round-15, tools/StateKnobAb): extra session confs
+    // for same-JVM state-store knob measurement without a code change
+    // — the stateProvider-hook pattern. Production config is the
+    // explicit block above; nothing sets this prop outside harnesses.
+    sys.props.get("graft.test.stateExtraConf").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        if (k.nonEmpty && v.nonEmpty) s2.conf.set(k, v)
+      }
     s2
   }
 
