@@ -43,6 +43,29 @@ class StreamMetricsSpec extends SparkSpec {
     assert(lags.nonEmpty && lags.forall(_ >= 0L), lags.toString)
   }
 
+  test("hourly pipeline skips the no-data batch and loses no output (round-15 optimization)") {
+    // The runner disables noDataMicroBatches on its cloned session:
+    // in UPDATE mode every state change is emitted by its data batch,
+    // so the trailing watermark-advance batch was pure machinery.
+    // Assert BOTH halves of the claim: (a) no zero-row trailing batch
+    // runs, (b) the store equals the batch recompute (the same
+    // SQL shape the DuckDB oracle gates at the declared sfs).
+    val store = new InMemoryServingStore
+    val (_, metrics) = Serving.runPipelineMetered(
+      spark, sf, store, SparkEnv.scratchDir("metrics-nodata-ckpt"))
+    assert(metrics.nonEmpty && metrics.forall(_.numInputRows > 0),
+      s"no-data batches must not run: ${metrics.map(m => (m.batchId, m.numInputRows))}")
+    val expected = Tables.events(spark, sf)
+      .groupBy(concat_ws("/", col("event_type"), lit("hour"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd-HH")).as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = store.snapshot().map(r => r.key -> ((r.nEvents, r.sumValue))).toMap
+    assert(got == expected,
+      s"store must equal the batch recompute: ${got.size} vs ${expected.size} keys")
+  }
+
   test("streaming dedup query surfaces transformWithState store metrics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
