@@ -11,6 +11,24 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's one-line JSON from the tail of
+// `sbt "runMain graft.Bench"` stdout. sbt's default LoggedOutput wraps
+// every forked-process line in an "[info] " prefix and appends its own
+// "[success] Total time ..." line AFTER the JSON, which defeated the
+// driver's parse in every round since r12 (BENCH_r12..r15 all have
+// parsed: null). StdoutOutput passes the child's stdout through
+// verbatim and showSuccess=false drops the trailing [success] line, so
+// the short self-contained JSON Bench prints last is also the final
+// unprefixed line of the sbt invocation. Output plumbing only — the
+// timing protocol is untouched (the full per-query map is also always
+// written to ./bench_full_latest.json, overridable via
+// SPARK_GRAFT_BENCH_FULL).
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// the unscoped key is how it reaches runMain's forkOptions; sbt's
+// unused-setting lint can't see through that delegation (and
+// showSuccess is consumed by the command layer, not a task)
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -64,11 +64,19 @@ object SparkEnv {
     // for same-JVM state-store knob measurement without a code change
     // — the stateProvider-hook pattern. Production config is the
     // explicit block above; nothing sets this prop outside harnesses.
+    // ALLOWLISTED to the streaming conf namespace (advisor r15 #1): a
+    // stray/leaked sys prop must not be able to reconfigure arbitrary
+    // session behavior (e.g. swap a datasource or FS impl) on every
+    // stateful stream — the knobs the harnesses measure all live under
+    // spark.sql.streaming.*; anything else is rejected loudly.
     sys.props.get("graft.test.stateExtraConf").toSeq
       .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
       .foreach { kv =>
         val Array(k, v) = kv.split("=", 2)
-        if (k.nonEmpty && v.nonEmpty) s2.conf.set(k, v)
+        if (k.startsWith("spark.sql.streaming.") && v.nonEmpty) s2.conf.set(k, v)
+        else if (k.nonEmpty) System.err.println(
+          s"[graft] graft.test.stateExtraConf: rejecting non-streaming key '$k' " +
+            "(allowlist: spark.sql.streaming.*)")
       }
     s2
   }

@@ -233,6 +233,58 @@ object Maintenance {
       customer: DataFrame): DataFrame = {
     def check(name: String, n: DataFrame): DataFrame =
       n.select(lit(name).as("check_name"), col("n_bad"))
+    // ONE orders pass for both orders-local checks (round-16, guide
+    // §2.3 "aggregate before you shuffle" / VERDICT r15 #6): the dup
+    // check's groupBy(o_orderkey) exchange already exists, so the
+    // null-custkey count rides the same scan as a per-group
+    // conditional aggregate — was a second full orders scan + its own
+    // agg-pair exchange (plan: 7 scans → 6, 9 jobs → 8).
+    // sum(when(cnt>1, cnt−1)) ≡ filter(cnt>1).sum(cnt−1): the WHEN
+    // yields NULL on non-dup groups and sum ignores NULLs; both
+    // coalesce to 0 on an empty orders side.
+    val ordersStats = orders
+      .select(col("o_orderkey"), col("o_custkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("cnt"),
+        count(when(col("o_custkey").isNull, 1)).as("n_null"))
+      .agg(
+        coalesce(sum(when(col("cnt") > 1, col("cnt") - 1)), lit(0L))
+          .as("dup_bad"),
+        coalesce(sum(col("n_null")), lit(0L)).as("null_bad"))
+      .selectExpr("stack(2, 'dup_order_keys', dup_bad, " +
+        "'null_custkeys', null_bad) AS (check_name, n_bad)")
+    // The lineitem legs stay SEPARATE scans deliberately: fusing them
+    // needs either a LEFT join against a DISTINCT orders key set (an
+    // extra key-grain exchange the anti-join doesn't pay — and the
+    // anti-join is robust to duplicate orders keys, which check 1
+    // exists to detect) or a key-grain pre-aggregate read twice; both
+    // trade a cheap pruned column scan for a shuffle of the biggest
+    // table's key column. At 100 TB the scan is the cheaper side.
+    val liOrphans = lineitem.select("l_orderkey")
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+    val badPrice = lineitem.filter(col("l_extendedprice") <= 0)
+      .agg(count(lit(1)).as("n_bad"))
+    val orderOrphans = orders.select("o_custkey")
+      .join(customer.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+    ordersStats
+      .unionByName(check("lineitem_orphans", liOrphans))
+      .unionByName(check("nonpositive_price", badPrice))
+      .unionByName(check("order_orphans", orderOrphans))
+      .orderBy("check_name")
+  }
+
+  /** The pre-round-16 five-leg shape (two separate orders scans) —
+    * kept private as the same-JVM A/B reference for the fusion above
+    * (tools/DqAuditAb); not a declared query path.
+    */
+  private[graft] def dqAuditUnfused(orders: DataFrame, lineitem: DataFrame,
+      customer: DataFrame): DataFrame = {
+    def check(name: String, n: DataFrame): DataFrame =
+      n.select(lit(name).as("check_name"), col("n_bad"))
     val dupKeys = orders.groupBy("o_orderkey")
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
       .agg(coalesce(sum(col("cnt") - 1), lit(0L)).as("n_bad"))

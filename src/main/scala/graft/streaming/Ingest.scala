@@ -69,14 +69,26 @@ object Ingest {
       .option("pathGlobFilter", s"$table.parquet")).parquet(sfDir)
   }
 
+  // (context, dir)-keyed: the physical type is a property of the file,
+  // not the session, and every stateful pipeline constructs its stream
+  // on a FRESH session clone — a session-keyed memo would never hit.
+  // Clones share the SparkContext, so the staleness exposure (fixture
+  // regenerated in place mid-JVM) is the same class Tables.loaded
+  // already accepts for the relation itself.
+  private val eventsTsTypes = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), DataType]()
+
   /** Unit-aware like Tables.events: readStream needs an explicit
     * schema, so peek at the footer-derived type with a (metadata-only)
     * batch read first, then declare the matching stream schema and
-    * normalize `ts` to µs TimestampType. One extra file listing per
-    * stream start — nothing per micro-batch.
+    * normalize `ts` to µs TimestampType. The peek (file listing +
+    * footer read + relation resolution, ~40 ms) is memoized per
+    * (context, fixture dir) — round 16: eleven stream constructions
+    * per bench pass each re-read the same footer for the same answer.
     */
   def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val physical = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val physical = graft.Memo.memo(eventsTsTypes, (spark.sparkContext, sfDir))(
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType)
     val raw = streamTable(spark, sfDir, "events", eventFileSchema(physical))
     physical match {
       case LongType => // ns surfaced as raw long under nanosAsLong

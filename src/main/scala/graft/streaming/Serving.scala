@@ -588,11 +588,18 @@ object Serving {
     // run-to-completion stream discards at stop anyway, at the full
     // per-batch fixed cost (state-store open/commit + two WAL fsyncs,
     // ~0.4 s measured — tools/NoDataBatchProbe). Store contents are
-    // identical by construction; a CONTINUOUS deployment that wants
-    // prompt eviction between sparse data batches re-enables it.
-    // Dev hook: the probe forces it back on for the same-JVM A/B.
+    // identical by construction. The skip is tied to THIS runner's
+    // run-to-completion AvailableNow trigger; a CONTINUOUS deployment
+    // reusing the pipeline wants prompt eviction between sparse data
+    // batches back, so the production-named conf below re-enables it
+    // without a code change (advisor r15 #2 — previously the only
+    // override was a test-namespaced sys prop, which hid that this is
+    // the production knob; the prop remains the probe's dev hook).
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-      sys.props.get("graft.test.noDataBatches").contains("true").toString)
+      (s2.conf.getOption("spark.graft.streaming.noDataBatches")
+        .orElse(sys.env.get("SPARK_GRAFT_NO_DATA_BATCHES"))
+        .orElse(sys.props.get("graft.test.noDataBatches")))
+        .contains("true").toString)
     val agg = hourlyCounters(Ingest.eventStream(s2, sfDir))
     val q = agg.writeStream
       .outputMode("update")

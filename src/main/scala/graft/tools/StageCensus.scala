@@ -44,11 +44,16 @@ object StageCensus {
         fn(spark, sfDir).queryExecution.toRdd.count() // warm pass
         spark.catalog.clearCache()
         spark.sparkContext.addSparkListener(listener)
+        // drain the async bus before resetting: a still-dispatching
+        // warm-pass event must not land in the timed window (advisor
+        // r15 #3 — the previous fixed 150 ms sleep guaranteed neither
+        // direction)
+        org.apache.spark.GraftScratchBridge.waitListenerBusEmpty(spark.sparkContext)
         jobs = 0; stages = 0; tasks = 0; stageMs = 0L
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.count()
         val wall = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(150) // listener drain
+        org.apache.spark.GraftScratchBridge.waitListenerBusEmpty(spark.sparkContext)
         spark.sparkContext.removeSparkListener(listener)
         Some((name, wall, jobs, stages, tasks, stageMs / 1e3))
       } catch { case e: Throwable =>

@@ -12,6 +12,16 @@ package org.apache.spark
 object GraftScratchBridge {
   def deleteOnExit(dir: java.io.File): Unit =
     util.ShutdownHookManager.registerShutdownDeleteDir(dir)
+
+  /** Drain the async listener bus — what a measurement tool must call
+    * before reading (or resetting) listener-fed counters instead of a
+    * fixed sleep (round-16, advisor r15 #3: StageCensus's 150 ms sleep
+    * could miss late-dispatched stage events or leak warm-pass events
+    * into the timed window). `listenerBus.waitUntilEmpty()` is
+    * `private[spark]`, hence the bridge.
+    */
+  def waitListenerBusEmpty(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
 
 /** Bridge to `private[spark]` SerializableConfiguration: wrap the
