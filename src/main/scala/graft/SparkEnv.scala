@@ -60,6 +60,35 @@ object SparkEnv {
       .orElse(sys.env.get("SPARK_GRAFT_STATE_PROVIDER")).contains("rocksdb")
     if (wantRocks) s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Checkpoint-log writer (round-16 optimization, the largest
+    // per-micro-batch fixed cost found by StreamPhaseProf): every
+    // offset-log / commit-log / file-source-log / state-delta /
+    // RocksDB-upload write goes through CheckpointFileManager, and the
+    // DEFAULT FileContext-based manager costs 56–130 ms PER FILE on
+    // this host — no native-hadoop library is loadable
+    // (NativeCodeLoader warning), so Hadoop's FileContext local path
+    // forks a shell for permission ops on every create/rename. The
+    // FileSystem-based manager (Spark's own fallback for filesystems
+    // without an AbstractFileSystem, e.g. s3a) does the same
+    // write+rename in 9–11 ms (tools/WalWriteProbe), and the same-JVM
+    // interleaved A/B over all 24 stream-backed declared queries
+    // (tools/StateKnobAb) measured −0.11…−0.92 s EACH, ≈ −8 s across
+    // the class, RocksDB pipelines included, oracle green. Trade-off,
+    // and why this is env-parameterized rather than unconditional: on
+    // HDFS the FileContext manager's rename-with-overwrite is atomic
+    // while the FileSystem manager's overwrite path has a
+    // delete-then-rename window (only reachable on a crash-replay of
+    // the same batch id); a 100 TB HDFS deployment sets
+    // SPARK_GRAFT_CKPT_FM=default to keep Spark's default manager —
+    // where the native lib is present and the fork penalty gone, the
+    // two are within noise anyway. The A/B hook below can still
+    // override per run.
+    sys.env.getOrElse("SPARK_GRAFT_CKPT_FM",
+      "org.apache.spark.sql.execution.streaming.checkpointing." +
+        "FileSystemBasedCheckpointFileManager") match {
+      case "" | "default" => ()
+      case cls => s2.conf.set("spark.sql.streaming.checkpointFileManagerClass", cls)
+    }
     // dev A/B hook (round-15, tools/StateKnobAb): extra session confs
     // for same-JVM state-store knob measurement without a code change
     // — the stateProvider-hook pattern. Production config is the
