@@ -136,4 +136,28 @@ class StreamMetricsSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("stateSession wires the FileSystem-based checkpoint manager " +
+      "(round-16 optimization) and the store still equals the batch recompute") {
+    // (a) the cloned streaming session carries the manager conf (the
+    // env override SPARK_GRAFT_CKPT_FM is unset under sbt test, so the
+    // local default applies); (b) a full checkpointed run through that
+    // manager — offset log, commit log, source log, state deltas —
+    // produces the identical store (the oracle re-proves this at the
+    // declared sfs; this is the fast in-suite pin).
+    val s2 = SparkEnv.stateSession(spark)
+    assert(s2.conf.get("spark.sql.streaming.checkpointFileManagerClass")
+      .endsWith("FileSystemBasedCheckpointFileManager"),
+      "streaming clones must default to the non-forking checkpoint manager")
+    val store = new InMemoryServingStore
+    Serving.runPipeline(spark, sf, store, SparkEnv.scratchDir("metrics-fm-ckpt"))
+    val expected = Tables.events(spark, sf)
+      .groupBy(concat_ws("/", col("event_type"), lit("hour"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd-HH")).as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = store.snapshot().map(r => r.key -> ((r.nEvents, r.sumValue))).toMap
+    assert(got == expected, s"${got.size} vs ${expected.size} keys")
+  }
 }
