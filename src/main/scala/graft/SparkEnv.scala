@@ -64,28 +64,38 @@ object SparkEnv {
     // per-micro-batch fixed cost found by StreamPhaseProf): every
     // offset-log / commit-log / file-source-log / state-delta /
     // RocksDB-upload write goes through CheckpointFileManager, and the
-    // DEFAULT FileContext-based manager costs 56–130 ms PER FILE on
+    // DEFAULT FileContext-based manager costs 33–130 ms PER FILE on
     // this host — no native-hadoop library is loadable
     // (NativeCodeLoader warning), so Hadoop's FileContext local path
     // forks a shell for permission ops on every create/rename. The
     // FileSystem-based manager (Spark's own fallback for filesystems
     // without an AbstractFileSystem, e.g. s3a) does the same
-    // write+rename in 9–11 ms (tools/WalWriteProbe), and the same-JVM
-    // interleaved A/B over all 24 stream-backed declared queries
-    // (tools/StateKnobAb) measured −0.11…−0.92 s EACH, ≈ −8 s across
-    // the class, RocksDB pipelines included, oracle green. Trade-off,
-    // and why this is env-parameterized rather than unconditional: on
-    // HDFS the FileContext manager's rename-with-overwrite is atomic
-    // while the FileSystem manager's overwrite path has a
-    // delete-then-rename window (only reachable on a crash-replay of
+    // write+rename in 7–11 ms — still one forked chmod per created
+    // file plus a checksummed `.crc` sidecar — and the library's
+    // [[org.apache.spark.sql.execution.streaming.checkpointing.GraftLocalCheckpointFileManager]]
+    // (that manager with a java.nio fast path for LOCAL checkpoint
+    // dirs, non-local schemes delegate verbatim) does it in
+    // 0.2–0.6 ms (tools/WalWriteProbe, all three measured
+    // side-by-side). Same-JVM interleaved A/Bs over all 24
+    // stream-backed declared queries (tools/StateKnobAb): the r16
+    // FileSystem-manager step measured ≈ −8 s over the class vs the
+    // FileContext default, and the NIO fast path another ≈ −3…−5 s vs
+    // the FileSystem manager (plans/r16/ckptnio_ab_{1,2}.txt), biggest
+    // on the multi-store pipelines (stream-stream joins: 4 join state
+    // stores × parts × batches of delta/snapshot files; RocksDB zip
+    // uploads). Trade-off, and why this is env-parameterized rather
+    // than unconditional: on HDFS the FileContext manager's
+    // rename-with-overwrite is atomic while the FileSystem/NIO
+    // managers' overwrite path has a delete-then-rename /
+    // check-then-rename window (only reachable on a crash-replay of
     // the same batch id); a 100 TB HDFS deployment sets
     // SPARK_GRAFT_CKPT_FM=default to keep Spark's default manager —
     // where the native lib is present and the fork penalty gone, the
-    // two are within noise anyway. The A/B hook below can still
+    // managers are within noise anyway. The A/B hook below can still
     // override per run.
     sys.env.getOrElse("SPARK_GRAFT_CKPT_FM",
       "org.apache.spark.sql.execution.streaming.checkpointing." +
-        "FileSystemBasedCheckpointFileManager") match {
+        "GraftLocalCheckpointFileManager") match {
       case "" | "default" => ()
       case cls => s2.conf.set("spark.sql.streaming.checkpointFileManagerClass", cls)
     }

@@ -4,7 +4,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.execution.streaming.checkpointing.{
   CheckpointFileManager, FileContextBasedCheckpointFileManager,
-  FileSystemBasedCheckpointFileManager}
+  FileSystemBasedCheckpointFileManager, GraftLocalCheckpointFileManager}
 
 /** Dev-only micro-probe (round-16): isolate the per-checkpoint-log
   * write cost the StreamPhaseProf phase table shows as ~40 ms each for
@@ -48,6 +48,9 @@ object WalWriteProbe {
     bench("FileSystemBased",
       new FileSystemBasedCheckpointFileManager(
         new Path(root.getAbsolutePath), conf), "fs")
+    bench("GraftLocal (nio fast path)",
+      new GraftLocalCheckpointFileManager(
+        new Path(root.getAbsolutePath), conf), "nio")
     // raw-NIO floor: write + fsync-equivalent + atomic move
     val rawDir = new java.io.File(root, "raw"); rawDir.mkdirs()
     val rawTimes = (1 to n).map { i =>

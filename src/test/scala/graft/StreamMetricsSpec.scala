@@ -137,7 +137,7 @@ class StreamMetricsSpec extends SparkSpec {
     }
   }
 
-  test("stateSession wires the FileSystem-based checkpoint manager " +
+  test("stateSession wires the NIO-fast-path checkpoint manager " +
       "(round-16 optimization) and the store still equals the batch recompute") {
     // (a) the cloned streaming session carries the manager conf (the
     // env override SPARK_GRAFT_CKPT_FM is unset under sbt test, so the
@@ -147,7 +147,7 @@ class StreamMetricsSpec extends SparkSpec {
     // declared sfs; this is the fast in-suite pin).
     val s2 = SparkEnv.stateSession(spark)
     assert(s2.conf.get("spark.sql.streaming.checkpointFileManagerClass")
-      .endsWith("FileSystemBasedCheckpointFileManager"),
+      .endsWith("GraftLocalCheckpointFileManager"),
       "streaming clones must default to the non-forking checkpoint manager")
     val store = new InMemoryServingStore
     Serving.runPipeline(spark, sf, store, SparkEnv.scratchDir("metrics-fm-ckpt"))
