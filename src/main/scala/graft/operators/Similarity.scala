@@ -513,9 +513,18 @@ object Similarity {
     val prepped = assigned.select(col("grp"), col("vec_id"), col("embedding"),
       pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("blk"))
     val partners = sequence(lit(0), lit(blocks - 1))
+    // explicit tile-key repartition of the probe side — the
+    // embedNearDupBlocked `parts` rationale (r16): per-row work here is
+    // O(|grp|/B) comparisons, so byte-based sizing (broadcast keeping
+    // the scan's single partition; AQE coalescing) serializes the
+    // quadratic tile evaluation onto one task. The key is the join's
+    // own equi-key triple, so a sort-merge plan at scale reuses this
+    // exchange verbatim; the local broadcast plan gains P probe tasks.
+    val parts = graft.SparkEnv.shuffleParts(assigned.sparkSession)
     val a = prepped.select(col("grp"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("blk").as("blk_a"),
       explode(partners).as("partner_a"))
+      .repartition(parts, col("grp"), col("blk_a"), col("partner_a"))
     val b = prepped.select(col("grp").as("grp_b"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"), explode(partners).as("partner_b"),
       col("blk").as("blk_b"))

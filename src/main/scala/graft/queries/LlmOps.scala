@@ -334,7 +334,8 @@ object LlmOps {
        |WHERE ${duckDot.format("a.embedding", "b.embedding")} >= 0.4
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     embedNearDupBlocked(Tables.embeddings(s, d),
-      blocks = nearDupBlocks(s))
+      blocks = nearDupBlocks(s),
+      parts = Some(graft.SparkEnv.shuffleParts(s)))
       .orderBy("id_a", "id_b")
   }
 
@@ -353,14 +354,29 @@ object LlmOps {
   /** Block-pair exact cosine threshold join (see [[embedNearDup]]).
     * B → B² balanced tiles; the declared gate sizes B via
     * [[nearDupBlocks]].
+    *
+    * `parts`: explicit tile-key repartition of the probe side. The
+    * tile decomposition's PARALLELISM is tile-count-shaped, not
+    * byte-shaped: each post-partition row does O(n/B) comparison work,
+    * so any byte-based sizing (AQE advisory coalescing; or, at fixture
+    * size, the planner's broadcast choice keeping the probe side on
+    * the scan's single file partition) collapses a quadratic-compute
+    * stage onto one task — measured: the whole n² evaluation ran as 1
+    * task at local[32] (r16 census: 4 tasks total). The repartition
+    * key is the join's own equi key (blk, partner), so at scale a
+    * sort-merge plan REUSES the exchange (ENSURE_REQUIREMENTS adds
+    * nothing) while the local broadcast plan gains P probe tasks; AQE
+    * never coalesces an explicit-N user repartition (REPARTITION_BY_NUM).
     */
-  def embedNearDupBlocked(emb: DataFrame, tau: Double = 0.4, blocks: Int = 8): DataFrame = {
+  def embedNearDupBlocked(emb: DataFrame, tau: Double = 0.4, blocks: Int = 8,
+      parts: Option[Int] = None): DataFrame = {
     val prepped = emb.select(
       col("vec_id"), col("embedding"),
       pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("blk"))
     val partners = sequence(lit(0), lit(blocks - 1))
-    val a = prepped.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+    val a0 = prepped.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       col("blk").as("blk_a"), explode(partners).as("partner_a"))
+    val a = parts.fold(a0)(p => a0.repartition(p, col("blk_a"), col("partner_a")))
     val b = prepped.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
       explode(partners).as("partner_b"), col("blk").as("blk_b"))
     // cheap id predicate FIRST in the residual conjunction: And
