@@ -341,15 +341,22 @@ object LlmOps {
 
   /** Block factor for the declared near-dup tile join, derived from
     * the session's shuffle parallelism instead of a bench-host literal
-    * (round-15; was a bare 8): B² tiles ≈ 2× the configured
-    * parallelism keeps every executor busy with bounded (n/B)² tiles —
-    * B = 8 at local[32]'s 32 partitions (unchanged), and grows as
-    * √parallelism on a cluster, which is the right shape because tile
-    * count is B².
+    * (round-15; was a bare 8). B² tiles ≈ 8× the configured
+    * parallelism (round-16; was 2×): tiles land on partitions by HASH
+    * of the tile key, not by a deterministic round-robin, so with only
+    * ~2 tiles per partition on average the balls-in-bins max is 5-6
+    * tiles — a 3× straggler that AQE cannot split behind the explicit
+    * repartition (REPARTITION_BY_NUM exchanges are exempt from skew
+    * splitting). ~8 tiles/partition bounds the expected max under
+    * ~1.5× of the mean. Measured same-JVM at the synthetic decade
+    * (sf~1, 20k vectors): B=8 split 11.1 s (stragglers) vs B=16 split
+    * 6.7 s vs no-split 7.9 s (AQE skew-split plan). B still grows as
+    * √parallelism — tile count is B², and per-side replication (the
+    * classic 1-bucket-theta √P cost) only doubles vs the 2× factor.
     */
   def nearDupBlocks(s: org.apache.spark.sql.SparkSession): Int =
     math.max(2, math.ceil(math.sqrt(
-      2.0 * graft.SparkEnv.shuffleParts(s))).toInt)
+      8.0 * graft.SparkEnv.shuffleParts(s))).toInt)
 
   /** Block-pair exact cosine threshold join (see [[embedNearDup]]).
     * B → B² balanced tiles; the declared gate sizes B via
